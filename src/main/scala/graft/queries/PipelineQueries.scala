@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.operators.{Quality, Scd2}
+
+/** Pipeline-semantics coverage: the reference's JSON ingestion (F5), SCD2
+  * merge (§2.8) and data-quality suite (§2.10), each oracle-checked.
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // F5+F6: declared-schema JSON parsing + flatten + aggregate — mirrors the
+    // Kafka batch drain (`bronze_dimension_fact_load.py:110-140`). Decimal
+    // sums keep the double outputs bit-identical to the oracle.
+    Q("q10_events_json",
+      (s, d) => {
+        val schema = StructType(Seq(StructField("k", IntegerType)))
+        Tables.events(s, d)
+          .withColumn("k", from_json(col("props"), schema).getField("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("k").cast("long")).as("sum_k"),
+            sum(col("value").cast("decimal(25,10)")).cast("double").as("sum_value"),
+            (sum(col("value").cast("decimal(25,10)")).cast("double") / count(lit(1))).as("avg_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
+             CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS avg_value
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // §2.8: SCD2 merge on two synthesized generations of a `part`-derived
+    // dimension. Gen1 = price change for key%10==0 (real change), plus a
+    // no-op re-delivery for key%13==1 (hash-equal, must NOT version).
+    // Deterministic row_number surrogate keys make it oracle-checkable.
+    Q("q12_scd2_merge",
+      (s, d) => {
+        val gen0 = Tables.part(s, d).select(
+          col("p_partkey").as("part_id"), col("p_name").as("name"),
+          col("p_brand").as("brand"), col("p_retailprice").as("price"))
+        val target = Scd2.initialLoad(gen0, lit("1994-01-01"))
+        val changedSrc = gen0.filter(col("part_id") % 10 === 0)
+          .withColumn("price", col("price") + lit(100.0d))
+        val noopSrc = gen0.filter(col("part_id") % 13 === 1 && col("part_id") % 10 =!= 0)
+        val source = changedSrc.unionByName(noopSrc)
+        val merged = Scd2.merge(target, source, "part_id",
+          Seq("name", "brand", "price"), lit("1995-01-01"))
+        Scd2.deterministicKey(merged, "part_id", "dim_key")
+          .select(col("part_id"), col("name"), col("brand"), col("price"),
+            col("start_date"), col("end_date"), col("is_current"), col("dim_key"))
+          .orderBy(col("part_id"), col("start_date"))
+      },
+      Some("""WITH gen0 AS (
+               SELECT p_partkey AS part_id, p_name AS name, p_brand AS brand,
+                      p_retailprice AS price FROM part),
+             src AS (
+               SELECT part_id, name, brand, price + 100.0 AS price
+               FROM gen0 WHERE part_id % 10 = 0
+               UNION ALL
+               SELECT part_id, name, brand, price
+               FROM gen0 WHERE part_id % 13 = 1 AND part_id % 10 <> 0),
+             changes AS (
+               SELECT s.* FROM src s LEFT JOIN gen0 g ON s.part_id = g.part_id
+               WHERE g.part_id IS NULL
+                  OR s.name IS DISTINCT FROM g.name
+                  OR s.brand IS DISTINCT FROM g.brand
+                  OR s.price IS DISTINCT FROM g.price),
+             merged AS (
+               SELECT g.part_id, g.name, g.brand, g.price,
+                      DATE '1994-01-01' AS start_date,
+                      CASE WHEN c.part_id IS NULL THEN NULL
+                           ELSE DATE '1995-01-01' END AS end_date,
+                      c.part_id IS NULL AS is_current
+               FROM gen0 g
+               LEFT JOIN (SELECT DISTINCT part_id FROM changes) c
+                 ON g.part_id = c.part_id
+               UNION ALL
+               SELECT part_id, name, brand, price, DATE '1995-01-01', NULL, TRUE
+               FROM changes)
+             SELECT part_id, name, brand, price, start_date, end_date, is_current,
+                    CAST(row_number() OVER (ORDER BY part_id, start_date) AS BIGINT) AS dim_key
+             FROM merged ORDER BY part_id, start_date""")),
+
+    // §2.10 Q2–Q4: the whole DQ suite — completeness / min / max /
+    // uniqueness / null-rate across three tables, one scan per table.
+    Q("q13_dq_suite",
+      (s, d) => {
+        val checks = Seq(
+          Quality.Completeness("lineitem", "l_orderkey", 1.0),
+          Quality.MinValue("lineitem", "l_quantity", 0.0),
+          Quality.MaxValue("lineitem", "l_discount", 0.11),
+          Quality.NullRate("lineitem", "l_shipdate", 0.05),
+          Quality.Uniqueness("orders", "o_orderkey", 1.0),
+          Quality.Completeness("orders", "o_custkey", 1.0),
+          Quality.MinValue("part", "p_retailprice", 0.0))
+        Quality.evaluateSuite(
+          Map("lineitem" -> Tables.lineitem(s, d),
+              "orders" -> Tables.orders(s, d),
+              "part" -> Tables.part(s, d)),
+          checks)
+          .orderBy(col("check_id"))
+      },
+      Some("""SELECT 'lineitem.completeness.l_orderkey' AS check_id,
+                    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS metric,
+                    CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 1.0 AS passed
+             FROM lineitem
+             UNION ALL
+             SELECT 'lineitem.min.l_quantity',
+                    CAST(MIN(l_quantity) AS DOUBLE),
+                    CAST(MIN(l_quantity) AS DOUBLE) >= 0.0 FROM lineitem
+             UNION ALL
+             SELECT 'lineitem.max.l_discount',
+                    CAST(MAX(l_discount) AS DOUBLE),
+                    CAST(MAX(l_discount) AS DOUBLE) <= 0.11 FROM lineitem
+             UNION ALL
+             SELECT 'lineitem.null_rate.l_shipdate',
+                    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) <= 0.05
+             FROM lineitem
+             UNION ALL
+             SELECT 'orders.uniqueness.o_orderkey',
+                    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*),
+                    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) >= 1.0 FROM orders
+             UNION ALL
+             SELECT 'orders.completeness.o_custkey',
+                    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 1.0
+             FROM orders
+             UNION ALL
+             SELECT 'part.min.p_retailprice',
+                    CAST(MIN(p_retailprice) AS DOUBLE),
+                    CAST(MIN(p_retailprice) AS DOUBLE) >= 0.0 FROM part
+             ORDER BY check_id"""))
+  )
+}
