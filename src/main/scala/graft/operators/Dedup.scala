@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora: exact, MinHash+LSH
+  * near-dup, and SimHash fingerprinting.
+  *
+  * These extend the reference's operator surface (its only dedup-adjacent op
+  * is the duplicate-detection count, `bronze_validation.py:73-77`) with the
+  * operations a training-data pipeline needs at 100 TB.
+  *
+  * Cross-engine determinism: every hash here is `md5` (identical lowercase
+  * hex in Spark and DuckDB), so signatures, LSH buckets and candidate pairs
+  * are exactly reproducible by the SQL oracle — no RNG, no JVM-specific
+  * hashing in any oracled path.
+  *
+  * Scale design: everything is expressed as distributed joins/aggregations
+  * over (doc_id, shingle) rows — no driver collects, no cartesian products.
+  * LSH banding bounds the candidate-pair join to same-bucket pairs, so the
+  * exact-Jaccard verification only touches plausible near-dups.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-text fingerprint: one row per distinct
+    * content hash with its multiplicity and canonical (minimum) id.
+    * hash-groupBy with map-side partial agg — the classic exact-dedup shape. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+
+  /** Exact dedup: keep one representative row per distinct text (the min-id
+    * winner). Implemented as a window-free groupBy+join so it scales:
+    * a self-semi-join on (hash, min_id) avoids a global sort. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = exactGroups(docs, idCol, textCol)
+      .select(col("text_hash"), col("canonical_id").as(idCol))
+    docs.join(winners,
+      docs(idCol) === winners(idCol) && md5(docs(textCol)) === winners("text_hash"),
+      "left_semi")
+  }
+
+  /** Whitespace tokens of lowercased, trimmed text (split semantics chosen
+    * to match DuckDB's string_split_regex exactly). */
+  def tokens(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
+
+  /** Distinct (id, shingle) rows: sliding n-word shingles over the token
+    * stream. The exploded long-format is the scalable representation — all
+    * downstream ops are joins/aggs on it. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val idxs = (0 until n).map(j => s"__w[i + $j]").mkString(", ")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $idxs))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * min(md5(seed || ':' || shingle)). Output: id + h0..h{k-1} hex strings.
+    * One shuffle (groupBy id), k mins computed map-side. */
+  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature → (id, band, band_key) rows; docs sharing any
+    * band key are candidate pairs. bands*rowsPerBand must equal the
+    * signature width. */
+  def lshBandRows(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    (0 until bands).map { b =>
+      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      sig.select(col(idCol), lit(b).as("band"), key.as("band_key"))
+    }.reduce(_ unionByName _)
+
+  /** Candidate near-dup pairs (a < b) from LSH buckets. The join key
+    * (band, band_key) bounds the self-join to same-bucket pairs — this is
+    * what keeps near-dedup sub-quadratic at corpus scale. */
+  def lshCandidatePairs(bandRows: DataFrame, idCol: String): DataFrame = {
+    val x = bandRows.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+    val y = bandRows.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
+    x.join(y, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity for given candidate pairs, computed from the
+    * shingle rows: |A∩B| via a pair-shingle join, |A∪B| = |A|+|B|-|A∩B|.
+    * Integer-count division → bit-stable doubles across engines. */
+  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sa = shingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = pairs
+      .join(sa, "doc_a")
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact-Jaccard filter. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                      threshold: Double = 0.1): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val sig = minhashSignatures(sh, idCol, k)
+    val cand = lshCandidatePairs(lshBandRows(sig, idCol, bands, k / bands), idCol)
+    jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash fingerprint from md5 token hashes, frequency-weighted
+    * (repeated tokens vote repeatedly). Returned as a 32-char '0'/'1'
+    * string so the SQL oracle can reproduce it without 64-bit signed
+    * arithmetic pitfalls. Bit j comes from hex digit j/4, msb-first. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokRows = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("__h", md5(col("tok")))
+    val votes = (0 until 32).map { j =>
+      val pos = j / 4 + 1
+      val shift = 1 << (3 - j % 4)
+      sum(expr(s"2 * (((instr('0123456789abcdef', substr(__h, $pos, 1)) - 1) div $shift) % 2) - 1"))
+        .as(s"__v$j")
+    }
+    val fpBits = (0 until 32).map(j =>
+      when(col(s"__v$j") > 0, lit("1")).otherwise(lit("0")))
+    tokRows.groupBy(col(idCol))
+      .agg(votes.head, votes.tail :+ count(lit(1)).as("n_tokens"): _*)
+      .select(col(idCol), concat(fpBits: _*).as("simhash32"), col("n_tokens"))
+  }
+
+  /** Hamming distance between two equal-length bit strings (as produced by
+    * [[simhash32]]) — a codegen'd expression chain, no UDF. */
+  def hammingBits(a: Column, b: Column, width: Int): Column =
+    (0 until width).map(i =>
+      when(substring(a, i + 1, 1) =!= substring(b, i + 1, 1), 1).otherwise(0): Column)
+      .reduce(_ + _)
+}

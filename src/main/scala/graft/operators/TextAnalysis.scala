@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token statistics, quality
+  * scoring, heuristic language identification, and document fingerprinting.
+  *
+  * Extensions beyond the reference's operator surface (its text handling
+  * stops at `regexp_replace` cleanup, `silver_dimensions.py:50,103`), built
+  * for training-data pipelines. Everything is built-ins/codegen — one
+  * explode + one groupBy per table scan, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics and quality signals:
+    * token count, distinct count, type-token ratio, mean token length,
+    * stopword ratio. All ratios are integer-count divisions → bit-stable
+    * doubles for the oracle. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String,
+                 stopwords: Seq[String]): DataFrame = {
+    val tokRows = docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("tok"))
+    tokRows.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_unique"),
+      (countDistinct(col("tok")).cast("double") / count(lit(1))).as("ttr"),
+      (sum(length(col("tok"))).cast("double") / count(lit(1))).as("avg_token_len"),
+      (sum(col("tok").isin(stopwords: _*).cast("long")).cast("double") / count(lit(1)))
+        .as("stop_ratio"))
+  }
+
+  /** Heuristic language ID: CJK script detection by Unicode range, else
+    * argmax of per-language stopword hit counts with a deterministic
+    * priority order on ties. Pure column expressions — reproducible in SQL. */
+  def langGuess(textCol: Column, tokensCol: Column): Column = {
+    def hits(words: Seq[String]): Column =
+      size(filter(tokensCol, t => t.isin(words: _*)))
+    val cjk = length(regexp_replace(textCol, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val en = hits(Seq("the", "a", "of", "and", "to", "in"))
+    val fr = hits(Seq("le", "la", "les", "des", "et", "un"))
+    val es = hits(Seq("el", "los", "las", "una", "y", "que"))
+    val de = hits(Seq("der", "die", "das", "und", "ein", "nicht"))
+    when(cjk > 0, lit("zh"))
+      .when(en === 0 && fr === 0 && es === 0 && de === 0, lit("und"))
+      .when(en >= fr && en >= es && en >= de, lit("en"))
+      .when(fr >= es && fr >= de, lit("fr"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Document fingerprint: minimum md5 over the document's n-word shingles
+    * (winnowing-style content signature — identical docs and near-identical
+    * prefixes collide deliberately). Equals MinHash h0 with seed "0:". */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    Dedup.shingleRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(min(md5(col("shingle"))).as("fingerprint"))
+
+  /** Composite per-document profile: stats + language guess + fingerprint.
+    * Two scans of the text column (stats+lang in one, shingle fingerprint in
+    * the other) joined on id — both sides shuffle once on id. */
+  def profile(docs: DataFrame, idCol: String, textCol: String,
+              stopwords: Seq[String]): DataFrame = {
+    val withLang = docs.select(col(idCol),
+      langGuess(col(textCol), Dedup.tokens(col(textCol))).as("lang_guess"))
+    tokenStats(docs, idCol, textCol, stopwords)
+      .join(withLang, idCol)
+      .join(fingerprints(docs, idCol, textCol), idCol)
+  }
+}

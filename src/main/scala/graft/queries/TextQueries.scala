@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Training-data-pipeline coverage over `documents`: exact dedup,
+  * MinHash+LSH near-dup, SimHash fingerprints, token/quality/language
+  * profiling. All hashing is md5 so every step is oracle-checkable.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Shared DuckDB CTEs: tokens and distinct 3-shingles, matching
+    * Dedup.tokens / Dedup.shingleRows semantics exactly. */
+  private val tokCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s
+      |  FROM toks, UNNEST(list_transform(range(1, len(w) - 1),
+      |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  // ---- q18 simhash: generate the 32 per-bit vote expressions for DuckDB,
+  // mirroring Dedup.simhash32 (md5 hex digit j/4, msb-first bit j%4).
+  private val simhashVotesSql = (0 until 32).map { j =>
+    val pos = j / 4 + 1
+    val shift = 1 << (3 - j % 4)
+    s"SUM(2 * (((strpos('0123456789abcdef', substr(md5(tok), $pos, 1)) - 1) // $shift) % 2) - 1) AS v$j"
+  }.mkString(",\n         ")
+  private val simhashConcatSql =
+    (0 until 32).map(j => s"CASE WHEN v$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: full-text md5 groups with multiplicity + canonical id.
+    Q("q14_dedup_exact",
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("canonical_id")),
+      Some("""SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             MIN(doc_id) AS canonical_id
+             FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
+
+    // MinHash(12) + LSH(4 bands × 3) near-dup candidates with exact Jaccard
+    // verification — the full sub-quadratic near-dedup pipeline.
+    Q("q15_minhash_lsh",
+      (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 12, bands = 4, threshold = 0.1)
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(100),
+      Some(s"""WITH $tokCtes,
+             sig AS (
+               SELECT doc_id,
+                 ${(0 until 12).map(i => s"MIN(md5('$i:' || s)) AS h$i").mkString(", ")}
+               FROM sh GROUP BY doc_id),
+             bands AS (
+               ${(0 until 4).map(b =>
+                  s"SELECT doc_id, $b AS band, h${3*b} || h${3*b+1} || h${3*b+2} AS band_key FROM sig")
+                  .mkString("\n               UNION ALL ")}),
+             cand AS (
+               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (
+               SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.doc_a
+               JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+               GROUP BY c.doc_a, c.doc_b)
+             SELECT i.doc_a, i.doc_b,
+                    CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+             FROM inter i
+             JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+             WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.1
+             ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""")),
+
+    // SimHash-32 fingerprints (frequency-weighted bit votes from md5 token
+    // hashes) — the banding/hamming near-dup path is exercised in ScalaTest;
+    // here the fingerprint itself is oracle-checked bit-for-bit.
+    Q("q18_simhash",
+      (s, d) => Dedup.simhash32(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+             tr AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+             votes AS (
+               SELECT doc_id,
+         $simhashVotesSql,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+               FROM tr GROUP BY doc_id)
+             SELECT doc_id, $simhashConcatSql AS simhash32, n_tokens
+             FROM votes ORDER BY doc_id""")),
+
+    // Per-document profile: token stats + quality ratios + language guess +
+    // min-shingle fingerprint.
+    Q("q20_text_profile",
+      (s, d) => TextAnalysis.profile(Tables.documents(s, d), "doc_id", "text", stopwords)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $tokCtes,
+             tr AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+             stats AS (
+               SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_unique,
+                 CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS ttr,
+                 CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+                 CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio
+               FROM tr GROUP BY doc_id),
+             lang AS (
+               SELECT t.doc_id,
+                 length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+                 len(list_filter(t.w, x -> x IN ('the','a','of','and','to','in'))) AS s_en,
+                 len(list_filter(t.w, x -> x IN ('le','la','les','des','et','un'))) AS s_fr,
+                 len(list_filter(t.w, x -> x IN ('el','los','las','una','y','que'))) AS s_es,
+                 len(list_filter(t.w, x -> x IN ('der','die','das','und','ein','nicht'))) AS s_de
+               FROM toks t JOIN documents d ON d.doc_id = t.doc_id),
+             fp AS (SELECT doc_id, MIN(md5(s)) AS fingerprint FROM sh GROUP BY doc_id)
+             SELECT s.doc_id, s.n_tokens, s.n_unique, s.ttr, s.avg_token_len, s.stop_ratio,
+               CASE WHEN l.cjk > 0 THEN 'zh'
+                    WHEN l.s_en = 0 AND l.s_fr = 0 AND l.s_es = 0 AND l.s_de = 0 THEN 'und'
+                    WHEN l.s_en >= l.s_fr AND l.s_en >= l.s_es AND l.s_en >= l.s_de THEN 'en'
+                    WHEN l.s_fr >= l.s_es AND l.s_fr >= l.s_de THEN 'fr'
+                    WHEN l.s_es >= l.s_de THEN 'es'
+                    ELSE 'de' END AS lang_guess,
+               f.fingerprint
+             FROM stats s
+             JOIN lang l ON l.doc_id = s.doc_id
+             JOIN fp f ON f.doc_id = s.doc_id
+             ORDER BY s.doc_id"""))
+  )
+}
