@@ -6,7 +6,8 @@ import graft.queries._
 object SparkEntry {
   /** Every registered query across the operator families. */
   def registry: Seq[Q] =
-    RelationalQueries.all ++ PipelineQueries.all ++ TextQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity operators over an embedding column (`array<float>`):
+  * exact brute-force top-k / near-dup pairs, and a deterministic
+  * random-hyperplane LSH path for approximate search at corpus scale.
+  *
+  * Training-data-pipeline extension (the reference has no vector ops).
+  *
+  * Determinism: exact paths compute dot products in fixed-point integer
+  * arithmetic via zip_with+aggregate — integer addition is exact and
+  * order-independent, so results are bit-identical across engines and
+  * partitionings (a double sum would depend on reduction order). The LSH
+  * path derives its hyperplanes from md5, so signatures are reproducible
+  * run-to-run with no RNG state.
+  *
+  * Scale design: queries are broadcast against a partitioned candidate set
+  * (no shuffle of the big side); ranking uses a per-query window (keys =
+  * queries, each partition holds one query's candidates). The all-pairs
+  * near-dup is quadratic by nature — production path is [[annCandidates]]
+  * bucketing, with exact re-scoring only inside buckets.
+  */
+object Similarity {
+
+  /** Deterministic fixed-point dot product: each float is quantized to
+    * floor(x·2^20) (exact — double×power-of-two then floor), products and
+    * sums are 64-bit integer math, the result is scaled back by 2^40.
+    * Every step is exact in both Spark and DuckDB, so the resulting double
+    * is bit-identical across engines and partitionings. (Float→DECIMAL casts
+    * are NOT portable — the engines round the binary value differently.)
+    * Quantization error ≤ ~1e-4 on unit vectors — irrelevant for ranking
+    * and thresholding, which is what this feeds. */
+  def dotFixedPoint(a: Column, b: Column): Column =
+    expr(s"""aggregate(
+      zip_with(${a.toString}, ${b.toString},
+        (x, y) -> floor(CAST(x AS DOUBLE) * 1048576.0D) * floor(CAST(y AS DOUBLE) * 1048576.0D)),
+      0L, (acc, v) -> acc + v)""") / lit(1099511627776.0d)
+
+  /** Double-precision cosine for non-oracled paths (unit vectors ⇒ dot). */
+  def dotDouble(a: Column, b: Column): Column =
+    expr(s"""aggregate(
+      zip_with(${a.toString}, ${b.toString}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  def cosineDouble(a: Column, b: Column): Column =
+    dotDouble(a, b) / (sqrt(dotDouble(a, a)) * sqrt(dotDouble(b, b)))
+
+  /** Exact brute-force top-k by dot product: each query (broadcast, small)
+    * against every candidate (partitioned, huge). Deterministic tiebreak on
+    * neighbor id. Self-matches excluded. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cands = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__dot", dotFixedPoint(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dot").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("__dot").as("dot"))
+  }
+
+  /** Exact near-dup pairs: all (a < b) pairs with dot ≥ threshold.
+    * Quadratic — fine for verification scale; at corpus scale call
+    * [[annCandidates]] first and re-score only bucket-mates. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("__dot", dotFixedPoint(col("__va"), col("__vb")))
+      .filter(col("__dot") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("__dot").as("dot"))
+  }
+
+  /** Deterministic ±1 hyperplane components, derived from md5 — a
+    * (plane, pos, comp) table of planes×dim rows, broadcast to executors. */
+  def hyperplanes(spark: org.apache.spark.sql.SparkSession,
+                  planes: Int, dim: Int): DataFrame =
+    spark.range(planes.toLong * dim).select(
+      (col("id") / dim).cast("int").as("plane"),
+      (col("id") % dim).cast("int").as("pos"),
+      expr("CASE WHEN instr('0123456789abcdef', " +
+        "substr(md5(concat(CAST(id div " + dim + " AS STRING), ':', " +
+        "CAST(id % " + dim + " AS STRING))), 1, 1)) - 1 >= 8 " +
+        "THEN 1.0D ELSE -1.0D END").as("comp"))
+
+  /** Random-hyperplane LSH signature per vector: bit i = sign of the
+    * projection onto plane i. Computed as a posexplode + broadcast join +
+    * grouped conditional sums — fully distributed, one shuffle on id. */
+  def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
+                           planes: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val comps = hyperplanes(spark, planes, dim)
+    val exploded = emb.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("pos", "__v")))
+    val projs = (0 until planes).map(p =>
+      sum(when(col("plane") === p, col("__v") * col("comp")).otherwise(0.0)).as(s"__p$p"))
+    val bits = (0 until planes).map(p =>
+      when(col(s"__p$p") >= 0, lit("1")).otherwise(lit("0")))
+    exploded.join(broadcast(comps), "pos")
+      .groupBy(col(idCol))
+      .agg(projs.head, projs.tail: _*)
+      .select(col(idCol), concat(bits: _*).as("signature"))
+  }
+
+  /** Banded ANN candidate pairs: vectors sharing any band of the LSH
+    * signature. Same banding shape as [[Dedup.lshCandidatePairs]]. */
+  def annCandidates(sig: DataFrame, idCol: String,
+                    bands: Int, bitsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      sig.select(col(idCol), lit(b).as("band"),
+        substring(col("signature"), b * bitsPerBand + 1, bitsPerBand).as("band_key"))
+    }.reduce(_ unionByName _)
+    Dedup.lshCandidatePairs(bandRows, idCol)
+  }
+
+  /** Approximate top-k: LSH-bucketed candidates re-scored exactly (double
+    * cosine), ranked per query. The scale path — each query only scores
+    * its bucket-mates instead of the full corpus. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int,
+              planes: Int = 16, dim: Int = 64,
+              bands: Int = 4): DataFrame = {
+    val sig = hyperplaneSignatures(emb, idCol, vecCol, planes, dim)
+    val cand = annCandidates(sig, idCol, bands, planes / bands)
+    val sym = cand.unionByName(
+      cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cands = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = queries
+      .join(sym, queries("query_id") === sym("doc_a"))
+      .join(cands, sym("doc_b") === cands("neighbor_id"))
+      .withColumn("__dot", dotDouble(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Similarity
+
+/** Similarity-search coverage over `embeddings` (64-dim unit float vectors):
+  * exact brute-force k-NN and exact near-dup pairs, both computed in fixed-point
+  * integer arithmetic so the DuckDB oracle matches bit-for-bit. The approximate LSH
+  * path (Similarity.annTopK) is exercised by ScalaTest instead — an
+  * approximation has no SQL oracle.
+  */
+object SimilarityQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact k-NN by dot product (unit vectors ⇒ cosine): every 40th vector
+    // queries the full corpus; top-10 each, deterministic tiebreak.
+    Q("q19_knn_bruteforce",
+      (s, d) => Similarity.bruteForceTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") % 40 === 0, k = 10)
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH q AS (
+               SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 0),
+             p AS (
+               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 SUM(CAST(floor(q.embedding[i] * 1048576.0) AS BIGINT)
+                   * CAST(floor(e.embedding[i] * 1048576.0) AS BIGINT)) / 1099511627776.0 AS dotx
+               FROM q, embeddings e, range(1, 65) t(i)
+               WHERE e.vec_id <> q.vec_id
+               GROUP BY 1, 2),
+             r AS (
+               SELECT query_id, neighbor_id, dotx,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dotx DESC, neighbor_id) AS rnk
+               FROM p)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+                    CAST(dotx AS DOUBLE) AS dot
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    // Exact embedding near-dup pairs: all (a < b) with dot ≥ 0.4.
+    Q("q21_embedding_neardup",
+      (s, d) => Similarity.nearDupPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy(col("dot").desc, col("vec_a"), col("vec_b")),
+      Some("""WITH p AS (
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 SUM(CAST(floor(a.embedding[i] * 1048576.0) AS BIGINT)
+                   * CAST(floor(b.embedding[i] * 1048576.0) AS BIGINT)) / 1099511627776.0 AS dotx
+               FROM embeddings a
+               JOIN embeddings b ON a.vec_id < b.vec_id,
+               range(1, 65) t(i)
+               GROUP BY 1, 2)
+             SELECT vec_a, vec_b, CAST(dotx AS DOUBLE) AS dot
+             FROM p WHERE CAST(dotx AS DOUBLE) >= 0.4
+             ORDER BY dot DESC, vec_a, vec_b"""))
+  )
+}
