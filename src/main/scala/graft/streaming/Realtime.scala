@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** The reference's real-time layer (SURVEY.md §2.9), re-expressed as
+  * Structured Streaming. The reference hand-rolls this with kafka-python
+  * consumer loops + Redis state (the `scripts/real-time` consumers); here
+  * each piece
+  * is a declarative streaming construct:
+  *
+  *  - T1 CDC envelope decode  → `from_json` + `select("payload.after.*")`
+  *  - T2 completeness join    → `flatMapGroupsWithState` keyed by order id
+  *  - T3 once-only emission   → `emitted` flag in group state (single-writer
+  *    per key — fixes the reference's check-then-set race,
+  *    `orders_consumer.py:33-51`)
+  *  - state TTL 120 s         → `GroupStateTimeout.ProcessingTimeTimeout`
+  *    (replaces Redis `EXPIRE 120`, `orders_consumer.py:76`)
+  *  - T4 eligibility          → stream-static `left_semi` joins against
+  *    broadcast dimension filters (replaces Redis SISMEMBER,
+  *    `check_and_recommend_consumer.py:32-51`)
+  *  - T5 recommendation       → deterministic md5-hash pick over the
+  *    broadcast product list (seeded variant of `:54-74`)
+  *
+  * Scale notes: state is partitioned by order id across executors (RocksDB/
+  * HDFS state store in production); the eligibility dims are broadcast so
+  * the stream never shuffles; exactly-once via checkpointing is strictly
+  * stronger than the reference's at-least-once consumer groups (T7).
+  */
+object Realtime {
+
+  // ---------------------------------------------------------------- T1: CDC
+
+  /** Debezium-style envelope schema `{payload: {after: {...}}}`
+    * (`orders_consumer.py:61`; declared-schema pattern from
+    * `bronze_dimension_fact_load.py:120-127`). */
+  def cdcEnvelope(after: StructType): StructType =
+    StructType(Seq(StructField("payload", StructType(Seq(
+      StructField("after", after))))))
+
+  /** Decode a CDC JSON `value` column into the flattened `after` row. */
+  def decodeCdc(raw: DataFrame, after: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), cdcEnvelope(after)).as("j"))
+      .select(col("j.payload.after.*"))
+
+  // ----------------------------------------------- T2/T3: completeness join
+
+  /** Order header event: the order row with its expected line count
+    * (`orders` CDC stream, `orders_consumer.py:60-65`). */
+  case class OrderHeader(orderId: Long, customerId: Long, numProducts: Int)
+
+  /** Order line event (`order_details` CDC stream). */
+  case class OrderLine(orderId: Long, productId: Long)
+
+  /** Union type for the merged keyed stream. */
+  case class OrderEvent(orderId: Long, header: Option[OrderHeader], line: Option[OrderLine])
+
+  /** Mutable-free group state: header (if seen), distinct products so far,
+    * and the once-only emission flag (T3). */
+  case class OrderState(header: Option[OrderHeader], products: Set[Long], emitted: Boolean)
+
+  /** Consolidated output emitted exactly once when |products| == numProducts
+    * (`orders_consumer.py:41-54`). */
+  case class CompletedOrder(orderId: Long, customerId: Long, numProducts: Int,
+                            productIds: Seq[Long])
+
+  val StateTtl = "120 seconds" // Redis EXPIRE parity (`orders_consumer.py:76`)
+
+  /** State transition for one key. `ttl` = None disables timeout
+    * registration (for NoTimeout runs — e.g. tests and batch mode). */
+  def updateOrderState(ttl: Option[String])(
+      orderId: Long, events: Iterator[OrderEvent],
+      state: GroupState[OrderState]): Iterator[CompletedOrder] = {
+    if (state.hasTimedOut) { // TTL: drop incomplete state, emit nothing
+      state.remove()
+      return Iterator.empty
+    }
+    val prev = state.getOption.getOrElse(OrderState(None, Set.empty, emitted = false))
+    val next = events.foldLeft(prev) { (st, ev) =>
+      st.copy(
+        header = ev.header.orElse(st.header),
+        products = ev.line.map(l => st.products + l.productId).getOrElse(st.products))
+    }
+    val complete = next.header.exists(h => next.products.size >= h.numProducts)
+    if (complete && !next.emitted) {
+      state.update(next.copy(emitted = true))
+      ttl.foreach(state.setTimeoutDuration)
+      val h = next.header.get
+      Iterator.single(CompletedOrder(orderId, h.customerId, h.numProducts,
+        next.products.toSeq.sorted))
+    } else {
+      state.update(next)
+      ttl.foreach(state.setTimeoutDuration)
+      Iterator.empty
+    }
+  }
+
+  /** Keyed completeness join over the unioned header+line stream. Works on
+    * both streaming and batch Datasets (Spark supports
+    * flatMapGroupsWithState in batch, where timeouts never fire).
+    *
+    * Note: with a TTL, a processing-time-timeout streaming query re-triggers
+    * micro-batches continuously to service timers (so `processAllAvailable`
+    * never idles); pass `ttl = None` where that matters and the state simply
+    * lives until the query stops. */
+  def completenessJoin(events: Dataset[OrderEvent],
+                       ttl: Option[String] = Some(StateTtl)): Dataset[CompletedOrder] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.orderId)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(updateOrderState(ttl))
+  }
+
+  // --------------------------------------------------------- T4: eligibility
+
+  /** Stream-static membership filter: keep events whose customer is in the
+    * static eligible set and whose payment matches — semi-joins against
+    * broadcast dims (replaces the two Redis SISMEMBER calls). */
+  def eligibility(events: DataFrame, eligibleCustomers: DataFrame,
+                  eligiblePayments: DataFrame): DataFrame =
+    events
+      .join(broadcast(eligibleCustomers), Seq("customerId"), "left_semi")
+      .join(broadcast(eligiblePayments), Seq("paymentId"), "left_semi")
+
+  // ------------------------------------------------------ T5: recommendation
+
+  /** Deterministic product recommendation: md5-rank the catalog per order
+    * and pick the best-ranked product NOT already in the basket — the
+    * seeded, distributed variant of the reference's `random.choice` loop
+    * (`check_and_recommend_consumer.py:54-74`). products: (productId). */
+  def recommend(completed: DataFrame, products: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = completed
+      .join(broadcast(products))
+      .filter(!array_contains(col("productIds"), col("productId")))
+      .withColumn("__r", md5(concat(col("orderId").cast("string"), lit(":"),
+        col("productId").cast("string"))))
+    val w = Window.partitionBy(col("orderId")).orderBy(col("__r"), col("productId"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__r", "__rn")
+      .withColumnRenamed("productId", "suggestedProductId")
+  }
+
+  // -------------------------------- event-time windows (beyond reference)
+
+  /** Watermarked tumbling-window aggregation — the event-time capability the
+    * reference lacks entirely (SURVEY.md §2.9 note). */
+  def windowedCounts(events: DataFrame, tsCol: String, window: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Watermarked streaming dedup — once-only semantics for re-delivered
+    * events (T3's dropDuplicates form). */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+}

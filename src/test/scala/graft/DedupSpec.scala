@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup semantics on planted fixtures: exact winners, MinHash+LSH recall
+  * of true near-dups, SimHash locality. */
+class DedupSpec extends SparkSpec {
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 5
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, base),                                  // original
+      (1L, base),                                  // exact dup of 0
+      (2L, base.replaceFirst("lazy", "sleepy")),   // near-dup of 0 (1 of 5 occurrences changed)
+      (3L, "completely different text about spark catalyst optimizer rules and shuffles entirely unrelated content here"),
+      (4L, "another unrelated document mentioning parquet columnar storage formats and predicate pushdown behavior")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps one min-id representative per distinct text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(0L, 2L, 3L, 4L)))
+  }
+
+  test("exactGroups reports multiplicity") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).head()
+    assert(g.getAs[Long]("n_copies") == 2L)
+    assert(g.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("minhash LSH surfaces exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", k = 12, bands = 6, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))   // exact dup: jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(keys.contains((0L, 2L)) || keys.contains((1L, 2L))) // near-dup found
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated not paired
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups are close, unrelated far") {
+    val fp = Dedup.simhash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(fp(0L) == fp(1L))
+    assert(hamming(fp(0L), fp(2L)) < hamming(fp(0L), fp(3L)))
+    assert(fp.values.forall(_.length == 32))
+  }
+
+  test("hammingBits column matches scala-side hamming") {
+    import spark.implicits._
+    val df = Seq(("1010", "1001"), ("1111", "1111"), ("0000", "1111"))
+      .toDF("a", "b")
+      .withColumn("h", Dedup.hammingBits(col("a"), col("b"), 4))
+    assert(df.select("h").collect().map(_.getInt(0)).toSeq == Seq(2, 0, 4))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN path properties (no SQL oracle for an approximation): signature
+  * determinism, candidate soundness, and agreement with brute force on
+  * planted near-identical vectors. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val anti = base.map(x => -x)
+    val other = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    Seq((0L, base.toSeq), (1L, near.toSeq), (2L, anti.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("hyperplane signatures are deterministic and colocate near-identical vectors") {
+    val s1 = Similarity.hyperplaneSignatures(vecs, "vec_id", "embedding", planes = 16, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Similarity.hyperplaneSignatures(vecs, "vec_id", "embedding", planes = 16, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    assert(s1(0L) == s1(1L))                         // near-identical: same signature
+    assert(s1(2L) == s1(0L).map(c => if (c == '1') '0' else '1')) // antipode flips every bit
+  }
+
+  test("annTopK rank-1 matches brute force for a planted near-duplicate") {
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 2, planes = 16, dim = 8, bands = 4)
+      .collect()
+    assert(ann.nonEmpty)
+    assert(ann.head.getAs[Long]("neighbor_id") == 1L) // the planted near-dup
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 1).head()
+    assert(brute.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("fixed-point dot is exact for representable values") {
+    import spark.implicits._
+    val df = Seq((Seq(0.5f, 0.25f), Seq(0.5f, 0.5f))).toDF("a", "b")
+      .select(Similarity.dotFixedPoint(col("a"), col("b")).as("d"))
+    assert(df.head().getDouble(0) == 0.375)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import graft.streaming.Realtime
+import graft.streaming.Realtime._
+
+/** Streaming semantics that the DuckDB oracle can't see: once-only emission
+  * under redelivery, TTL state expiry, arrival-order independence,
+  * eligibility joins and deterministic recommendation (FIXTURES.md §1
+  * streaming fixture). */
+class StreamingSpec extends SparkSpec {
+
+  private def header(o: Long, c: Long, n: Int) =
+    OrderEvent(o, Some(OrderHeader(o, c, n)), None)
+  private def line(o: Long, p: Long) =
+    OrderEvent(o, None, Some(OrderLine(o, p)))
+
+  test("completeness join emits exactly one consolidated event per complete order") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[OrderEvent]
+    val q = Realtime.completenessJoin(input.toDS(), ttl = None)
+      .writeStream.format("memory").queryName("cj1").outputMode("append").start()
+    try {
+      // detail-before-header arrival, interleaved orders
+      input.addData(line(1, 101), header(2, 21, 1))
+      q.processAllAvailable()
+      assert(spark.table("cj1").count() == 0) // nothing complete yet
+      input.addData(header(1, 11, 2), line(2, 201), line(1, 102))
+      q.processAllAvailable()
+      val rows = spark.table("cj1").as[CompletedOrder].collect().sortBy(_.orderId)
+      assert(rows.map(_.orderId).toSeq == Seq(1L, 2L))
+      assert(rows.head.productIds == Seq(101L, 102L))
+      // duplicate redelivery after emission → suppressed (T3)
+      input.addData(line(1, 101), header(1, 11, 2))
+      q.processAllAvailable()
+      assert(spark.table("cj1").count() == 2)
+    } finally q.stop()
+  }
+
+  test("incomplete orders emit nothing; extra lines beyond expected don't re-emit") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[OrderEvent]
+    val q = Realtime.completenessJoin(input.toDS(), ttl = None)
+      .writeStream.format("memory").queryName("cj2").outputMode("append").start()
+    try {
+      input.addData(header(5, 50, 3), line(5, 1), line(5, 2))
+      q.processAllAvailable()
+      assert(spark.table("cj2").count() == 0)
+      input.addData(line(5, 3), line(5, 4)) // completes, then overshoots
+      q.processAllAvailable()
+      assert(spark.table("cj2").count() == 1)
+    } finally q.stop()
+  }
+
+  test("state update logic: TTL timeout drops state without emitting") {
+    val state = TestGroupState.create[OrderState](
+      org.apache.spark.api.java.Optional.of(OrderState(Some(OrderHeader(1, 11, 2)), Set(101L), emitted = false)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out = Realtime.updateOrderState(Some(Realtime.StateTtl))(1L, Iterator.empty, state)
+    assert(out.isEmpty)
+    assert(state.isRemoved)
+  }
+
+  test("state update logic: completion emits once and sets the emitted flag") {
+    val state = TestGroupState.create[OrderState](
+      org.apache.spark.api.java.Optional.of(OrderState(Some(OrderHeader(1, 11, 2)), Set(101L), emitted = false)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = Realtime.updateOrderState(Some(Realtime.StateTtl))(1L, Iterator(line(1, 102)), state).toSeq
+    assert(out.map(_.orderId) == Seq(1L))
+    assert(state.get.emitted)
+    // re-delivery with state already emitted → nothing
+    val out2 = Realtime.updateOrderState(Some(Realtime.StateTtl))(1L, Iterator(line(1, 102)), state).toSeq
+    assert(out2.isEmpty)
+  }
+
+  test("eligibility keeps only diamond-customer + allowed-payment events") {
+    import spark.implicits._
+    val events = Seq((1L, 10L, "acb"), (2L, 10L, "visa"), (3L, 20L, "acb"), (4L, 30L, "acb"))
+      .toDF("eventId", "customerId", "paymentId")
+    val diamond = Seq(10L, 30L).toDF("customerId")
+    val pays = Seq("acb").toDF("paymentId")
+    val kept = Realtime.eligibility(events, diamond, pays)
+      .select("eventId").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 4L)))
+  }
+
+  test("recommendation picks a deterministic product outside the basket") {
+    import spark.implicits._
+    val completed = Seq((1L, Seq(100L, 101L)), (2L, Seq(102L)))
+      .toDF("orderId", "productIds")
+    val products = Seq(100L, 101L, 102L, 103L, 104L).toDF("productId")
+    val rec = Realtime.recommend(completed, products)
+    val byOrder = rec.collect().map(r =>
+      r.getAs[Long]("orderId") -> r.getAs[Long]("suggestedProductId")).toMap
+    assert(byOrder.size == 2)
+    assert(!Seq(100L, 101L).contains(byOrder(1L)))
+    assert(byOrder(2L) != 102L)
+    // deterministic across runs
+    val again = Realtime.recommend(completed, products).collect().map(r =>
+      r.getAs[Long]("orderId") -> r.getAs[Long]("suggestedProductId")).toMap
+    assert(again == byOrder)
+  }
+
+  test("watermarked tumbling windows aggregate a file stream end-to-end") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = Realtime.windowedCounts(df, "ts", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:05:00"), "click"), (t("2024-01-01 10:55:00"), "click"),
+        (t("2024-01-01 11:10:00"), "view"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 window
+      input.addData((t("2024-01-01 14:00:00"), "click"))
+      q.processAllAvailable()
+      val closed = spark.table("wc").filter(col("event_type") === "click")
+        .filter(col("window_start") === t("2024-01-01 10:00:00"))
+      assert(closed.head().getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+}
