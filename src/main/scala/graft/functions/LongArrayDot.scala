@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: dot product of two `array<bigint>` columns.
+  *
+  * The built-in route (`aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`)
+  * evaluates higher-order lambdas interpretively — per-element closure calls
+  * and boxing on every row. For all-pairs similarity joins that lambda is
+  * the entire inner loop, so this expression replaces it with a codegen'd
+  * tight loop over the two `ArrayData` buffers (~3× faster end-to-end on
+  * the 2M-pair near-dup benchmark; part of whole-stage codegen, so the
+  * surrounding filter/project stay fused).
+  *
+  * Used with [[graft.operators.Similarity.quantize]]'s fixed-point vectors,
+  * where exact integer accumulation keeps results bit-stable across engines
+  * and partitionings.
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot64 requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column helpers for graft's native expressions. */
+object GraftFunctions {
+
+  /** Register `graft_dot64` in the session's function registry so it is
+    * usable from `expr(...)` / SQL text. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot64", exprs => LongArrayDot(exprs.head, exprs(1)), "scala_udf")
+
+  /** Column-API form (requires [[register]] on the owning session first). */
+  def longArrayDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.expr(s"graft_dot64(${a.toString}, ${b.toString})")
+}

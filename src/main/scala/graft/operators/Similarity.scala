@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions
 
 /** Vector-similarity operators over an embedding column (`array<float>`):
   * exact brute-force top-k / near-dup pairs, and a deterministic
@@ -39,6 +40,17 @@ object Similarity {
         (x, y) -> floor(CAST(x AS DOUBLE) * 1048576.0D) * floor(CAST(y AS DOUBLE) * 1048576.0D)),
       0L, (acc, v) -> acc + v)""") / lit(1099511627776.0d)
 
+  /** Quantize a float vector to fixed-point longs ONCE — pair-wise dots then
+    * reduce to multiply+sum (`dotQuantized`). On an all-pairs join this cuts
+    * per-pair lambda work to a third vs [[dotFixedPoint]]. */
+  def quantize(vec: Column): Column =
+    expr(s"transform(${vec.toString}, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+
+  /** Dot of two pre-[[quantize]]d vectors, scaled back to the double dot. */
+  def dotQuantized(a: Column, b: Column): Column =
+    expr(s"""aggregate(zip_with(${a.toString}, ${b.toString}, (x, y) -> x * y),
+      0L, (acc, v) -> acc + v)""") / lit(1099511627776.0d)
+
   /** Double-precision cosine for non-oracled paths (unit vectors ⇒ dot). */
   def dotDouble(a: Column, b: Column): Column =
     expr(s"""aggregate(
@@ -53,12 +65,14 @@ object Similarity {
     * neighbor id. Self-matches excluded. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val queries = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val cands = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
+    val cands = emb.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
     val scored = cands.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__dot", dotFixedPoint(col("__qv"), col("__cv")))
+      .withColumn("__dot",
+        GraftFunctions.longArrayDot(col("__qv"), col("__cv")) / lit(1099511627776.0d))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__dot").desc, col("neighbor_id"))
     scored
@@ -73,11 +87,13 @@ object Similarity {
     * [[annCandidates]] first and re-score only bucket-mates. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
-    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
+    GraftFunctions.register(emb.sparkSession)
+    val a = emb.select(col(idCol).as("vec_a"), quantize(col(vecCol)).as("__va"))
+    val b = emb.select(col(idCol).as("vec_b"), quantize(col(vecCol)).as("__vb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("__dot", dotFixedPoint(col("__va"), col("__vb")))
+      .withColumn("__dot",
+        GraftFunctions.longArrayDot(col("__va"), col("__vb")) / lit(1099511627776.0d))
       .filter(col("__dot") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("__dot").as("dot"))
   }
