@@ -7,7 +7,8 @@ object SparkEntry {
   /** Every registered query across the operator families. */
   def registry: Seq[Q] =
     RelationalQueries.all ++ PipelineQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Analytics-surface completion beyond the reference (SURVEY.md §2.11 lists
+  * these as absent there): rollup/cube multi-level aggregation, set
+  * operations, and approximate sketch aggregates.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ROLLUP: region → nation → total revenue hierarchy in one pass
+    // (grouping-sets shuffle is a single exchange; each level map-combines).
+    Q("q26_rollup_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .select(col("r_name"), col("n_name"), col("n_lines"), col("revenue"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY ROLLUP (r_name, n_name)
+             ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
+
+    // INTERSECT / EXCEPT: customer segments that bought vs only browsed.
+    Q("q27_set_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val highVal = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        val both = highVal.intersect(urgent)
+          .withColumn("segment", lit("high_and_urgent"))
+        val onlyHigh = highVal.except(urgent)
+          .withColumn("segment", lit("high_only"))
+        both.unionByName(onlyHigh)
+          .select(col("segment"), col("o_custkey").as("custkey"))
+          .orderBy(col("segment"), col("custkey"))
+      },
+      Some("""WITH hv AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+                  ur AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+             SELECT 'high_and_urgent' AS segment, o_custkey AS custkey
+             FROM (SELECT o_custkey FROM hv INTERSECT SELECT o_custkey FROM ur)
+             UNION ALL
+             SELECT 'high_only', o_custkey
+             FROM (SELECT o_custkey FROM hv EXCEPT SELECT o_custkey FROM ur)
+             ORDER BY segment, custkey""")),
+
+    // Approximate sketches: HLL distinct + quantile sketch. The sketch
+    // algorithms differ between engines, so there is no value oracle — the
+    // driver records a weaker rows-only check; exactness bounds are asserted
+    // in ScalaTest instead.
+    Q("q28_sketches",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+        .orderBy(col("l_returnflag")),
+      None)
+  )
+}

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sketch-aggregate accuracy (no SQL oracle — engines' sketch algorithms
+  * differ): HLL distinct within its configured error, quantile sketch
+  * bracketed by exact quantiles at generous accuracy. */
+class AnalyticsSpec extends SparkSpec {
+
+  private lazy val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("approx_count_distinct within 2% of exact") {
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.01)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.02)
+  }
+
+  test("percentile_approx brackets the exact median") {
+    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    val approx = li.select(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))).head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.01)
+  }
+}
