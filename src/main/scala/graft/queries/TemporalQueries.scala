@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Temporal
+
+/** Temporal-operator coverage: sessionization (native session_window) and
+  * the composed distributed as-of join, both oracle-checked — the oracle
+  * re-derives sessions with gaps-and-islands SQL and the as-of with the
+  * same tagged-union window, so semantics match to the microsecond.
+  */
+object TemporalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Sessionization: 30-minute-gap sessions per user over the event stream.
+    Q("q29_sessionization",
+      (s, d) => Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "30 minutes")
+        .orderBy(col("user_id"), col("first_event")),
+      Some("""WITH m AS (
+               SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+               FROM events),
+             g AS (
+               SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM m)
+             SELECT user_id, MIN(ts) AS first_event, MAX(ts) AS last_event,
+                    CAST(COUNT(*) AS BIGINT) AS n_events
+             FROM g GROUP BY user_id, sid
+             ORDER BY user_id, first_event""")),
+
+    // As-of join: odd orders look up the customer's most recent even order
+    // at-or-before their date (split derived purely from testdata).
+    Q("q30_asof_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val leftO = o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val rightO = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_custkey"), col("o_orderdate"))
+        Temporal.asofJoin(leftO, rightO, "o_custkey", "o_orderdate")
+          .select(
+            col("o_orderkey").as("order_id"),
+            col("o_custkey").as("custkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            to_date(col("asof_ts")).as("asof_date"))
+          .orderBy(col("order_id"))
+      },
+      Some("""WITH u AS (
+               SELECT o_custkey AS k, o_orderdate AS ts, 1 AS tag, o_orderkey
+               FROM orders WHERE o_orderkey % 2 = 1
+               UNION ALL
+               SELECT o_custkey, o_orderdate, 0, NULL
+               FROM orders WHERE o_orderkey % 2 = 0),
+             w AS (
+               SELECT k, ts, tag, o_orderkey,
+                 MAX(CASE WHEN tag = 0 THEN ts END) OVER (PARTITION BY k
+                   ORDER BY ts, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+               FROM u)
+             SELECT o_orderkey AS order_id, k AS custkey,
+                    CAST(ts AS DATE) AS order_date,
+                    CAST(asof_ts AS DATE) AS asof_date
+             FROM w WHERE tag = 1 ORDER BY order_id"""))
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Temporal operators on hand-computable fixtures. */
+class TemporalSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize splits on >= gap and merges within it") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:20:00")), // 20m later → same session
+      (1L, ts("2024-01-01 11:00:00")), // 40m later → new session
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val sess = Temporal.sessionize(ev, "user_id", "ts", "30 minutes")
+      .orderBy(col("user_id"), col("first_event")).collect()
+    assert(sess.length == 3)
+    assert(sess(0).getAs[Long]("n_events") == 2)
+    assert(sess(0).getAs[java.sql.Timestamp]("last_event") == ts("2024-01-01 10:20:00"))
+    assert(sess(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("asofJoin attaches the latest right ts at-or-before each left row") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, ts("2024-01-05 00:00:00"), "a"),
+      (10L, ts("2024-01-01 00:00:00"), "b"), // before any right row → null
+      (10L, ts("2024-01-03 00:00:00"), "c"), // exact tie with right → matches
+      (20L, ts("2024-01-09 00:00:00"), "d")
+    ).toDF("k", "t", "label")
+    val right = Seq(
+      (10L, ts("2024-01-02 00:00:00")),
+      (10L, ts("2024-01-03 00:00:00")),
+      (20L, ts("2024-01-08 00:00:00"))
+    ).toDF("k", "t")
+    val out = Temporal.asofJoin(left, right, "k", "t")
+      .collect().map(r => r.getAs[String]("label") ->
+        Option(r.getAs[java.sql.Timestamp]("asof_ts")).map(_.toString.take(10))).toMap
+    assert(out("a").contains("2024-01-03"))
+    assert(out("b").isEmpty)
+    assert(out("c").contains("2024-01-03")) // >= semantics: equal ts matches
+    assert(out("d").contains("2024-01-08"))
+  }
+}
