@@ -165,4 +165,35 @@ object Realtime {
   def dedupStream(events: DataFrame, idCol: String, tsCol: String,
                   watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+
+  /** True watermarked stream-stream inner join (beyond the reference's
+    * hand-rolled state machine): headers ⋈ lines on the order id with a
+    * time-range bound so both sides' state is evictable. State size is
+    * bounded by watermark + range — the scalable alternative to J6 when
+    * per-key custom logic isn't needed. */
+  def streamStreamJoin(headers: DataFrame, lines: DataFrame,
+                       keyCol: String, headerTs: String, lineTs: String,
+                       watermark: String, range: String): DataFrame = {
+    val h = headers.withWatermark(headerTs, watermark)
+    val l = lines.withWatermark(lineTs, watermark)
+      .withColumnRenamed(keyCol, s"__l_$keyCol")
+    h.join(l,
+      expr(s"$keyCol = __l_$keyCol AND " +
+        s"$lineTs >= $headerTs AND $lineTs <= $headerTs + interval $range"),
+      "inner").drop(s"__l_$keyCol")
+  }
+
+  /** K6 — streaming sink via foreachBatch: idempotent partitioned parquet
+    * append keyed by batch id (the Kafka-producer stand-in; swapping the
+    * body for a producer changes one closure). */
+  def parquetSink(out: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+      .start()
 }

@@ -127,4 +127,45 @@ class StreamingSpec extends SparkSpec {
       assert(closed.head().getAs[Long]("n_events") == 2L)
     } finally q.stop()
   }
+
+  test("watermarked stream-stream join matches lines to their header within range") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val hIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val headers = hIn.toDF().toDF("oid", "hts")
+    val lines = lIn.toDF().toDF("oid", "lts", "product")
+    val joined = Realtime.streamStreamJoin(headers, lines, "oid", "hts", "lts",
+      watermark = "1 hour", range = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      hIn.addData((1L, t("2024-01-01 10:00:00")))
+      lIn.addData(
+        (1L, t("2024-01-01 10:10:00"), 7L),   // in range
+        (1L, t("2024-01-01 12:30:00"), 8L),   // beyond 1h range -> dropped
+        (2L, t("2024-01-01 10:05:00"), 9L))   // no header -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("product") == 7L)
+    } finally q.stop()
+  }
+
+  test("foreachBatch parquet sink lands streaming output idempotently") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val in = MemoryStream[Long]
+    val q = Realtime.parquetSink(in.toDF().toDF("v"), s"$dir/data", s"$dir/ckpt")
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      in.addData(4L)
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data")
+      assert(out.count() == 4)
+      assert(out.select("batch_id").distinct().count() >= 2)
+    } finally q.stop()
+  }
 }
