@@ -58,13 +58,21 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * min(md5(seed || ':' || shingle)). Output: id + h0..h{k-1} hex strings.
+  /** MinHash signature: k independent permutations approximated by minima
+    * of 8-hex-char chunks of seeded md5s — hash i uses chunk i%4 of
+    * md5(i/4 || ':' || shingle), so k hashes cost only ceil(k/4) md5
+    * evaluations per shingle row (computed once in a pre-groupBy projection;
+    * aggregate-side CSE is not guaranteed). Output: id + h0..h{k-1}.
     * One shuffle (groupBy id), k mins computed map-side. */
   def minhashSignatures(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val nMd5 = (k + 3) / 4
+    val withHash = shingles.select(
+      col(idCol) +: (0 until nMd5).map(j =>
+        md5(concat(lit(s"$j:"), col("shingle"))).as(s"__m$j")): _*)
+    val aggs = (0 until k).map { i =>
+      min(substring(col(s"__m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
+    }
+    withHash.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature → (id, band, band_key) rows; docs sharing any
@@ -111,7 +119,7 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     * pairs → exact-Jaccard filter. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+                      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.1): DataFrame = {
     // shingle rows feed both the signatures and the exact-Jaccard check;
     // Spark's ReusedExchange dedupes the identical subplan, so no explicit

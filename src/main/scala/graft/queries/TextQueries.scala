@@ -44,21 +44,24 @@ object TextQueries {
              MIN(doc_id) AS canonical_id
              FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
 
-    // MinHash(12) + LSH(4 bands × 3) near-dup candidates with exact Jaccard
-    // verification — the full sub-quadratic near-dedup pipeline.
+    // MinHash(8, chunked md5) + LSH(4 bands × 2) near-dup candidates with
+    // exact Jaccard verification — the full sub-quadratic near-dedup
+    // pipeline. Hash i = chunk i%4 of md5(i/4 ':' shingle) (2 md5s/row).
     Q("q15_minhash_lsh",
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, k = 12, bands = 4, threshold = 0.1)
+          shingleN = 3, k = 8, bands = 4, threshold = 0.1)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(100),
       Some(s"""WITH $tokCtes,
              sig AS (
                SELECT doc_id,
-                 ${(0 until 12).map(i => s"MIN(md5('$i:' || s)) AS h$i").mkString(", ")}
+                 ${(0 until 8).map(i =>
+                    s"MIN(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+                    .mkString(", ")}
                FROM sh GROUP BY doc_id),
              bands AS (
                ${(0 until 4).map(b =>
-                  s"SELECT doc_id, $b AS band, h${3*b} || h${3*b+1} || h${3*b+2} AS band_key FROM sig")
+                  s"SELECT doc_id, $b AS band, h${2*b} || h${2*b+1} AS band_key FROM sig")
                   .mkString("\n               UNION ALL ")}),
              cand AS (
                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
