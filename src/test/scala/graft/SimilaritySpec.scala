@@ -46,4 +46,32 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.dotFixedPoint(col("a"), col("b")).as("d"))
     assert(df.head().getDouble(0) == 0.375)
   }
+
+  test("NativeDotRewrite rule replaces the HOF dot pattern with graft_dot64") {
+    import graft.functions.NativeDotRewrite
+    import graft.operators.Similarity
+    spark.experimental.extraOptimizations = Seq(NativeDotRewrite)
+    try {
+      // parquet-backed (a local-relation fixture would be constant-folded
+      // into a LocalRelation before the rule can fire)
+      val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(20).select(col("vec_id"),
+          Similarity.quantize(col("embedding")).as("q"))
+      val hof = df.select(col("vec_id"),
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("d"))
+      assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot64"))
+      // rewrite preserves results
+      spark.experimental.extraOptimizations = Nil
+      val plain = df.select(col("vec_id"),
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.experimental.extraOptimizations = Seq(NativeDotRewrite)
+      val native = hof.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == plain)
+      // non-matching shapes are untouched (different fold seed)
+      val other = df.select(
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 1L, (acc, v) -> acc + v)").as("d"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot64"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }
