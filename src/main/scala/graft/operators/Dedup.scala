@@ -157,4 +157,25 @@ object Dedup {
     (0 until width).map(i =>
       when(substring(a, i + 1, 1) =!= substring(b, i + 1, 1), 1).otherwise(0): Column)
       .reduce(_ + _)
+
+  /** SimHash near-dup pairs: band the 32-bit fingerprint into `bands`
+    * sub-strings, candidate = any shared band, verify by full hamming ≤
+    * `maxHamming`. Same sub-quadratic LSH shape as MinHash banding —
+    * hamming-close fingerprints agree on at least one band w.h.p. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 4, maxHamming: Int = 6): DataFrame = {
+    val fp = simhash32(docs, idCol, textCol).select(col(idCol), col("simhash32"))
+    val bitsPerBand = 32 / bands
+    val bandRows = (0 until bands).map(b =>
+      fp.select(col(idCol), lit(b).as("band"),
+        substring(col("simhash32"), b * bitsPerBand + 1, bitsPerBand).as("band_key")))
+      .reduce(_ unionByName _)
+    val cand = lshCandidatePairs(bandRows, idCol)
+    val fa = fp.select(col(idCol).as("doc_a"), col("simhash32").as("__fa"))
+    val fb = fp.select(col(idCol).as("doc_b"), col("simhash32").as("__fb"))
+    cand.join(fa, "doc_a").join(fb, "doc_b")
+      .withColumn("hamming", hammingBits(col("__fa"), col("__fb"), 32))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -54,6 +54,16 @@ object SimilarityQueries {
                GROUP BY 1, 2)
              SELECT vec_a, vec_b, CAST(dotx AS DOUBLE) AS dot
              FROM p WHERE CAST(dotx AS DOUBLE) >= 0.4
-             ORDER BY dot DESC, vec_a, vec_b"""))
+             ORDER BY dot DESC, vec_a, vec_b""")),
+
+    // LSH-bucketed approximate top-k (the corpus-scale ANN path). An
+    // approximation has no SQL oracle → rows-only check; recall/agreement
+    // properties are asserted in SimilaritySpec.
+    Q("q31_ann_topk",
+      (s, d) => Similarity.annTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") % 40 === 0, k = 10)
+        .orderBy(col("query_id"), col("rank")),
+      None)
   )
 }

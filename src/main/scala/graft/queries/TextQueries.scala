@@ -101,6 +101,44 @@ object TextQueries {
              SELECT doc_id, $simhashConcatSql AS simhash32, n_tokens
              FROM votes ORDER BY doc_id""")),
 
+    // SimHash banded near-dup pairs: shared-band candidates verified by
+    // full hamming distance — the complete sub-quadratic simhash dedup,
+    // oracle-recomputed bit-for-bit.
+    Q("q32_simhash_neardup",
+      (s, d) => graft.operators.Dedup.simhashNearDups(
+          Tables.documents(s, d), "doc_id", "text", bands = 4, maxHamming = 6)
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(500),
+      Some(s"""WITH toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+             tr AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+             votes AS (
+               SELECT doc_id,
+         $simhashVotesSql
+               FROM tr GROUP BY doc_id),
+             fp AS (SELECT doc_id, $simhashConcatSql AS f FROM votes),
+             bands AS (
+               ${(0 until 4).map(b =>
+                  s"SELECT doc_id, $b AS band, substr(f, ${b * 8 + 1}, 8) AS band_key FROM fp")
+                  .mkString("\n               UNION ALL ")}),
+             cand AS (
+               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+             ham AS (
+               SELECT c.doc_a, c.doc_b,
+                 ${(0 until 32).map(j =>
+                    s"CASE WHEN substr(a.f, ${j + 1}, 1) <> substr(b.f, ${j + 1}, 1) THEN 1 ELSE 0 END")
+                    .mkString(" + ")} AS hamming
+               FROM cand c
+               JOIN fp a ON a.doc_id = c.doc_a
+               JOIN fp b ON b.doc_id = c.doc_b)
+             SELECT doc_a, doc_b, hamming FROM ham
+             WHERE hamming <= 6
+             ORDER BY hamming, doc_a, doc_b LIMIT 500""")),
+
     // Per-document profile: token stats + quality ratios + language guess +
     // min-shingle fingerprint.
     Q("q20_text_profile",
