@@ -66,6 +66,29 @@ object AnalyticsQueries {
              FROM (SELECT o_custkey FROM hv EXCEPT SELECT o_custkey FROM ur)
              ORDER BY segment, custkey""")),
 
+    // PIVOT: order-priority revenue matrix by year (explicit value list →
+    // deterministic columns; one hash-agg pass, no per-value scans).
+    Q("q33_pivot_revenue",
+      (s, d) => {
+        val vals = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val names = Seq("urgent", "high", "medium", "notspec", "low")
+        val pivoted = Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")))
+          .groupBy(col("yr"))
+          .pivot("o_orderpriority", vals)
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        vals.zip(names).foldLeft(pivoted) { case (df, (v, n)) =>
+          df.withColumnRenamed(v, n)
+        }.orderBy(col("yr"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+                CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high,
+                CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS medium,
+                CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS notspec,
+                CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low
+             FROM orders GROUP BY 1 ORDER BY yr""")),
+
     // Approximate sketches: HLL distinct + quantile sketch. The sketch
     // algorithms differ between engines, so there is no value oracle — the
     // driver records a weaker rows-only check; exactness bounds are asserted
