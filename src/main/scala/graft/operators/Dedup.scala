@@ -86,10 +86,26 @@ object Dedup {
 
   /** Candidate near-dup pairs (a < b) from LSH buckets. The join key
     * (band, band_key) bounds the self-join to same-bucket pairs — this is
-    * what keeps near-dedup sub-quadratic at corpus scale. */
-  def lshCandidatePairs(bandRows: DataFrame, idCol: String): DataFrame = {
-    val x = bandRows.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
-    val y = bandRows.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
+    * what keeps near-dedup sub-quadratic at corpus scale.
+    *
+    * `maxBucketSize` (0 = unlimited) drops buckets above the cap before the
+    * self-join: an over-full bucket is non-discriminative (a hash region
+    * where the corpus piles up) and would reintroduce the quadratic blowup
+    * LSH exists to avoid — standard practice for skewed real-world corpora.
+    * The cap is part of the operator's semantics, so oracles replicate it. */
+  def lshCandidatePairs(bandRows: DataFrame, idCol: String,
+                        maxBucketSize: Int = 0): DataFrame = {
+    val bounded =
+      if (maxBucketSize <= 0) bandRows
+      else {
+        val ok = bandRows.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select(col("band"), col("band_key"))
+        bandRows.join(ok, Seq("band", "band_key"), "left_semi")
+      }
+    val x = bounded.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+    val y = bounded.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
     x.join(y, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -134,7 +150,9 @@ object Dedup {
     * (repeated tokens vote repeatedly). Returned as a 32-char '0'/'1'
     * string so the SQL oracle can reproduce it without 64-bit signed
     * arithmetic pitfalls. Bit j comes from hex digit j/4, msb-first. */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-doc bit votes __v0..__v31 + n_tokens (shared by the string and
+    * integer fingerprint forms). */
+  private def simhashVotes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokRows = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("__h", md5(col("tok")))
@@ -144,11 +162,24 @@ object Dedup {
       sum(expr(s"2 * (((instr('0123456789abcdef', substr(__h, $pos, 1)) - 1) div $shift) % 2) - 1"))
         .as(s"__v$j")
     }
-    val fpBits = (0 until 32).map(j =>
-      when(col(s"__v$j") > 0, lit("1")).otherwise(lit("0")))
     tokRows.groupBy(col(idCol))
       .agg(votes.head, votes.tail :+ count(lit(1)).as("n_tokens"): _*)
+  }
+
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fpBits = (0 until 32).map(j =>
+      when(col(s"__v$j") > 0, lit("1")).otherwise(lit("0")))
+    simhashVotes(docs, idCol, textCol)
       .select(col(idCol), concat(fpBits: _*).as("simhash32"), col("n_tokens"))
+  }
+
+  /** Integer form: bit j of [[simhash32]] at weight 2^(31-j) — enables
+    * bit_count(xor) hamming instead of 32 per-pair substring compares. */
+  def simhashInts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = (0 until 32).map(j =>
+      when(col(s"__v$j") > 0, lit(1L << (31 - j))).otherwise(lit(0L)): Column)
+      .reduce(_ + _)
+    simhashVotes(docs, idCol, textCol).select(col(idCol), fp.as("f"))
   }
 
   /** Hamming distance between two equal-length bit strings (as produced by
@@ -163,18 +194,20 @@ object Dedup {
     * `maxHamming`. Same sub-quadratic LSH shape as MinHash banding —
     * hamming-close fingerprints agree on at least one band w.h.p. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      bands: Int = 4, maxHamming: Int = 6): DataFrame = {
-    val fp = simhash32(docs, idCol, textCol).select(col(idCol), col("simhash32"))
+                      bands: Int = 4, maxHamming: Int = 6,
+                      maxBucketSize: Int = 100): DataFrame = {
+    val fp = simhashInts(docs, idCol, textCol)
     val bitsPerBand = 32 / bands
-    val bandRows = (0 until bands).map(b =>
+    val bandRows = (0 until bands).map { b =>
+      val divisor = 1L << (bitsPerBand * (bands - 1 - b))
       fp.select(col(idCol), lit(b).as("band"),
-        substring(col("simhash32"), b * bitsPerBand + 1, bitsPerBand).as("band_key")))
-      .reduce(_ unionByName _)
-    val cand = lshCandidatePairs(bandRows, idCol)
-    val fa = fp.select(col(idCol).as("doc_a"), col("simhash32").as("__fa"))
-    val fb = fp.select(col(idCol).as("doc_b"), col("simhash32").as("__fb"))
+        expr(s"(f div ${divisor}L) % ${1L << bitsPerBand}L").as("band_key"))
+    }.reduce(_ unionByName _)
+    val cand = lshCandidatePairs(bandRows, idCol, maxBucketSize)
+    val fa = fp.select(col(idCol).as("doc_a"), col("f").as("__fa"))
+    val fb = fp.select(col(idCol).as("doc_b"), col("f").as("__fb"))
     cand.join(fa, "doc_a").join(fb, "doc_b")
-      .withColumn("hamming", hammingBits(col("__fa"), col("__fb"), 32))
+      .withColumn("hamming", expr("CAST(bit_count(__fa ^ __fb) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

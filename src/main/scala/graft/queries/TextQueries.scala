@@ -106,7 +106,8 @@ object TextQueries {
     // oracle-recomputed bit-for-bit.
     Q("q32_simhash_neardup",
       (s, d) => graft.operators.Dedup.simhashNearDups(
-          Tables.documents(s, d), "doc_id", "text", bands = 4, maxHamming = 6)
+          Tables.documents(s, d), "doc_id", "text", bands = 4, maxHamming = 6,
+          maxBucketSize = 100)
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(500),
       Some(s"""WITH toks AS (
@@ -117,21 +118,29 @@ object TextQueries {
                SELECT doc_id,
          $simhashVotesSql
                FROM tr GROUP BY doc_id),
-             fp AS (SELECT doc_id, $simhashConcatSql AS f FROM votes),
+             fp AS (SELECT doc_id,
+               ${(0 until 32).map(j =>
+                  s"CASE WHEN v$j > 0 THEN ${1L << (31 - j)} ELSE 0 END")
+                  .mkString(" + ")} AS f
+               FROM votes),
              bands AS (
                ${(0 until 4).map(b =>
-                  s"SELECT doc_id, $b AS band, substr(f, ${b * 8 + 1}, 8) AS band_key FROM fp")
+                  s"SELECT doc_id, $b AS band, (f // ${1L << (8 * (3 - b))}) % 256 AS band_key FROM fp")
                   .mkString("\n               UNION ALL ")}),
+             ok AS (
+               SELECT band, band_key FROM bands
+               GROUP BY band, band_key HAVING COUNT(*) <= 100),
+             bb AS (
+               SELECT b.* FROM bands b JOIN ok
+                 ON b.band = ok.band AND b.band_key = ok.band_key),
              cand AS (
                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bands x JOIN bands y
+               FROM bb x JOIN bb y
                  ON x.band = y.band AND x.band_key = y.band_key
                 AND x.doc_id < y.doc_id),
              ham AS (
                SELECT c.doc_a, c.doc_b,
-                 ${(0 until 32).map(j =>
-                    s"CASE WHEN substr(a.f, ${j + 1}, 1) <> substr(b.f, ${j + 1}, 1) THEN 1 ELSE 0 END")
-                    .mkString(" + ")} AS hamming
+                 CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
                FROM cand c
                JOIN fp a ON a.doc_id = c.doc_a
                JOIN fp b ON b.doc_id = c.doc_b)
