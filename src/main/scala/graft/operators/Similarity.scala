@@ -110,22 +110,28 @@ object Similarity {
         "CAST(id % " + dim + " AS STRING))), 1, 1)) - 1 >= 8 " +
         "THEN 1.0D ELSE -1.0D END").as("comp"))
 
+  /** md5-derived ±1 hyperplane component (same derivation as
+    * [[hyperplanes]]: first hex char of md5("plane:pos") ≥ '8'). */
+  private def planeComp(plane: Int, pos: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$plane:$pos".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
+  }
+
   /** Random-hyperplane LSH signature per vector: bit i = sign of the
-    * projection onto plane i. Computed as a posexplode + broadcast join +
-    * grouped conditional sums — fully distributed, one shuffle on id. */
+    * projection onto plane i. Zero shuffles: each vector is quantized once,
+    * then dotted against `planes` literal ±1 arrays with the native
+    * codegen'd graft_dot64 — one scan, per-row work only (the previous
+    * posexplode + broadcast-join + 16 conditional sums shape shuffled
+    * N×dim rows and ran interpreted). */
   def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
                            planes: Int, dim: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val comps = hyperplanes(spark, planes, dim)
-    val exploded = emb.select(col(idCol),
-        posexplode(col(vecCol)).as(Seq("pos", "__v")))
-    val projs = (0 until planes).map(p =>
-      sum(when(col("plane") === p, col("__v") * col("comp")).otherwise(0.0)).as(s"__p$p"))
-    val bits = (0 until planes).map(p =>
-      when(col(s"__p$p") >= 0, lit("1")).otherwise(lit("0")))
-    exploded.join(broadcast(comps), "pos")
-      .groupBy(col(idCol))
-      .agg(projs.head, projs.tail: _*)
+    GraftFunctions.register(emb.sparkSession)
+    val bits = (0 until planes).map { p =>
+      val arr = (0 until dim).map(j => s"${planeComp(p, j)}L").mkString(", ")
+      when(expr(s"graft_dot64(__qv, array($arr))") >= 0, lit("1")).otherwise(lit("0"))
+    }
+    emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
       .select(col(idCol), concat(bits: _*).as("signature"))
   }
 
