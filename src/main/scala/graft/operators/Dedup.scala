@@ -136,13 +136,14 @@ object Dedup {
     * pairs → exact-Jaccard filter. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-                      threshold: Double = 0.1): DataFrame = {
+                      threshold: Double = 0.1, maxBucketSize: Int = 0): DataFrame = {
     // shingle rows feed both the signatures and the exact-Jaccard check;
     // Spark's ReusedExchange dedupes the identical subplan, so no explicit
     // cache (measured: caching adds a materialization barrier and loses)
     val sh = shingleRows(docs, idCol, textCol, shingleN)
     val sig = minhashSignatures(sh, idCol, k)
-    val cand = lshCandidatePairs(lshBandRows(sig, idCol, bands, k / bands), idCol)
+    val cand = lshCandidatePairs(lshBandRows(sig, idCol, bands, k / bands), idCol,
+      maxBucketSize)
     jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }
 

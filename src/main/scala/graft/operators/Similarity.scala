@@ -98,20 +98,8 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("__dot").as("dot"))
   }
 
-  /** Deterministic ±1 hyperplane components, derived from md5 — a
-    * (plane, pos, comp) table of planes×dim rows, broadcast to executors. */
-  def hyperplanes(spark: org.apache.spark.sql.SparkSession,
-                  planes: Int, dim: Int): DataFrame =
-    spark.range(planes.toLong * dim).select(
-      (col("id") / dim).cast("int").as("plane"),
-      (col("id") % dim).cast("int").as("pos"),
-      expr("CASE WHEN instr('0123456789abcdef', " +
-        "substr(md5(concat(CAST(id div " + dim + " AS STRING), ':', " +
-        "CAST(id % " + dim + " AS STRING))), 1, 1)) - 1 >= 8 " +
-        "THEN 1.0D ELSE -1.0D END").as("comp"))
-
-  /** md5-derived ±1 hyperplane component (same derivation as
-    * [[hyperplanes]]: first hex char of md5("plane:pos") ≥ '8'). */
+  /** Deterministic ±1 hyperplane component, derived from md5 (first hex
+    * char of md5("plane:pos") ≥ '8') — reproducible run-to-run, no RNG. */
   private def planeComp(plane: Int, pos: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(s"$plane:$pos".getBytes("UTF-8"))

@@ -49,7 +49,7 @@ object TextQueries {
     // pipeline. Hash i = chunk i%4 of md5(i/4 ':' shingle) (2 md5s/row).
     Q("q15_minhash_lsh",
       (s, d) => Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 3, k = 8, bands = 4, threshold = 0.1)
+          shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(100),
       Some(s"""WITH $tokCtes,
@@ -63,9 +63,15 @@ object TextQueries {
                ${(0 until 4).map(b =>
                   s"SELECT doc_id, $b AS band, h${2*b} || h${2*b+1} AS band_key FROM sig")
                   .mkString("\n               UNION ALL ")}),
+             ok AS (
+               SELECT band, band_key FROM bands
+               GROUP BY band, band_key HAVING COUNT(*) <= 100),
+             bb AS (
+               SELECT b.* FROM bands b JOIN ok
+                 ON b.band = ok.band AND b.band_key = ok.band_key),
              cand AS (
                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bands x JOIN bands y
+               FROM bb x JOIN bb y
                  ON x.band = y.band AND x.band_key = y.band_key
                 AND x.doc_id < y.doc_id),
              sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

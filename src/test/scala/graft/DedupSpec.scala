@@ -59,4 +59,14 @@ class DedupSpec extends SparkSpec {
       .withColumn("h", Dedup.hammingBits(col("a"), col("b"), 4))
     assert(df.select("h").collect().map(_.getInt(0)).toSeq == Seq(2, 0, 4))
   }
+
+  test("simhashNearDups finds exact dups at hamming 0 and respects the bucket cap") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
+        bands = 4, maxHamming = 6, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 1L)) == 0) // identical docs: hamming 0
+    // a cap of 1 drops every bucket with >1 member -> no candidates at all
+    assert(Dedup.simhashNearDups(docs, "doc_id", "text",
+      bands = 4, maxHamming = 32, maxBucketSize = 1).count() == 0)
+  }
 }
