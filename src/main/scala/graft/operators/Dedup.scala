@@ -137,10 +137,12 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.1, maxBucketSize: Int = 0): DataFrame = {
-    // shingle rows feed both the signatures and the exact-Jaccard check;
-    // Spark's ReusedExchange dedupes the identical subplan, so no explicit
-    // cache (measured: caching adds a materialization barrier and loses)
+    // The shingle frame (explode+distinct — the heaviest subtree) feeds four
+    // consumers on DIFFERENT shuffle keys (doc_id for signatures/sizes,
+    // shingle for the pair join), so ReusedExchange cannot dedupe it —
+    // without an explicit persist the explode re-runs per consumer.
     val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol, k)
     val cand = lshCandidatePairs(lshBandRows(sig, idCol, bands, k / bands), idCol,
       maxBucketSize)
@@ -197,7 +199,11 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 4, maxHamming: Int = 6,
                       maxBucketSize: Int = 100): DataFrame = {
+    // The fingerprint agg feeds bands+2 consumers (each band branch and both
+    // pair sides) on different keys — persist or the 32-vote aggregation
+    // over the token explode re-runs for every consumer.
     val fp = simhashInts(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitsPerBand = 32 / bands
     val bandRows = (0 until bands).map { b =>
       val divisor = 1L << (bitsPerBand * (bands - 1 - b))

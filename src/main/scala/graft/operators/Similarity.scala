@@ -124,34 +124,109 @@ object Similarity {
   }
 
   /** Banded ANN candidate pairs: vectors sharing any band of the LSH
-    * signature. Same banding shape as [[Dedup.lshCandidatePairs]]. */
+    * signature. Same banding shape as [[Dedup.lshCandidatePairs]].
+    * `maxBucketSize` drops non-discriminative mega-buckets before the
+    * self-join — without it a hash region where the corpus piles up
+    * reintroduces the quadratic blowup LSH exists to avoid. */
   def annCandidates(sig: DataFrame, idCol: String,
-                    bands: Int, bitsPerBand: Int): DataFrame = {
+                    bands: Int, bitsPerBand: Int,
+                    maxBucketSize: Int = 1000): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       sig.select(col(idCol), lit(b).as("band"),
         substring(col("signature"), b * bitsPerBand + 1, bitsPerBand).as("band_key"))
     }.reduce(_ unionByName _)
-    Dedup.lshCandidatePairs(bandRows, idCol)
+    Dedup.lshCandidatePairs(bandRows, idCol, maxBucketSize)
   }
 
-  /** Approximate top-k: LSH-bucketed candidates re-scored exactly (double
-    * cosine), ranked per query. The scale path — each query only scores
-    * its bucket-mates instead of the full corpus. */
+  /** Per-vector integer LSH band keys: one row per vector carrying the
+    * quantized vector (`__qv`) plus `__band0..__band{bands-1}` INT columns,
+    * where bit j of band b is the sign of the projection onto plane
+    * b·bitsPerBand+j. One scan, all codegen (graft_dot64 against literal
+    * plane arrays); integer keys join/group without string work. This is
+    * the frame worth persisting — every ANN consumer (corpus buckets,
+    * query probes, re-scoring vectors) derives from it. */
+  def signatureFrame(emb: DataFrame, idCol: String, vecCol: String,
+                     planes: Int, dim: Int, bands: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val bitsPerBand = planes / bands
+    require(bands * bitsPerBand == planes, "planes must split evenly into bands")
+    val keyCols = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        val p = b * bitsPerBand + j
+        val arr = (0 until dim).map(i => s"${planeComp(p, i)}L").mkString(", ")
+        when(expr(s"graft_dot64(__qv, array($arr))") >= 0, lit(1 << j))
+          .otherwise(lit(0)): Column
+      }.reduce(_ + _).cast("int").as(s"__band$b")
+    }
+    emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol) +: col("__qv") +: keyCols: _*)
+  }
+
+  /** All XOR masks of `bits` bits with popcount ≤ `radius` — the multi-probe
+    * neighborhood of a band key (Lv et al., "Multi-Probe LSH", VLDB'07). */
+  private[operators] def probeMasks(bits: Int, radius: Int): Seq[Int] =
+    (0 until (1 << bits)).filter(Integer.bitCount(_) <= radius)
+
+  /** Approximate top-k via multi-probe hyperplane LSH.
+    *
+    * Shape (all distributed, no driver loops, signature frame computed once
+    * and persisted across its four consumers):
+    *   1. [[signatureFrame]]: integer band keys + quantized vector per row.
+    *   2. Corpus bucket rows: one explode → (neighbor_id, band, band_key);
+    *      buckets over `maxBucketSize` dropped (non-discriminative skew).
+    *   3. Query probe rows: each query probes every band key within
+    *      Hamming distance `probeRadius` of its own key (query-side-only
+    *      expansion — the corpus is never replicated), recovering the
+    *      recall that capped 8-bit banding alone gives up.
+    *   4. Candidates = probe⋈bucket on (band, band_key), distinct pairs,
+    *      re-scored exactly with the codegen'd graft_dot64 on the already
+    *      quantized vectors, ranked per query (window keyed by query).
+    *
+    * Scale notes: bitsPerBand (= planes/bands) sets bucket count per band
+    * (2^bits) and must grow with log₂(corpus) to keep buckets bounded —
+    * 8 bits / 256 buckets suits ~10⁴..10⁵ rows per partition-group;
+    * at larger corpora raise planes (e.g. 16-bit bands) rather than
+    * lowering the cap. probeRadius trades query-side fan-out (Σ C(bits,i))
+    * for recall; radius 2–3 recovers ≥0.9 top-10 recall even on
+    * near-uniform corpora (asserted against brute force in SimilaritySpec). */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
-              planes: Int = 16, dim: Int = 64,
-              bands: Int = 4): DataFrame = {
-    val sig = hyperplaneSignatures(emb, idCol, vecCol, planes, dim)
-    val cand = annCandidates(sig, idCol, bands, planes / bands)
-    val sym = cand.unionByName(
-      cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val queries = emb.filter(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val cands = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = queries
-      .join(sym, queries("query_id") === sym("doc_a"))
-      .join(cands, sym("doc_b") === cands("neighbor_id"))
-      .withColumn("__dot", dotDouble(col("__qv"), col("__cv")))
+              planes: Int = 64, dim: Int = 64,
+              bands: Int = 8, probeRadius: Int = 3,
+              maxBucketSize: Int = 1000): DataFrame = {
+    val bitsPerBand = planes / bands
+    val sig = signatureFrame(emb, idCol, vecCol, planes, dim, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusRows = sig.select(col(idCol).as("neighbor_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"__band$b").as("band_key"))): _*)).as("bk"))
+      .select(col("neighbor_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val bounded =
+      if (maxBucketSize <= 0) corpusRows
+      else {
+        val ok = corpusRows.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select(col("band"), col("band_key"))
+        corpusRows.join(ok, Seq("band", "band_key"), "left_semi")
+      }
+    val masks = probeMasks(bitsPerBand, probeRadius)
+    val queryIds = emb.filter(queryPred).select(col(idCol))
+    val probes = sig.join(queryIds, idCol)
+      .select(col(idCol).as("query_id"),
+        explode(array((for { b <- 0 until bands; m <- masks } yield
+          struct(lit(b).as("band"),
+            col(s"__band$b").bitwiseXOR(lit(m)).as("band_key"))): _*)).as("bk"))
+      .select(col("query_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val cand = probes.join(bounded, Seq("band", "band_key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = sig.select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
+    val cv = sig.select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"))
+    val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("__dot",
+        GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")) / lit(1099511627776.0d))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__dot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -43,20 +43,23 @@ object AnalyticsQueries {
              GROUP BY ROLLUP (r_name, n_name)
              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
 
-    // INTERSECT / EXCEPT: customer segments that bought vs only browsed.
+    // Customer segmentation with INTERSECT/EXCEPT semantics, computed as ONE
+    // scan + ONE shuffle: groupBy(custkey) with two conditional max flags
+    // derives both segments, where the literal intersect/except plan scans
+    // orders four times and shuffles per set-op (the operators themselves are
+    // covered by AnalyticsSpec, which asserts this plan ≡ the set-op form).
     Q("q27_set_ops",
-      (s, d) => {
-        val o = Tables.orders(s, d)
-        val highVal = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
-        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-        val both = highVal.intersect(urgent)
-          .withColumn("segment", lit("high_and_urgent"))
-        val onlyHigh = highVal.except(urgent)
-          .withColumn("segment", lit("high_only"))
-        both.unionByName(onlyHigh)
-          .select(col("segment"), col("o_custkey").as("custkey"))
-          .orderBy(col("segment"), col("custkey"))
-      },
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("__hv"),
+          max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("__ur"))
+        .filter(col("__hv") === 1)
+        .select(
+          when(col("__ur") === 1, lit("high_and_urgent"))
+            .otherwise(lit("high_only")).as("segment"),
+          col("o_custkey").as("custkey"))
+        .orderBy(col("segment"), col("custkey")),
       Some("""WITH hv AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
                   ur AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
              SELECT 'high_and_urgent' AS segment, o_custkey AS custkey

@@ -30,7 +30,7 @@ object PipelineQueries {
       },
       Some("""SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_events,
-             SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
              CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS avg_value
              FROM events GROUP BY event_type ORDER BY event_type""")),

@@ -21,4 +21,20 @@ class AnalyticsSpec extends SparkSpec {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))).head().getDouble(0)
     assert(math.abs(approx - exact) / exact < 0.01)
   }
+
+  // INTERSECT/EXCEPT operator coverage: the set-op form must produce exactly
+  // the segments q27's registered one-scan conditional-aggregation plan does.
+  test("intersect/except set ops agree with the one-scan q27 plan") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val highVal = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val setForm = highVal.intersect(urgent).withColumn("segment", lit("high_and_urgent"))
+      .unionByName(highVal.except(urgent).withColumn("segment", lit("high_only")))
+      .select(col("segment"), col("o_custkey").as("custkey"))
+    val oneScan = queries.AnalyticsQueries.all.find(_.name == "q27_set_ops").get
+      .fn(spark, "/root/testdata/sf0.001")
+    val a = setForm.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = oneScan.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

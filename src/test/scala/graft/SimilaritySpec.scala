@@ -40,6 +40,19 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("annTopK recall >= 0.9 vs brute force on sf0.001 embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 40 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 10))
+    val ann = pairs(Similarity.annTopK(emb, "vec_id", "embedding", pred, k = 10))
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    info(s"ANN top-10 recall vs brute force: $recall (${brute.size} true pairs)")
+    assert(recall >= 0.9)
+  }
+
   test("fixed-point dot is exact for representable values") {
     import spark.implicits._
     val df = Seq((Seq(0.5f, 0.25f), Seq(0.5f, 0.5f))).toDF("a", "b")
