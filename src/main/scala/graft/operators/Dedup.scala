@@ -77,12 +77,19 @@ object Dedup {
 
   /** LSH banding: signature → (id, band, band_key) rows; docs sharing any
     * band key are candidate pairs. bands*rowsPerBand must equal the
-    * signature width. */
+    * signature width.
+    *
+    * Emitted as ONE explode over an array of (band, key) structs — a B-way
+    * union would re-execute the whole signature subtree (scan + explode +
+    * aggregate) once per band, which profiling showed dominated the
+    * near-dup pipelines. */
   def lshBandRows(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
-    (0 until bands).map { b =>
-      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-      sig.select(col(idCol), lit(b).as("band"), key.as("band_key"))
-    }.reduce(_ unionByName _)
+    sig.select(col(idCol),
+        explode(array((0 until bands).map { b =>
+          val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+          struct(lit(b).as("band"), key.as("band_key"))
+        }: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("band"), col("__bk.band_key").as("band_key"))
 
   /** Candidate near-dup pairs (a < b) from LSH buckets. The join key
     * (band, band_key) bounds the self-join to same-bucket pairs — this is
@@ -95,14 +102,18 @@ object Dedup {
     * The cap is part of the operator's semantics, so oracles replicate it. */
   def lshCandidatePairs(bandRows: DataFrame, idCol: String,
                         maxBucketSize: Int = 0): DataFrame = {
+    // The band-row frame fans out below (bucket count, semi-join probe, and
+    // both self-join sides) on the same narrow rows — persist it so the
+    // upstream signature pipeline executes once, not once per consumer.
+    val rows = bandRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounded =
-      if (maxBucketSize <= 0) bandRows
+      if (maxBucketSize <= 0) rows
       else {
-        val ok = bandRows.groupBy(col("band"), col("band_key"))
+        val ok = rows.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") <= maxBucketSize)
           .select(col("band"), col("band_key"))
-        bandRows.join(ok, Seq("band", "band_key"), "left_semi")
+        rows.join(ok, Seq("band", "band_key"), "left_semi")
       }
     val x = bounded.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
     val y = bounded.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
@@ -205,11 +216,14 @@ object Dedup {
     val fp = simhashInts(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitsPerBand = 32 / bands
-    val bandRows = (0 until bands).map { b =>
-      val divisor = 1L << (bitsPerBand * (bands - 1 - b))
-      fp.select(col(idCol), lit(b).as("band"),
-        expr(s"(f div ${divisor}L) % ${1L << bitsPerBand}L").as("band_key"))
-    }.reduce(_ unionByName _)
+    // single-explode banding — see lshBandRows for why not a B-way union
+    val bandRows = fp.select(col(idCol),
+        explode(array((0 until bands).map { b =>
+          val divisor = 1L << (bitsPerBand * (bands - 1 - b))
+          struct(lit(b).as("band"),
+            expr(s"(f div ${divisor}L) % ${1L << bitsPerBand}L").as("band_key"))
+        }: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("band"), col("__bk.band_key").as("band_key"))
     val cand = lshCandidatePairs(bandRows, idCol, maxBucketSize)
     val fa = fp.select(col(idCol).as("doc_a"), col("f").as("__fa"))
     val fb = fp.select(col(idCol).as("doc_b"), col("f").as("__fb"))
