@@ -54,23 +54,67 @@ object Medallion {
       case other => throw new IllegalStateException(s"unexpected watermark: $other")
     }
 
+  /** Declared reaction to schema drift between an incoming batch and the
+    * bronze target (drift itself is detected by [[Quality.schemaDrift]],
+    * mirroring `bronze_validation.py:41-61`). */
+  sealed trait SchemaPolicy
+  object SchemaPolicy {
+    /** Any drift (added, removed, or retyped column) fails the append. */
+    case object Reject extends SchemaPolicy
+    /** Additive evolution: new columns land in new files, absent columns
+      * read as NULL (parquet schema merge); a RETYPED column still fails —
+      * mixed physical types would corrupt every later read. */
+    case object Merge extends SchemaPolicy
+  }
+
+  /** Read a bronze table with footer schema-merge, so batches appended
+    * under [[SchemaPolicy.Merge]] present one unioned schema. */
+  def readBronze(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** K1 — Bronze incremental append with y/m/d partition derivation
-    * (`bronze_dimension_fact_load.py:80-98`). Returns rows written. */
+    * (`bronze_dimension_fact_load.py:80-98`). Returns the rows written THIS
+    * run: the increment is cached, counted once (this also subsumes the
+    * empty-input probe), and written from the cache — O(delta) total work.
+    * A count by re-scanning the target would be O(table) per batch and the
+    * pipeline's dominant cost at scale.
+    *
+    * Schema drift vs the existing target is checked BEFORE any file lands,
+    * per `policy` — a rejected batch leaves the table untouched. */
   def bronzeIncremental(spark: SparkSession, source: DataFrame, tsCol: String,
-                        target: String): Long = {
+                        target: String,
+                        policy: SchemaPolicy = SchemaPolicy.Merge): Long = {
+    if (tableExists(spark, target)) {
+      val targetSchema = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(target).drop("year", "month", "day").schema)
+      val drift = Quality.schemaDrift(source, targetSchema.json)
+      val retyped = drift.filter(_.startsWith("retyped"))
+      policy match {
+        case SchemaPolicy.Reject if drift.nonEmpty =>
+          throw new IllegalStateException(
+            s"schema drift rejected for $target: ${drift.mkString("; ")}")
+        case _ if retyped.nonEmpty =>
+          throw new IllegalStateException(
+            s"incompatible schema drift for $target: ${retyped.mkString("; ")}")
+        case _ => ()
+      }
+    }
     val sliced = watermark(spark, target, tsCol)
       .map(w => source.filter(col(tsCol) > lit(w)))
       .getOrElse(source)
-    val withParts = sliced
+    val inc = sliced
       .withColumn("year", year(col(tsCol)))
       .withColumn("month", month(col(tsCol)))
       .withColumn("day", dayofmonth(col(tsCol)))
-    if (withParts.isEmpty) 0L // P12 empty-input short-circuit
-    else {
-      withParts.write.mode(SaveMode.Append)
-        .partitionBy("year", "month", "day").parquet(target)
-      spark.read.parquet(target).count()
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = inc.count()
+      if (n > 0L) { // P12 empty-input short-circuit
+        inc.write.mode(SaveMode.Append)
+          .partitionBy("year", "month", "day").parquet(target)
+      }
+      n
+    } finally inc.unpersist()
   }
 
   /** Silver dim cleanup (`silver_dimensions.py:43-108`): strip trailing \r
@@ -102,37 +146,91 @@ object Medallion {
     bronzeIncremental(spark, joined.drop("year", "month", "day"), "timestamp", target)
   }
 
-  /** Gold SCD2 dim refresh: initial load or merge (`gold_dim_*.py`). */
+  // ---- Atomic versioned gold publish (Delta-ACID stand-in, pure Hadoop) --
+  //
+  // The reference gets transactional MERGE commits from Delta
+  // (`gold_dim_payment.py:108-122`); with parquet only, a delete+rename
+  // swap leaves a window where a reader sees a missing table. Instead each
+  // publish writes a complete new `<root>/v=N/` directory and then flips a
+  // one-line `_CURRENT` pointer file via an atomic rename: a reader holds
+  // either the old pointer (old version still fully on disk) or the new
+  // one — the table is readable at every instant. The previous version is
+  // retained for in-flight readers; older ones are pruned.
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed version of a versioned gold table, from its `_CURRENT`
+    * pointer; None when never published. */
+  def goldVersion(spark: SparkSession, root: String): Option[Int] = {
+    val fs = hadoopFs(spark, root)
+    val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      Some(s.stripPrefix("v=").toInt)
+    }
+  }
+
+  /** Reader view of a versioned gold table: whatever `_CURRENT` names. */
+  def readGold(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/v=${goldVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"gold table never published: $root"))}")
+
+  /** Publish a new version: write `v=N+1` completely, flip the pointer
+    * atomically, prune versions older than N (N itself stays for in-flight
+    * readers). Returns the committed version. */
+  def publishGold(spark: SparkSession, df: DataFrame, root: String): Int = {
+    val fs = hadoopFs(spark, root)
+    val next = goldVersion(spark, root).getOrElse(0) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v=$next".getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_CURRENT"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
+      .filter(p => p.getName.startsWith("v=") &&
+        p.getName.stripPrefix("v=").toIntOption.exists(_ < next - 1))
+      .foreach(p => fs.delete(p, true))
+    next
+  }
+
+  /** Gold SCD2 dim refresh: initial load or merge (`gold_dim_*.py`),
+    * committed via [[publishGold]]. The effective date is typed end-to-end
+    * (max(to_date(updated_at)) → DateType literal) — no string slicing of a
+    * timestamp rendering. */
   def goldDim(spark: SparkSession, silverPath: String, goldPath: String,
               key: String, attrs: Seq[String]): DataFrame = {
-    val src = spark.read.parquet(silverPath).select((key +: attrs).map(col): _*)
-    val effective = to_date(
-      spark.read.parquet(silverPath).agg(max(col("updated_at"))).first() match {
-        case r if r.isNullAt(0) => lit("1970-01-01")
-        case r => lit(r.get(0).toString.take(10))
-      })
+    val silver = spark.read.parquet(silverPath)
+    val src = silver.select((key +: attrs).map(col): _*)
+    val effective = silver.agg(max(to_date(col("updated_at")))).first().get(0) match {
+      case null => to_date(lit("1970-01-01"))
+      case d: java.sql.Date => lit(d)
+      case ld: java.time.LocalDate => lit(java.sql.Date.valueOf(ld))
+      case other => throw new IllegalStateException(s"unexpected date: $other")
+    }
     val merged =
-      if (!tableExists(spark, goldPath)) Scd2.initialLoad(src, effective)
-      else Scd2.merge(spark.read.parquet(goldPath).drop("dim_key"), src, key, attrs, effective)
-    val keyed = Scd2.scalableKey(merged, key, "dim_key")
-    // overwrite via staging dir: Spark can't overwrite a path it's reading
-    val tmp = goldPath + "__stage"
-    keyed.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(goldPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(goldPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(goldPath))
-    spark.read.parquet(goldPath)
+      if (goldVersion(spark, goldPath).isEmpty) Scd2.initialLoad(src, effective)
+      else Scd2.merge(readGold(spark, goldPath).drop("dim_key"), src, key, attrs, effective)
+    publishGold(spark, Scd2.scalableKey(merged, key, "dim_key"), goldPath)
+    readGold(spark, goldPath)
   }
 
   /** Gold fact: silver fact ⋈ broadcast current dim rows → surrogate keys,
-    * partitioned append (`gold_fact_orders.py:76-128`). */
+    * partitioned append (`gold_fact_orders.py:76-128`). Dims resolve through
+    * the versioned-publish pointer. */
   def goldFact(spark: SparkSession, silverFactPath: String,
                dimPaths: Map[String, (String, String)], // dimName -> (path, businessKey)
                target: String): Long = {
     val fact = spark.read.parquet(silverFactPath)
     val enriched = dimPaths.foldLeft(fact) { case (f, (dim, (path, fk))) =>
-      val d = spark.read.parquet(path)
+      val d = readGold(spark, path)
         .filter(col("is_current"))
         .select(col("id").as(s"__${dim}_id"), col("dim_key").as(s"${dim}_key"))
       f.join(broadcast(d), f(fk) === d(s"__${dim}_id"), "left").drop(s"__${dim}_id")

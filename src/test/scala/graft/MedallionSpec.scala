@@ -74,13 +74,102 @@ class MedallionSpec extends SparkSpec {
 
     // --- run 2: store 1 address changes; one new order appended
     val r2 = Medallion.run(spark, sources(2), conf)
-    val dimStores = spark.read.parquet(s"${conf.goldRoot}/dim_stores")
+    val dimStores = Medallion.readGold(spark, s"${conf.goldRoot}/dim_stores")
     assert(dimStores.filter(col("id") === 1).count() == 2) // SCD2 versioned
     assert(dimStores.filter(col("id") === 1 && col("is_current")).head()
       .getAs[String]("address") == "99 New Addr")
     assert(dimStores.filter(col("id") === 2).count() == 1) // untouched
     val fact2 = spark.read.parquet(s"${conf.goldRoot}/fact_orders")
     assert(fact2.count() == 3) // incremental append, no reprocessing
-    assert(r2("gold_fact_rows") == 3L)
+    // increment-only counting: run 2 wrote exactly the ONE new fact row;
+    // the reported count is O(delta), never a full-target rescan
+    assert(r2("gold_fact_rows") == 1L)
+
+    // versioned publish: _CURRENT points at v=2 and the previous version
+    // is still fully on disk for in-flight readers
+    assert(Medallion.goldVersion(spark, s"${conf.goldRoot}/dim_stores").contains(2))
+    assert(new java.io.File(s"${conf.goldRoot}/dim_stores/v=1").exists())
+    assert(new java.io.File(s"${conf.goldRoot}/dim_stores/v=2").exists())
+  }
+
+  test("publishGold is reader-visible at all times and prunes old versions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("goldpub").toString + "/dim_x"
+    assert(Medallion.goldVersion(spark, root).isEmpty)
+    Medallion.publishGold(spark, Seq((1, "a")).toDF("id", "v"), root)
+    // the committed version stays intact and readable while the NEXT
+    // version's data is being written (publish only flips the pointer after
+    // the full write): simulate by writing v=2's directory contents first
+    Seq((1, "b")).toDF("id", "v").write.parquet(s"$root/v=2__inflight")
+    assert(Medallion.readGold(spark, root).as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    Medallion.publishGold(spark, Seq((1, "b"), (2, "c")).toDF("id", "v"), root)
+    assert(Medallion.goldVersion(spark, root).contains(2))
+    assert(Medallion.readGold(spark, root).count() == 2)
+    // third publish prunes v=1 but keeps v=2 for in-flight readers
+    Medallion.publishGold(spark, Seq((3, "d")).toDF("id", "v"), root)
+    assert(!new java.io.File(s"$root/v=1").exists())
+    assert(new java.io.File(s"$root/v=2").exists())
+    assert(Medallion.readGold(spark, root).count() == 1)
+  }
+
+  test("bronzeIncremental returns the increment count, not the table count") {
+    import scala.jdk.CollectionConverters._
+    val target = Files.createTempDirectory("brzinc").toString + "/t"
+    val rows1 = Seq(Row(1, "x", ts("2024-01-01 08:00:00")),
+                    Row(2, "y", ts("2024-01-02 08:00:00")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("updated_at", org.apache.spark.sql.types.TimestampType)))
+    assert(Medallion.bronzeIncremental(spark,
+      spark.createDataFrame(rows1.asJava, schema), "updated_at", target) == 2L)
+    // second batch: one old (filtered by watermark) + one new row -> 1, not 3
+    val rows2 = rows1 :+ Row(3, "z", ts("2024-01-03 08:00:00"))
+    assert(Medallion.bronzeIncremental(spark,
+      spark.createDataFrame(rows2.asJava, schema), "updated_at", target) == 1L)
+    assert(spark.read.parquet(target).count() == 3L)
+    // empty increment short-circuits to 0 with no write
+    assert(Medallion.bronzeIncremental(spark,
+      spark.createDataFrame(rows2.asJava, schema), "updated_at", target) == 0L)
+  }
+
+  test("bronze schema policy: merge admits additive drift, reject halts, retype always halts") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val target = Files.createTempDirectory("brzpol").toString + "/t"
+    val base = StructType(Seq(StructField("id", IntegerType),
+      StructField("v", StringType), StructField("updated_at", TimestampType)))
+    Medallion.bronzeIncremental(spark,
+      spark.createDataFrame(Seq(Row(1, "x", ts("2024-01-01 08:00:00"))).asJava, base),
+      "updated_at", target)
+
+    // additive drift under Merge: lands, and merged read shows NULL backfill
+    val widened = base.add(StructField("extra", StringType))
+    val r = Medallion.bronzeIncremental(spark,
+      spark.createDataFrame(Seq(Row(2, "y", ts("2024-01-02 08:00:00"), "e")).asJava, widened),
+      "updated_at", target, Medallion.SchemaPolicy.Merge)
+    assert(r == 1L)
+    val merged = Medallion.readBronze(spark, target)
+    assert(merged.columns.contains("extra") && merged.count() == 2)
+    assert(merged.filter(col("id") === 1).head().getAs[String]("extra") == null)
+
+    // same additive drift under Reject: halts before any write
+    val ex1 = intercept[IllegalStateException] {
+      Medallion.bronzeIncremental(spark,
+        spark.createDataFrame(Seq(Row(3, "z", ts("2024-01-03 08:00:00"), "e")).asJava, widened),
+        "updated_at", target, Medallion.SchemaPolicy.Reject)
+    }
+    assert(ex1.getMessage.contains("schema drift rejected"))
+
+    // retyped column: halts even under Merge
+    val retyped = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("updated_at", TimestampType)))
+    val ex2 = intercept[IllegalStateException] {
+      Medallion.bronzeIncremental(spark,
+        spark.createDataFrame(Seq(Row(4L, "w", ts("2024-01-04 08:00:00"))).asJava, retyped),
+        "updated_at", target, Medallion.SchemaPolicy.Merge)
+    }
+    assert(ex2.getMessage.contains("incompatible schema drift"))
+    assert(Medallion.readBronze(spark, target).count() == 2) // untouched
   }
 }
