@@ -63,6 +63,38 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(md5(col("shingle"))).as("fingerprint"))
 
+  /** (id, term) rows with frequency preserved (no dedup — unlike
+    * [[Dedup.shingleRows]]): unigram terms for n=1, word n-grams above. */
+  def termRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    if (n == 1)
+      docs.select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+    else {
+      val idxs = (0 until n).map(j => s"__w[i + $j]").mkString(", ")
+      docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__w"))
+        .filter(size(col("__w")) >= n)
+        .select(col(idCol),
+          explode(expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $idxs))"))
+            .as("term"))
+    }
+
+  /** Classic tf·idf document-term weights over n-gram terms:
+    * weight = tf · ln(N/df), rounded to 6 decimals so the double is stable
+    * across engines' libm ulps. Three hash aggregations, no driver state —
+    * the corpus size N rides along as a broadcast 1-row frame. Output:
+    * (id, term, tf, tfidf). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, n: Int = 1): DataFrame = {
+    val tf = termRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(col("__n_docs").cast("double") / col("__df")), 6)
+          .as("tfidf"))
+  }
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

@@ -154,6 +154,39 @@ object TextQueries {
              WHERE hamming <= 6
              ORDER BY hamming, doc_a, doc_b LIMIT 500""")),
 
+    // tf-idf document-term vectors (SURVEY §7.3.6): classic tf·ln(N/df)
+    // weights over unigrams, top-5 terms per document by weight. Weights are
+    // rounded to 6 decimals BEFORE ranking so the rank order (and the
+    // hash-compared doubles) cannot diverge on engine libm ulps.
+    Q("q34_tfidf",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+        TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             tr AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM tr GROUP BY doc_id, term),
+             df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+             nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+             x AS (
+               SELECT tf.doc_id, tf.term, tf.tf,
+                      round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+               FROM tf JOIN df USING (term) CROSS JOIN nd),
+             r AS (
+               SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf DESC, term) AS rnk
+               FROM x)
+             SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, tfidf
+             FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""")),
+
     // Per-document profile: token stats + quality ratios + language guess +
     // min-shingle fingerprint.
     Q("q20_text_profile",
