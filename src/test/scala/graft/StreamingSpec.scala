@@ -56,6 +56,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Poll until `cond` holds (the ProcessingTimeTimeout query re-triggers
+    * micro-batches to service timers, so `processAllAvailable` can spin —
+    * observe the memory sink instead). */
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(100)
+    }
+    cond
+  }
+
+  test("TTL under a real streaming query: expired state is dropped, allowing re-emission") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[OrderEvent]
+    val q = Realtime.completenessJoin(input.toDS(), ttl = Some("1 second"))
+      .writeStream.format("memory").queryName("cjttl").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(header(9, 90, 1), line(9, 901))
+      assert(eventually(30000)(spark.table("cjttl").count() == 1), "first emission")
+      // same redelivery INSIDE the TTL window is suppressed by the emitted flag
+      input.addData(header(9, 90, 1), line(9, 901))
+      Thread.sleep(500)
+      assert(spark.table("cjttl").count() == 1)
+      // let the 1s processing-time timer fire: state (incl. emitted flag) is
+      // removed by the hasTimedOut branch while the query keeps running
+      Thread.sleep(4000)
+      // redelivery AFTER expiry finds no state -> consolidates and re-emits
+      input.addData(header(9, 90, 1), line(9, 901))
+      assert(eventually(30000)(spark.table("cjttl").count() == 2),
+        "re-emission after TTL dropped the state")
+    } finally q.stop()
+  }
+
   test("state update logic: TTL timeout drops state without emitting") {
     val state = TestGroupState.create[OrderState](
       org.apache.spark.api.java.Optional.of(OrderState(Some(OrderHeader(1, 11, 2)), Set(101L), emitted = false)),
