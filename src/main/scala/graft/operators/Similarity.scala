@@ -233,4 +233,75 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
   }
+
+  // ------------------------------------------------------------ IVF variant
+
+  /** Deterministic coarse centroids for an IVF index: the `nCells` corpus
+    * vectors with the smallest md5(id) — a seeded random sample, no RNG
+    * state, no iterative training. (Production IVF would train centroids;
+    * random coarse quantizers are the standard zero-training baseline.) */
+  def ivfCentroids(quantized: DataFrame, idCol: String, nCells: Int): DataFrame =
+    quantized
+      .select(col(idCol).as("cent_id"), col("__qv").as("__cv"))
+      .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
+      .limit(nCells) // sort+limit → TakeOrderedAndProject: distributed top-k, no global sort
+
+  /** IVF cell assignment: each vector joins the broadcast centroid set and
+    * keeps its best-dot centroid (deterministic tiebreak: smaller centroid
+    * id wins a dot tie). O(N·nCells) codegen'd dot products, embarrassingly
+    * parallel; the argmax is a map-side-combining max(struct) aggregation,
+    * not a window over the N×nCells expansion. Output: (id, __qv, cell). */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+    val cents = ivfCentroids(q, idCol, nCells)
+    q.join(broadcast(cents))
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(
+        max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"),
+        first(col("__qv")).as("__qv")) // all rows of a group share one __qv
+      .select(col(idCol), col("__qv"), (-col("__m.__nc")).as("cell"))
+  }
+
+  /** IVF approximate top-k: queries probe their `nProbe` closest cells and
+    * exact-score only the vectors assigned there.
+    *
+    * The second ANN scale path next to [[annTopK]]: a partition-of-the-
+    * corpus index (cells ≈ balanced, size N/nCells) instead of overlapping
+    * hash buckets. recall ≈ P(true neighbor's cell probed), tuned by
+    * nProbe/nCells; nProbe = nCells degenerates to exact brute force
+    * (asserted in SimilaritySpec). Centroid count should grow ~√N; at
+    * corpus scales where √N no longer broadcasts, the coarse quantizer
+    * itself must become hierarchical — documented limit, not hidden. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val index = ivfIndex(emb, idCol, vecCol, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCentroids(
+      emb.select(col(idCol), quantize(col(vecCol)).as("__qv")), idCol, nCells)
+    val queryIds = emb.filter(queryPred).select(col(idCol))
+    val queries = index.join(queryIds, idCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cd").desc, col("cent_id"))
+    val probedCells = queries.join(broadcast(cents))
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qvec"), col("__cv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("cent_id").as("cell"))
+    val scored = probedCells
+      .join(index.select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"),
+        col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dot",
+        GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")) / lit(1099511627776.0d))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
+  }
 }

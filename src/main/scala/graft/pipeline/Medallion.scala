@@ -248,8 +248,29 @@ object Medallion {
   case class Config(bronzeRoot: String, silverRoot: String, goldRoot: String)
 
   /** Full DAG in dependency order for the coffee-chain shape; returns a
-    * per-stage row-count / failure report. Sources is a map of
-    * table name -> source DataFrame (JDBC/CSV/Kafka stand-ins). */
+    * per-stage row-count / failure report.
+    *
+    * `sources` is the integration seam: table name → source DataFrame.
+    * Everything downstream is source-agnostic, so with the connector jars
+    * on the classpath (none exist in this environment, `build.sbt`) the
+    * exact swap-ins are, mirroring `bronze_dimension_fact_load.py:46-57,110-131`:
+    *
+    *  - JDBC (S1):
+    *    `spark.read.format("jdbc").option("url", url)
+    *       .option("dbtable", t).option("partitionColumn", "id")
+    *       .option("lowerBound", lo).option("upperBound", hi)
+    *       .option("numPartitions", 32).load()`
+    *    (bounded-partition read; the watermark filter in
+    *    [[bronzeIncremental]] then pushes down as a WHERE clause).
+    *  - Kafka batch drain (S3):
+    *    `spark.read.format("kafka").option("subscribe", topic)
+    *       .option("startingOffsets", "earliest").load()` followed by
+    *    [[graft.streaming.Realtime.decodeCdc]] — the q10 query is exactly
+    *    this shape from the value column onward.
+    *  - Delta gold (S4/K5): replace [[publishGold]]/[[readGold]] with
+    *    `df.write.format("delta")` + `DeltaTable.merge`; [[goldDim]]'s
+    *    SCD2 logic ([[graft.operators.Scd2.merge]]) is unchanged — only
+    *    the commit mechanism differs. */
   def run(spark: SparkSession, sources: Map[String, DataFrame], conf: Config): Map[String, Any] = {
     import conf._
     // Bronze (incremental, partitioned)

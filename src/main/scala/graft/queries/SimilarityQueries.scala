@@ -64,6 +64,17 @@ object SimilarityQueries {
           Tables.embeddings(s, d), "vec_id", "embedding",
           col("vec_id") % 40 === 0, k = 10)
         .orderBy(col("query_id"), col("rank")),
+      None),
+
+    // IVF-partitioned approximate top-k — the second ANN scale path
+    // (cell-partitioned index vs overlapping LSH buckets). Approximation →
+    // rows-only; SimilaritySpec asserts nProbe=nCells degenerates to the
+    // exact brute-force result.
+    Q("q35_ivf_topk",
+      (s, d) => Similarity.ivfTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") % 40 === 0, k = 10, nCells = 32, nProbe = 8)
+        .orderBy(col("query_id"), col("rank")),
       None)
   )
 }

@@ -53,6 +53,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("ivfTopK with nProbe = nCells degenerates to exact brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 40 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 5))
+    val full = rows(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
+      nCells = 16, nProbe = 16))
+    assert(full == brute)
+    // partial probing returns a subset-quality result with the right shape
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 5,
+      nCells = 16, nProbe = 4)
+    val recall = rows(part).intersect(brute).size.toDouble / brute.size
+    info(s"IVF recall at nProbe=4/16: $recall")
+    assert(part.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
+  test("ivf index assigns near-identical vectors to the same cell; planted dup found at nProbe=1") {
+    val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(idx(0L) == idx(1L)) // near-identical vectors share a cell
+    val top = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        col("vec_id") === 0, k = 1, nCells = 2, nProbe = 1)
+      .head()
+    assert(top.getAs[Long]("neighbor_id") == 1L)
+  }
+
   test("fixed-point dot is exact for representable values") {
     import spark.implicits._
     val df = Seq((Seq(0.5f, 0.25f), Seq(0.5f, 0.5f))).toDF("a", "b")
