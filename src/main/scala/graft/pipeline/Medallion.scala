@@ -74,10 +74,11 @@ object Medallion {
 
   /** K1 — Bronze incremental append with y/m/d partition derivation
     * (`bronze_dimension_fact_load.py:80-98`). Returns the rows written THIS
-    * run: the increment is cached, counted once (this also subsumes the
-    * empty-input probe), and written from the cache — O(delta) total work.
-    * A count by re-scanning the target would be O(table) per batch and the
-    * pipeline's dominant cost at scale.
+    * run, collected via [[Observed.countRows]] DURING the write job itself —
+    * one pass over the delta, nothing cached (a large increment must not
+    * spill executor disks just to be counted), and never a re-scan of the
+    * target (which would be O(table) per batch and the pipeline's dominant
+    * cost at scale).
     *
     * Schema drift vs the existing target is checked BEFORE any file lands,
     * per `policy` — a rejected batch leaves the table untouched. */
@@ -106,15 +107,11 @@ object Medallion {
       .withColumn("year", year(col(tsCol)))
       .withColumn("month", month(col(tsCol)))
       .withColumn("day", dayofmonth(col(tsCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = inc.count()
-      if (n > 0L) { // P12 empty-input short-circuit
-        inc.write.mode(SaveMode.Append)
-          .partitionBy("year", "month", "day").parquet(target)
-      }
-      n
-    } finally inc.unpersist()
+    if (inc.isEmpty) 0L // P12 empty-input short-circuit (limit-1 probe)
+    else Observed.countRows(inc) { o =>
+      o.write.mode(SaveMode.Append)
+        .partitionBy("year", "month", "day").parquet(target)
+    }
   }
 
   /** Silver dim cleanup (`silver_dimensions.py:43-108`): strip trailing \r
@@ -200,6 +197,14 @@ object Medallion {
       .foreach(p => fs.delete(p, true))
     next
   }
+
+  /** Small-files maintenance for a versioned gold table: rewrite the
+    * current version into `targetFiles` files and commit it as a new
+    * version — to readers it is just another atomic publish. Incremental
+    * pipelines accumulate small files; periodic compaction keeps scan task
+    * counts and parquet-footer overhead bounded at scale. */
+  def compactGold(spark: SparkSession, root: String, targetFiles: Int): Int =
+    publishGold(spark, readGold(spark, root).repartition(targetFiles), root)
 
   /** Gold SCD2 dim refresh: initial load or merge (`gold_dim_*.py`),
     * committed via [[publishGold]]. The effective date is typed end-to-end

@@ -19,39 +19,30 @@ object Profile15 {
     val d = "/root/testdata/sf0.1"
     val docs = Tables.documents(spark, d)
     docs.count()
+    // warm codegen
+    docs.select(md5(col("text"))).agg(count(lit(1))).head()
 
-    // q15 stages
-    val sh = t("shingleRows+persist") {
-      val x = Dedup.shingleRows(docs, "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      x.count(); x
+    t("tokens only") {
+      docs.select(Dedup.tokens(col("text")).as("w")).agg(sum(size(col("w")))).head()
     }
-    val sig = t("minhashSignatures") {
-      val x = Dedup.minhashSignatures(sh, "doc_id", 8); x.count(); x
+    t("shingle explode no distinct") {
+      val idxs = (0 until 3).map(j => s"__w[i + $j]").mkString(", ")
+      docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__w"))
+        .filter(size(col("__w")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(__w) - 3), i -> concat_ws(' ', $idxs))")).as("shingle"))
+        .agg(count(lit(1))).head()
     }
-    val band = t("lshBandRows") {
-      val x = Dedup.lshBandRows(sig, "doc_id", 4, 2); x.count(); x
+    t("explode + distinct + count") {
+      Dedup.shingleRows(docs, "doc_id", "text", 3).agg(count(lit(1))).head()
     }
-    val cand = t("lshCandidatePairs") {
-      val x = Dedup.lshCandidatePairs(band, "doc_id", 100); x.count(); x
+    t("explode + distinct + persist") {
+      Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     }
-    t("jaccardForPairs") {
-      Dedup.jaccardForPairs(cand, sh, "doc_id").filter(col("jaccard") >= 0.1).count()
-    }
-    t("q15 full (2nd run)") {
+    t("q15 full (warm cache)") {
       Dedup.minhashNearDups(docs, "doc_id", "text", 3, 8, 4, 0.1, 100)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(100).count()
-    }
-
-    // q32 stages
-    val fp = t("simhashInts+persist") {
-      val x = Dedup.simhashInts(docs, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      x.count(); x
-    }
-    t("q32 full") {
-      Dedup.simhashNearDups(docs, "doc_id", "text", 4, 6, 100)
-        .orderBy(col("hamming"), col("doc_a"), col("doc_b")).limit(500).count()
     }
     spark.stop()
   }

@@ -110,6 +110,12 @@ class MedallionSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/v=1").exists())
     assert(new java.io.File(s"$root/v=2").exists())
     assert(Medallion.readGold(spark, root).count() == 1)
+    // compaction = content-preserving atomic republish into fewer files
+    val before = Medallion.readGold(spark, root).collect().toSet
+    val v = Medallion.compactGold(spark, root, targetFiles = 1)
+    assert(v == 4 && Medallion.goldVersion(spark, root).contains(4))
+    assert(Medallion.readGold(spark, root).collect().toSet == before)
+    assert(Medallion.readGold(spark, root).rdd.getNumPartitions == 1)
   }
 
   test("bronzeIncremental returns the increment count, not the table count") {
