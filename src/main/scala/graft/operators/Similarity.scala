@@ -210,21 +210,31 @@ object Similarity {
           .select(col("band"), col("band_key"))
         corpusRows.join(ok, Seq("band", "band_key"), "left_semi")
       }
-    val masks = probeMasks(bitsPerBand, probeRadius)
+    // Probe keys via a broadcast masks join, not a literal-array explode:
+    // a 16-bit band at radius 3 means 697 masks — far beyond what a codegen
+    // expression tree should carry, trivial as a broadcast nested loop.
+    import emb.sparkSession.implicits._
+    val masks = probeMasks(bitsPerBand, probeRadius).toDF("__mask")
     val queryIds = emb.filter(queryPred).select(col(idCol))
     val probes = sig.join(queryIds, idCol)
       .select(col(idCol).as("query_id"),
-        explode(array((for { b <- 0 until bands; m <- masks } yield
-          struct(lit(b).as("band"),
-            col(s"__band$b").bitwiseXOR(lit(m)).as("band_key"))): _*)).as("bk"))
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"__band$b").as("band_key"))): _*)).as("bk"))
       .select(col("query_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .crossJoin(broadcast(masks))
+      .select(col("query_id"), col("band"),
+        col("band_key").bitwiseXOR(col("__mask")).as("band_key"))
     val cand = probes.join(bounded, Seq("band", "band_key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val qv = sig.select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
+    // Neighbor vectors ride the (big) candidate side; query vectors attach
+    // by broadcast LAST, so the wide rows are never duplicated per probe
+    // and only one vector per row crosses the shuffle.
+    val qv = sig.join(queryIds, idCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
     val cv = sig.select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"))
-    val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
+    val scored = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("__dot",
         GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")) / lit(1099511627776.0d))
     val w = Window.partitionBy(col("query_id"))
@@ -291,11 +301,14 @@ object Similarity {
       .withColumn("__cd", GraftFunctions.longArrayDot(col("__qvec"), col("__cv")))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("__qvec"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("cent_id").as("cell"))
+    // candidates first (narrow rows through the cell join), then the query
+    // vector attaches by broadcast — see annTopK for the same discipline
     val scored = probedCells
       .join(index.select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"),
         col("cell")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
       .withColumn("__dot",
         GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")) / lit(1099511627776.0d))
     val wRank = Window.partitionBy(col("query_id"))

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Scale-stress smoke: inflate the sf0.1 corpus ~40× in memory (unique-ish
+  * variants, so dedup structures stay realistic) and run the heavy
+  * operators, watching for runtime cliffs (quadratic candidate blowups,
+  * driver collects, uncapped buckets). Dev tool, not part of the library. */
+object Stress {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[stress] $name%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.1"
+
+    // 5k docs -> 200k docs: 40 variants each; variant v prepends a token
+    // so near-dup structure survives (v=0 keeps the original text).
+    val docs = Tables.documents(spark, d)
+      .crossJoin(spark.range(40).toDF("v"))
+      .select(
+        (col("doc_id") * 40 + col("v")).as("doc_id"),
+        when(col("v") === 0, col("text"))
+          .otherwise(concat(lit("variant"), col("v"), lit(" "), col("text"))).as("text"))
+    val nDocs = t("docs materialize (200k)") { docs.count() }
+    println(s"[stress] n_docs=$nDocs")
+
+    t("exact dedup 200k") {
+      Dedup.exactDedup(docs, "doc_id", "text").count()
+    }
+    val nd = t("minhash near-dup 200k") {
+      Dedup.minhashNearDups(docs, "doc_id", "text", 3, 8, 4, 0.1, 100).count()
+    }
+    println(s"[stress] minhash pairs=$nd")
+    val sd = t("simhash near-dup 200k") {
+      Dedup.simhashNearDups(docs, "doc_id", "text", 4, 6, 100).count()
+    }
+    println(s"[stress] simhash pairs=$sd")
+    t("tfidf top5 200k") {
+      TextAnalysis.tfidf(docs, "doc_id", "text").count()
+    }
+
+    // 2k vectors -> 80k vectors: tiny deterministic per-variant perturbation
+    // in fixed-point space keeps near-neighbor structure.
+    val emb = Tables.embeddings(spark, d)
+      .crossJoin(spark.range(40).toDF("v"))
+      .select(
+        (col("vec_id") * 40 + col("v")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x + (CAST(v AS DOUBLE) - 20.0D) * 0.0005D * (CAST(i % 7 AS DOUBLE) - 3.0D) AS FLOAT))")
+          .as("embedding"))
+    val nVec = t("embeddings materialize (80k)") { emb.count() }
+    println(s"[stress] n_vectors=$nVec")
+
+    // scale-appropriate parameterization: 16-bit band keys (65k buckets per
+    // band at 80k vectors -> ~1.2/bucket), radius-2 multiprobe (137 masks)
+    val ann = t("annTopK 80k corpus, 2k queries (16-bit bands, r=2)") {
+      Similarity.annTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 40 === 0, k = 10,
+        planes = 128, dim = 64, bands = 8, probeRadius = 2).count()
+    }
+    println(s"[stress] ann rows=$ann")
+    val ivf = t("ivfTopK 80k corpus, 2k queries (283 cells, 16 probes)") {
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 40 === 0, k = 10, nCells = 283, nProbe = 16).count()
+    }
+    println(s"[stress] ivf rows=$ivf")
+    spark.stop()
+  }
+}
