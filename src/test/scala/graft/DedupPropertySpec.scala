@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Dedup
+
+/** Property-based dedup invariants over arbitrary small corpora (fixed-seed
+  * raw ScalaCheck — the scalatestplus bridge is not on the offline
+  * classpath):
+  *   1. exactDedup keeps exactly one representative per distinct text, and
+  *      it is the min-id one;
+  *   2. minhash LSH candidates never miss an EXACT duplicate pair (equal
+  *      shingle sets ⇒ equal signatures ⇒ same buckets — a hard guarantee,
+  *      unlike probabilistic near-miss bounds);
+  *   3. jaccardForPairs computes exactly |A∩B| / |A∪B| of the shingle sets.
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  // small-alphabet docs so duplicates and near-duplicates are likely
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] =
+    Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, docGen))
+
+  private def corpora: Seq[List[String]] =
+    (1L to 10L).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(i)))
+
+  private def shingleSet(text: String): Set[String] = {
+    val w = text.trim.toLowerCase.split("\\s+").toSeq
+    if (w.size < 3) Set.empty
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("exactDedup keeps exactly the min-id representative per distinct text") {
+    import spark.implicits._
+    corpora.foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kept = Dedup.exactDedup(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      val expected = corpus.zipWithIndex
+        .groupBy(_._1).map { case (t, xs) => xs.map(_._2).min.toLong -> t }
+      assert(kept.toMap == expected, s"corpus=$corpus")
+    }
+  }
+
+  test("LSH candidates always contain every exact-duplicate pair") {
+    import spark.implicits._
+    corpora.foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", 8)
+      val cand = Dedup.lshCandidatePairs(
+          Dedup.lshBandRows(sig, "doc_id", 4, 2), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = corpus.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t) }.toMap
+      for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(a) == sets(b)
+      } assert(cand.contains((a, b)), s"missed exact dup ($a,$b) in $corpus")
+    }
+  }
+
+  test("jaccardForPairs equals set-computed |A∩B| / |A∪B|") {
+    import spark.implicits._
+    corpora.filter(_.size >= 2).foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      val sets = corpus.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t) }.toMap
+      val ids = sets.keys.toSeq.sorted
+      val pairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+        .toDF("doc_a", "doc_b")
+      val got = Dedup.jaccardForPairs(pairs, sh, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      for { a <- ids; b <- ids if a < b } {
+        val inter = sets(a).intersect(sets(b)).size
+        val union = sets(a).union(sets(b)).size
+        if (inter > 0) // pairs with empty intersection drop out of the inner join
+          assert(math.abs(got((a, b)) - inter.toDouble / union) < 1e-12,
+            s"pair ($a,$b) in $corpus")
+        else assert(!got.contains((a, b)))
+      }
+    }
+  }
+}
