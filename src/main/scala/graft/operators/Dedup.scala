@@ -125,19 +125,32 @@ object Dedup {
 
   /** Exact Jaccard similarity for given candidate pairs, computed from the
     * shingle rows: |A∩B| via a pair-shingle join, |A∪B| = |A|+|B|-|A∩B|.
-    * Integer-count division → bit-stable doubles across engines. */
-  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    * Integer-count division → bit-stable doubles across engines.
+    *
+    * `minJaccard` > 0 prunes pairs BEFORE the expensive pair-shingle join
+    * using the size bound J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|): a pair whose
+    * set sizes differ too much cannot reach the threshold, so on mixed-size
+    * corpora most candidates die against two 1-column count frames instead
+    * of expanding to |A| shingle rows each. Output is unchanged — pruned
+    * pairs are exactly those the `jaccard >= minJaccard` filter would drop. */
+  def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String,
+                      minJaccard: Double = 0.0): DataFrame = {
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val sa = shingles.select(col(idCol).as("doc_a"), col("shingle"))
-    val sb = shingles.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = pairs
-      .join(sa, "doc_a")
-      .join(sb, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    val withSizes = pairs
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+    val bounded =
+      if (minJaccard <= 0.0) withSizes
+      else withSizes.filter(
+        least(col("n_a"), col("n_b")).cast("double") >=
+          greatest(col("n_a"), col("n_b")) * minJaccard)
+    val sa = shingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    bounded
+      .join(sa, "doc_a")
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
@@ -157,7 +170,8 @@ object Dedup {
     val sig = minhashSignatures(sh, idCol, k)
     val cand = lshCandidatePairs(lshBandRows(sig, idCol, bands, k / bands), idCol,
       maxBucketSize)
-    jaccardForPairs(cand, sh, idCol).filter(col("jaccard") >= threshold)
+    jaccardForPairs(cand, sh, idCol, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash fingerprint from md5 token hashes, frequency-weighted

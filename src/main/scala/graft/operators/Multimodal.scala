@@ -68,6 +68,26 @@ object Multimodal {
       })
   }
 
+  /** Integer byte-bin histogram in long form (id, bin, n) — the oracle-able
+    * face of the binary pipeline: same mapPartitions batch shape as
+    * [[extractFeatures]], but exact integer counts, so an independent
+    * engine can recompute it bit-for-bit from the payload bytes. */
+  def histogramCounts(media: DataFrame, idCol: String, blobCol: String,
+                      bins: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val hist = new Array[Long](bins)
+        if (blob != null) {
+          var i = 0
+          while (i < blob.length) { hist((blob(i) & 0xff) * bins / 256) += 1L; i += 1 }
+        }
+        (0 until bins).iterator.filter(hist(_) > 0).map(b => (id, b, hist(b)))
+      }
+      .toDF(idCol, "bin", "n")
+  }
+
   /** Frame sampling as pure column expressions: fixed-size byte windows
     * every `stride` bytes (substring on binary is codegen'd — no UDF). */
   def frameSample(media: DataFrame, blobCol: String,
