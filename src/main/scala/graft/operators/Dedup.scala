@@ -217,6 +217,49 @@ object Dedup {
       when(substring(a, i + 1, 1) =!= substring(b, i + 1, 1), 1).otherwise(0): Column)
       .reduce(_ + _)
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: label(v) ← min(label(v), min label among
+    * neighbors), to fixpoint. Output: (id, component) where component is the
+    * minimum member id — i.e. the canonical document of each near-dup
+    * cluster, the assignment stage that follows pair generation in a real
+    * dedup pipeline (keep one doc per component, or split train/eval by
+    * component so near-dups never straddle the boundary).
+    *
+    * Scale notes: each iteration is one join + one groupBy on (v, label)
+    * rows, converging in graph-diameter iterations — near-dup clusters are
+    * shallow (diameter ≲ 10 even for large cliques via the min short-cut),
+    * so the loop is short; per-iteration frames are persisted and the only
+    * driver value is the scalar convergence count. For adversarial
+    * long-chain graphs the large-star/small-star variant halves diameter
+    * per round; not needed for dedup-shaped graphs. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.select(col("v").as("dst"), col("label")), "dst")
+        .select(col("src").as("v"), col("label"))
+      val next = viaNeighbor.unionByName(labels)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("v"), col("label").as("__old")), "v")
+        .filter(col("label") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("v").as("id"), col("label").as("component"))
+  }
+
   /** SimHash near-dup pairs: band the 32-bit fingerprint into `bands`
     * sub-strings, candidate = any shared band, verify by full hamming ≤
     * `maxHamming`. Same sub-quadratic LSH shape as MinHash banding —

@@ -95,6 +95,23 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Deterministic corpus split: bucket(id) = first two md5 hex digits of
+    * the id string → 0..255, taken % 100, mapped to train/val/test by the
+    * given percentages. Unlike `Dataset.sample`, the assignment is a pure
+    * function of the id — stable across runs, partitionings, engines and
+    * corpus growth (a doc keeps its split when data is added), which is
+    * what a training pipeline needs from its holdout boundary. */
+  def withSplit(df: DataFrame, idCol: String,
+                trainPct: Int, valPct: Int): DataFrame = {
+    val bucket =
+      s"((instr('0123456789abcdef', substr(md5(CAST($idCol AS STRING)), 1, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substr(md5(CAST($idCol AS STRING)), 2, 1)) - 1)) % 100"
+    df.withColumn("split",
+      when(expr(bucket) < trainPct, lit("train"))
+        .when(expr(bucket) < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

@@ -24,6 +24,48 @@ object TextQueries {
       |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  /** Shared DuckDB CTE chain re-deriving the complete MinHash+LSH pair
+    * pipeline (mirrors Dedup.minhashNearDups at q15's parameters) up to a
+    * `pairs(doc_a, doc_b, jaccard)` relation — consumed by the q15 oracle
+    * directly and by q38's recursive component closure. */
+  private val minhashPairCtes =
+    s"""$tokCtes,
+       |sig AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(i =>
+            s"MIN(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+            .mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, h${2 * b} || h${2 * b + 1} AS band_key FROM sig")
+            .mkString("\n  UNION ALL ")}),
+       |ok AS (
+       |  SELECT band, band_key FROM bands
+       |  GROUP BY band, band_key HAVING COUNT(*) <= 100),
+       |bb AS (
+       |  SELECT b.* FROM bands b JOIN ok
+       |    ON b.band = ok.band AND b.band_key = ok.band_key),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bb x JOIN bb y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.1)""".stripMargin
+
   // ---- q18 simhash: generate the 32 per-bit vote expressions for DuckDB,
   // mirroring Dedup.simhash32 (md5 hex digit j/4, msb-first bit j%4).
   private val simhashVotesSql = (0 until 32).map { j =>
@@ -52,42 +94,51 @@ object TextQueries {
           shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100)
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(100),
-      Some(s"""WITH $tokCtes,
-             sig AS (
-               SELECT doc_id,
-                 ${(0 until 8).map(i =>
-                    s"MIN(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS h$i")
-                    .mkString(", ")}
-               FROM sh GROUP BY doc_id),
-             bands AS (
-               ${(0 until 4).map(b =>
-                  s"SELECT doc_id, $b AS band, h${2*b} || h${2*b+1} AS band_key FROM sig")
-                  .mkString("\n               UNION ALL ")}),
-             ok AS (
-               SELECT band, band_key FROM bands
-               GROUP BY band, band_key HAVING COUNT(*) <= 100),
-             bb AS (
-               SELECT b.* FROM bands b JOIN ok
-                 ON b.band = ok.band AND b.band_key = ok.band_key),
-             cand AS (
-               SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM bb x JOIN bb y
-                 ON x.band = y.band AND x.band_key = y.band_key
-                AND x.doc_id < y.doc_id),
-             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-             inter AS (
-               SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
-               FROM cand c
-               JOIN sh a ON a.doc_id = c.doc_a
-               JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-               GROUP BY c.doc_a, c.doc_b)
-             SELECT i.doc_a, i.doc_b,
-                    CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
-             FROM inter i
-             JOIN sizes sa ON sa.doc_id = i.doc_a
-             JOIN sizes sb ON sb.doc_id = i.doc_b
-             WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.1
+      Some(s"""WITH $minhashPairCtes
+             SELECT doc_a, doc_b, jaccard FROM pairs
              ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""")),
+
+    // Near-dup CLUSTER assignment: connected components over the q15 pair
+    // graph, component = min member id = the canonical document. Oracled by
+    // a DuckDB recursive CTE computing the transitive closure of the same
+    // (identically re-derived) pair graph.
+    Q("q38_dup_clusters",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100),
+          "doc_a", "doc_b")
+        .orderBy(col("id")),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+             nodes AS (
+               SELECT DISTINCT v FROM (
+                 SELECT doc_a AS v FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs)),
+             e2 AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+             reach(v, r) AS (
+               SELECT v, v FROM nodes
+               UNION
+               SELECT reach.v, e2.dst FROM reach JOIN e2 ON e2.src = reach.r)
+             SELECT v AS id, MIN(r) AS component
+             FROM reach GROUP BY v ORDER BY id""")),
+
+    // Deterministic train/val/test split: pure id-hash bucketing (stable
+    // across runs/engines/corpus growth, unlike Dataset.sample).
+    Q("q37_split",
+      (s, d) => graft.operators.TextAnalysis.withSplit(
+          Tables.documents(s, d), "doc_id", trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (
+               SELECT doc_id,
+                 ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS b
+               FROM documents)
+             ORDER BY doc_id""")),
 
     // SimHash-32 fingerprints (frequency-weighted bit votes from md5 token
     // hashes) — the banding/hamming near-dup path is exercised in ScalaTest;

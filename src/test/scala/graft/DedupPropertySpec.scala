@@ -65,6 +65,34 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+        .map(_.filter { case (a, b) => a != b })
+    val graphs = (1L to 8L).flatMap(i => edgeGen.apply(Gen.Parameters.default, Seed(i)))
+      .filter(_.nonEmpty)
+    assert(graphs.size >= 5)
+    graphs.foreach { edges =>
+      // reference: path-compressed union-find with min-id roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+          "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
   test("jaccardForPairs equals set-computed |A∩B| / |A∪B|") {
     import spark.implicits._
     corpora.filter(_.size >= 2).foreach { corpus =>
