@@ -237,22 +237,33 @@ object Dedup {
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) between iterations: caching keeps the
+    // DATA hot but the logical plan would still double every round, and
+    // Catalyst re-analysis of the compounding plan ends up dominating the
+    // loop — checkpointing truncates lineage to a materialized RDD.
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // One aggregation carries BOTH the propagation and the convergence
+      // signal: the self row brings the previous label along as __old
+      // (neighbor rows carry null, so max(__old) recovers it), and the
+      // checkpoint materialization plus one cheap count report whether any
+      // label still moved — no per-iteration join against the old frame.
+      val self = labels.select(col("v"), col("label"),
+        col("label").as("__old"))
       val viaNeighbor = sym
         .join(labels.select(col("v").as("dst"), col("label")), "dst")
-        .select(col("src").as("v"), col("label"))
-      val next = viaNeighbor.unionByName(labels)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("v"), col("label").as("__old")), "v")
-        .filter(col("label") =!= col("__old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+        .select(col("src").as("v"), col("label"),
+          lit(null).cast("long").as("__old"))
+      val next = self.unionByName(viaNeighbor)
+        .groupBy(col("v"))
+        .agg(min(col("label")).as("label"), max(col("__old")).as("__old"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") < col("__old")).limit(1).count()
+      labels = next.select(col("v"), col("label"))
       converged = changed == 0L
       iter += 1
     }
