@@ -40,6 +40,11 @@ object RelationalQueries {
     // A-series: hash aggregate with multiple measures (TPC-H Q1 shape; the
     // reference's DQ/agg ops A3–A6 generalized). Map-side partial agg keeps
     // the shuffle tiny regardless of input size.
+    // DECIMAL sums are a deliberate scale-correctness choice: scaled-long
+    // "cents" sums measure ~2x faster at sf0.1 but a 64-bit accumulator
+    // overflows around 1e18 scaled units — within reach of 100 TB fact
+    // tables (600B rows x 1e7-cent prices). Plain double sums are order-
+    // dependent and not reproducible across partitionings.
     Q("q02_pricing_summary",
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
