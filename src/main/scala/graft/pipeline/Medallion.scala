@@ -132,6 +132,26 @@ object Medallion {
     spark.read.parquet(silverPath)
   }
 
+  /** Silver products: the reference's one denormalizing silver transform —
+    * products LEFT JOIN product_category, category NAME carried forward and
+    * ids renamed to the serving vocabulary
+    * (`silver_dimensions.py:65-86`). Category side is broadcast (tiny dim). */
+  def silverProducts(spark: SparkSession, productsPath: String,
+                     categoryPath: String, target: String): DataFrame = {
+    val p = spark.read.parquet(productsPath).drop("year", "month", "day")
+    val c = spark.read.parquet(categoryPath).drop("year", "month", "day")
+      .select(col("id").as("__cat_id"), col("name").as("category"))
+    val joined = p.join(broadcast(c), p("category_id") === col("__cat_id"), "left")
+      .select(
+        p("id").as("product_id"),
+        p("name").as("product_name"),
+        col("category"),
+        p("unit_price"),
+        p("updated_at"))
+    joined.write.mode(SaveMode.Overwrite).parquet(target)
+    spark.read.parquet(target)
+  }
+
   /** Silver fact: orders ⋈ order_details at line grain, suggestion rows
     * unioned in, partitioned append (`silver_facts.py:53-96`). */
   def silverFact(spark: SparkSession, ordersPath: String, detailsPath: String,
@@ -231,13 +251,14 @@ object Medallion {
     * partitioned append (`gold_fact_orders.py:76-128`). Dims resolve through
     * the versioned-publish pointer. */
   def goldFact(spark: SparkSession, silverFactPath: String,
-               dimPaths: Map[String, (String, String)], // dimName -> (path, businessKey)
+               // dimName -> (path, businessKey in fact, id column in dim)
+               dimPaths: Map[String, (String, String, String)],
                target: String): Long = {
     val fact = spark.read.parquet(silverFactPath)
-    val enriched = dimPaths.foldLeft(fact) { case (f, (dim, (path, fk))) =>
+    val enriched = dimPaths.foldLeft(fact) { case (f, (dim, (path, fk, dimId))) =>
       val d = readGold(spark, path)
         .filter(col("is_current"))
-        .select(col("id").as(s"__${dim}_id"), col("dim_key").as(s"${dim}_key"))
+        .select(col(dimId).as(s"__${dim}_id"), col("dim_key").as(s"${dim}_key"))
       f.join(broadcast(d), f(fk) === d(s"__${dim}_id"), "left").drop(s"__${dim}_id")
     }
     bronzeIncremental(spark, enriched.drop("year", "month", "day"), "timestamp", target)
@@ -279,8 +300,8 @@ object Medallion {
   def run(spark: SparkSession, sources: Map[String, DataFrame], conf: Config): Map[String, Any] = {
     import conf._
     // Bronze (incremental, partitioned)
-    val bronzeCounts = Seq("stores", "payment_method", "products", "customers",
-      "orders", "order_details").map { t =>
+    val bronzeCounts = Seq("stores", "payment_method", "product_category",
+      "products", "customers", "orders", "order_details").map { t =>
       val tsCol = if (sources(t).columns.contains("updated_at")) "updated_at" else "timestamp"
       t -> bronzeIncremental(spark, sources(t), tsCol, s"$bronzeRoot/$t")
     }.toMap
@@ -291,26 +312,29 @@ object Medallion {
     // Silver dims (cleaned overwrite) + fact
     silverDim(spark, s"$bronzeRoot/stores", s"$silverRoot/stores", Seq("city", "district"))
     silverDim(spark, s"$bronzeRoot/payment_method", s"$silverRoot/payment_method", Seq("bank"))
-    silverDim(spark, s"$bronzeRoot/products", s"$silverRoot/products", Seq("name"))
+    silverProducts(spark, s"$bronzeRoot/products", s"$bronzeRoot/product_category",
+      s"$silverRoot/products")
     silverDim(spark, s"$bronzeRoot/customers", s"$silverRoot/customers", Seq("tier"))
     val factRows = silverFact(spark, s"$bronzeRoot/orders", s"$bronzeRoot/order_details",
       s"$silverRoot/fact_orders")
     // DQ gate: silver
     val silverDq = dqGate(spark.read.parquet(s"$silverRoot/products"), Seq(
       Quality.MinValue("slv.products", "unit_price", 0.0),
-      Quality.Completeness("slv.products", "id", 1.0)))
+      Quality.Completeness("slv.products", "product_id", 1.0)))
     // Gold dims (SCD2) + fact
     goldDim(spark, s"$silverRoot/stores", s"$goldRoot/dim_stores", "id",
       Seq("name", "address", "district", "city"))
     goldDim(spark, s"$silverRoot/payment_method", s"$goldRoot/dim_payment_method", "id",
       Seq("method_name", "bank"))
-    goldDim(spark, s"$silverRoot/products", s"$goldRoot/dim_products", "id",
-      Seq("name", "category_id", "unit_price"))
+    // SCD2 attrs mirror gold_dim_products.py:86-87 — the denormalized
+    // category NAME versions, not the raw category_id
+    goldDim(spark, s"$silverRoot/products", s"$goldRoot/dim_products", "product_id",
+      Seq("product_name", "category", "unit_price"))
     val goldRows = goldFact(spark, s"$silverRoot/fact_orders",
       Map(
-        "store" -> (s"$goldRoot/dim_stores", "store_id"),
-        "payment" -> (s"$goldRoot/dim_payment_method", "payment_method_id"),
-        "product" -> (s"$goldRoot/dim_products", "product_id")),
+        "store" -> (s"$goldRoot/dim_stores", "store_id", "id"),
+        "payment" -> (s"$goldRoot/dim_payment_method", "payment_method_id", "id"),
+        "product" -> (s"$goldRoot/dim_products", "product_id", "product_id")),
       s"$goldRoot/fact_orders")
     Map("bronze" -> bronzeCounts, "bronze_dq_failures" -> bronzeDq,
       "silver_fact_rows" -> factRows, "silver_dq_failures" -> silverDq,

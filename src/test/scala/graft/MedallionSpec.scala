@@ -29,6 +29,9 @@ class MedallionSpec extends SparkSpec {
     val prodRows = Seq(
       Row("P1", "espresso", 1, 30000L, ts("2024-01-01 08:00:00")),
       Row("P2", "latte", 1, 45000L, ts("2024-01-01 08:00:00")))
+    val catRows = Seq(
+      Row(1, "coffee", ts("2024-01-01 08:00:00")),
+      Row(2, "tea", ts("2024-01-01 08:00:00")))
     val custRows = Seq(Row(10, "An", 84901234567L, "diamond", ts("2024-01-01 08:00:00")))
     val orderRows =
       if (run == 1) Seq(Row("O1", ts("2024-01-05 09:00:00"), 10, 1, 1, 2))
@@ -41,6 +44,7 @@ class MedallionSpec extends SparkSpec {
     Map(
       "stores" -> spark.createDataFrame(storeRows.asJava, Schemas.stores),
       "payment_method" -> spark.createDataFrame(payRows.asJava, Schemas.paymentMethod),
+      "product_category" -> spark.createDataFrame(catRows.asJava, Schemas.productCategory),
       "products" -> spark.createDataFrame(prodRows.asJava, Schemas.products),
       "customers" -> spark.createDataFrame(custRows.asJava, Schemas.customers),
       "orders" -> spark.createDataFrame(orderRows.asJava, Schemas.orders),
@@ -64,6 +68,15 @@ class MedallionSpec extends SparkSpec {
     assert(pay.filter(col("id") === 2).head().isNullAt(pay.columns.indexOf("bank")))
     val st = spark.read.parquet(s"${conf.silverRoot}/stores")
     assert(st.filter(col("city") =!= "HCMC").count() == 0)
+    // silver products carry the denormalized category NAME (ref join)
+    val sp = spark.read.parquet(s"${conf.silverRoot}/products")
+    assert(sp.columns.toSet ==
+      Set("product_id", "product_name", "category", "unit_price", "updated_at"))
+    assert(sp.filter(col("category") =!= "coffee").count() == 0)
+    // ...and gold dim products versions over it
+    val dp = Medallion.readGold(spark, s"${conf.goldRoot}/dim_products")
+    assert(dp.filter(col("is_current")).select("category").distinct().head()
+      .getString(0) == "coffee")
 
     // gold fact carries surrogate keys for all three dims
     val fact = spark.read.parquet(s"${conf.goldRoot}/fact_orders")
