@@ -152,13 +152,24 @@ object Medallion {
     spark.read.parquet(target)
   }
 
-  /** Silver fact: orders ⋈ order_details at line grain, suggestion rows
-    * unioned in, partitioned append (`silver_facts.py:53-96`). */
+  /** Silver fact: orders ⋈ order_details at line grain, accepted-suggestion
+    * rows unioned into the details side, partitioned append
+    * (`silver_facts.py:53-96`). Divergence from the reference, documented:
+    * it unions the FULL suggestion table after its new-order filter on
+    * every run (re-appending old suggestions each batch); here suggestions
+    * join through the same order-timestamp watermark as ordinary lines, so
+    * the append is idempotent. */
   def silverFact(spark: SparkSession, ordersPath: String, detailsPath: String,
-                 target: String): Long = {
+                 target: String, suggestionsPath: Option[String] = None): Long = {
     val orders = spark.read.parquet(ordersPath)
       .drop("year", "month", "day").withColumnRenamed("id", "order_id")
-    val details = spark.read.parquet(detailsPath).drop("year", "month", "day")
+    val lines = spark.read.parquet(detailsPath).drop("year", "month", "day")
+    val details = suggestionsPath.filter(tableExists(spark, _)) match {
+      case Some(p) =>
+        lines.unionByName(
+          spark.read.parquet(p).drop("year", "month", "day").select(lines.columns.map(col): _*))
+      case None => lines
+    }
     val joined = orders.join(details, Seq("order_id"), "inner")
     bronzeIncremental(spark, joined.drop("year", "month", "day"), "timestamp", target)
   }
@@ -299,9 +310,13 @@ object Medallion {
     *    the commit mechanism differs. */
   def run(spark: SparkSession, sources: Map[String, DataFrame], conf: Config): Map[String, Any] = {
     import conf._
-    // Bronze (incremental, partitioned)
-    val bronzeCounts = Seq("stores", "payment_method", "product_category",
-      "products", "customers", "orders", "order_details").map { t =>
+    // Bronze (incremental, partitioned); the Kafka-drained suggestion topic
+    // participates when the deployment provides it
+    val bronzeTables = Seq("stores", "payment_method", "product_category",
+      "products", "customers", "orders", "order_details") ++
+      (if (sources.contains("order_suggestion_accepted"))
+         Seq("order_suggestion_accepted") else Nil)
+    val bronzeCounts = bronzeTables.map { t =>
       val tsCol = if (sources(t).columns.contains("updated_at")) "updated_at" else "timestamp"
       t -> bronzeIncremental(spark, sources(t), tsCol, s"$bronzeRoot/$t")
     }.toMap
@@ -316,7 +331,10 @@ object Medallion {
       s"$silverRoot/products")
     silverDim(spark, s"$bronzeRoot/customers", s"$silverRoot/customers", Seq("tier"))
     val factRows = silverFact(spark, s"$bronzeRoot/orders", s"$bronzeRoot/order_details",
-      s"$silverRoot/fact_orders")
+      s"$silverRoot/fact_orders",
+      suggestionsPath =
+        if (sources.contains("order_suggestion_accepted"))
+          Some(s"$bronzeRoot/order_suggestion_accepted") else None)
     // DQ gate: silver
     val silverDq = dqGate(spark.read.parquet(s"$silverRoot/products"), Seq(
       Quality.MinValue("slv.products", "unit_price", 0.0),

@@ -54,6 +54,14 @@ class MedallionSpec extends SparkSpec {
         val o = spark.createDataFrame(orderRows.asJava, Schemas.orders)
           .select(col("id").as("order_id"), col("timestamp").as("updated_at"))
         d.join(o, "order_id")
+      },
+      "order_suggestion_accepted" -> {
+        // Kafka-drained accepted suggestions (run 1 only; empty later)
+        val rows = if (run == 1) Seq(Row("O1", "P2", 1, 20, 36000L, true)) else Nil
+        val d = spark.createDataFrame(rows.asJava, Schemas.orderDetails)
+        val o = spark.createDataFrame(orderRows.asJava, Schemas.orders)
+          .select(col("id").as("order_id"), col("timestamp").as("updated_at"))
+        d.join(o, "order_id")
       })
   }
 
@@ -61,7 +69,7 @@ class MedallionSpec extends SparkSpec {
     val r1 = Medallion.run(spark, sources(1), conf)
     assert(r1("bronze_dq_failures") == Seq.empty)
     assert(r1("silver_dq_failures") == Seq.empty)
-    assert(r1("gold_fact_rows") == 2L)
+    assert(r1("gold_fact_rows") == 3L) // 2 order lines + 1 accepted suggestion
 
     // silver cleaning: \r stripped, "null\r" → real NULL
     val pay = spark.read.parquet(s"${conf.silverRoot}/payment_method")
@@ -82,6 +90,7 @@ class MedallionSpec extends SparkSpec {
     val fact = spark.read.parquet(s"${conf.goldRoot}/fact_orders")
     assert(fact.filter(col("store_key").isNull || col("payment_key").isNull ||
       col("product_key").isNull).count() == 0)
+    assert(fact.filter(col("is_suggestion")).count() == 1) // the accepted suggestion
     // partition layout exists (K1/K4 discipline)
     assert(new java.io.File(s"${conf.goldRoot}/fact_orders/year=2024/month=1/day=5").exists())
 
@@ -93,7 +102,8 @@ class MedallionSpec extends SparkSpec {
       .getAs[String]("address") == "99 New Addr")
     assert(dimStores.filter(col("id") === 2).count() == 1) // untouched
     val fact2 = spark.read.parquet(s"${conf.goldRoot}/fact_orders")
-    assert(fact2.count() == 3) // incremental append, no reprocessing
+    assert(fact2.count() == 4) // incremental append: no reprocessing, no
+                               // suggestion re-union (ref divergence note)
     // increment-only counting: run 2 wrote exactly the ONE new fact row;
     // the reported count is O(delta), never a full-target rescan
     assert(r2("gold_fact_rows") == 1L)
