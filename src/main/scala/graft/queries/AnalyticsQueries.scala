@@ -43,6 +43,24 @@ object AnalyticsQueries {
              GROUP BY ROLLUP (r_name, n_name)
              ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")),
 
+    // CUBE: all 2^2 grouping combinations of (priority, year) in one
+    // grouping-sets pass — completes the rollup/cube pair with q26.
+    Q("q39_cube_revenue",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .cube(col("o_orderpriority"), col("yr"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .select(col("o_orderpriority"), col("yr"), col("n_orders"), col("revenue"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("yr").asc_nulls_first),
+      Some("""SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+                    CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             FROM orders
+             GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+             ORDER BY o_orderpriority NULLS FIRST, yr NULLS FIRST""")),
+
     // Customer segmentation with INTERSECT/EXCEPT semantics, computed as ONE
     // scan + ONE shuffle: groupBy(custkey) with two conditional max flags
     // derives both segments, where the literal intersect/except plan scans
