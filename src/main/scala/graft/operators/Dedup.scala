@@ -217,9 +217,10 @@ object Dedup {
       when(substring(a, i + 1, 1) =!= substring(b, i + 1, 1), 1).otherwise(0): Column)
       .reduce(_ + _)
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: label(v) ← min(label(v), min label among
-    * neighbors), to fixpoint. Output: (id, component) where component is the
+  /** Connected components over an undirected edge list (integral vertex
+    * ids) by iterative min-label propagation: label(v) ← min(label(v),
+    * min label among neighbors), to fixpoint. Output: (id, component)
+    * where component is the
     * minimum member id — i.e. the canonical document of each near-dup
     * cluster, the assignment stage that follows pair generation in a real
     * dedup pipeline (keep one doc per component, or split train/eval by
@@ -231,11 +232,43 @@ object Dedup {
     * so the loop is short; per-iteration frames are persisted and the only
     * driver value is the scalar convergence count. For adversarial
     * long-chain graphs the large-star/small-star variant halves diameter
-    * per round; not needed for dedup-shaped graphs. */
+    * per round; not needed for dedup-shaped graphs.
+    *
+    * Edge lists at or under `driverThreshold` (default 200k pairs ≈ 3 MB)
+    * short-circuit to an exact driver-side union-find: an iterative
+    * distributed loop on a graph that small is pure scheduling overhead.
+    * The threshold bounds driver memory explicitly; the distributed path
+    * is the default above it. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          maxIter: Int = 20,
+                          driverThreshold: Int = 200000): DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = pairs.count()
+    if (nEdges <= driverThreshold) {
+      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(v =>
+        org.apache.spark.sql.Row(v, find(v)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+    }
+    val sym = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // localCheckpoint (not persist) between iterations: caching keeps the
     // DATA hot but the logical plan would still double every round, and
@@ -268,6 +301,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    pairs.unpersist()
     labels.select(col("v").as("id"), col("label").as("component"))
   }
 

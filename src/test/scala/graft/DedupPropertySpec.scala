@@ -86,10 +86,14 @@ class DedupPropertySpec extends SparkSpec {
           parent(hi) = lo }
       }
       val expected = parent.keys.map(v => v -> find(v)).toMap
-      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
-          "doc_a", "doc_b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"edges=$edges")
+      // driver fast path (small graph) and the distributed loop
+      // (driverThreshold = 0 forces it) must both match the reference
+      for (threshold <- Seq(200000, 0)) {
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+            "doc_a", "doc_b", driverThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$edges threshold=$threshold")
+      }
     }
   }
 
