@@ -305,6 +305,24 @@ object Dedup {
     labels.select(col("v").as("id"), col("label").as("component"))
   }
 
+  /** The full corpus-dedup composition a training pipeline runs end to end:
+    * exact dedup (min-id survivor per identical text), then MinHash+LSH
+    * near-dup pairs over the survivors, clustered by
+    * [[connectedComponents]]; each cluster keeps only its canonical
+    * (min-id) member. Returns the deduplicated corpus rows. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                  threshold: Double = 0.1, maxBucketSize: Int = 0): DataFrame = {
+    val exact = exactDedup(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashNearDups(exact, idCol, textCol, shingleN, k, bands,
+      threshold, maxBucketSize)
+    val losers = connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: band the 32-bit fingerprint into `bands`
     * sub-strings, candidate = any shared band, verify by full hamming ≤
     * `maxHamming`. Same sub-quadratic LSH shape as MinHash banding —

@@ -12,24 +12,26 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Shared DuckDB CTEs: tokens and distinct 3-shingles, matching
-    * Dedup.tokens / Dedup.shingleRows semantics exactly. */
-  private val tokCtes =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, s
-      |  FROM toks, UNNEST(list_transform(range(1, len(w) - 1),
-      |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
-      |  WHERE len(w) >= 3)""".stripMargin
+  /** Shared DuckDB CTEs: tokens and distinct 3-shingles over `rel`,
+    * matching Dedup.tokens / Dedup.shingleRows semantics exactly. */
+  private def tokCtesOver(rel: String) =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM $rel),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s
+       |  FROM toks, UNNEST(list_transform(range(1, len(w) - 1),
+       |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+       |  WHERE len(w) >= 3)""".stripMargin
+  private val tokCtes = tokCtesOver("documents")
 
   /** Shared DuckDB CTE chain re-deriving the complete MinHash+LSH pair
-    * pipeline (mirrors Dedup.minhashNearDups at q15's parameters) up to a
-    * `pairs(doc_a, doc_b, jaccard)` relation — consumed by the q15 oracle
-    * directly and by q38's recursive component closure. */
-  private val minhashPairCtes =
-    s"""$tokCtes,
+    * pipeline (mirrors Dedup.minhashNearDups at q15's parameters) over
+    * `rel`, up to a `pairs(doc_a, doc_b, jaccard)` relation — consumed by
+    * the q15 oracle directly, q38's recursive component closure, and q40's
+    * full-dedup composition. */
+  private def minhashPairCtesOver(rel: String) =
+    s"""${tokCtesOver(rel)},
        |sig AS (
        |  SELECT doc_id,
        |    ${(0 until 8).map(i =>
@@ -65,6 +67,7 @@ object TextQueries {
        |  JOIN sizes sa ON sa.doc_id = i.doc_a
        |  JOIN sizes sb ON sb.doc_id = i.doc_b
        |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.1)""".stripMargin
+  private val minhashPairCtes = minhashPairCtesOver("documents")
 
   // ---- q18 simhash: generate the 32 per-bit vote expressions for DuckDB,
   // mirroring Dedup.simhash32 (md5 hex digit j/4, msb-first bit j%4).
@@ -122,6 +125,38 @@ object TextQueries {
                SELECT reach.v, e2.dst FROM reach JOIN e2 ON e2.src = reach.r)
              SELECT v AS id, MIN(r) AS component
              FROM reach GROUP BY v ORDER BY id""")),
+
+    // The full dedup composition (q14 → q15 → q38 as ONE operator): exact
+    // dedup, near-dup clustering over the survivors, keep each cluster's
+    // canonical member. Oracle re-derives every stage over the exact-dedup
+    // relation and anti-joins the cluster losers.
+    Q("q40_dedup_corpus",
+      (s, d) => Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE dd AS (
+               SELECT d.doc_id, d.text FROM documents d
+               JOIN (SELECT md5(text) AS h, MIN(doc_id) AS k
+                     FROM documents GROUP BY md5(text)) w
+                 ON md5(d.text) = w.h AND d.doc_id = w.k),
+             ${minhashPairCtesOver("dd")},
+             nodes AS (
+               SELECT DISTINCT v FROM (
+                 SELECT doc_a AS v FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs)),
+             e2 AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+             reach(v, r) AS (
+               SELECT v, v FROM nodes
+               UNION
+               SELECT reach.v, e2.dst FROM reach JOIN e2 ON e2.src = reach.r),
+             comp AS (
+               SELECT v AS id, MIN(r) AS component FROM reach GROUP BY v)
+             SELECT doc_id FROM dd
+             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+             ORDER BY doc_id""")),
 
     // Deterministic train/val/test split: pure id-hash bucketing (stable
     // across runs/engines/corpus growth, unlike Dataset.sample).
