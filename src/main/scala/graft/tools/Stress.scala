@@ -46,6 +46,12 @@ object Stress {
     t("tfidf top5 200k") {
       TextAnalysis.tfidf(docs, "doc_id", "text").count()
     }
+    // 4M+ near-dup edges -> exceeds the driver union-find threshold, so
+    // this exercises the DISTRIBUTED component loop at volume
+    val kept = t("dedupCorpus 200k (distributed CC)") {
+      Dedup.dedupCorpus(docs, "doc_id", "text", 3, 8, 4, 0.1, 100).count()
+    }
+    println(s"[stress] survivors=$kept")
 
     // 2k vectors -> 80k vectors: tiny deterministic per-variant perturbation
     // in fixed-point space keeps near-neighbor structure.
