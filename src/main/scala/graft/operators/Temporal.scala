@@ -39,6 +39,33 @@ object Temporal {
       .drop("__tag")
   }
 
+  /** Interval (range) join: point rows ⋈ [start, end] intervals with
+    * point ∈ [start, end] (inclusive). A raw theta join degenerates to a
+    * nested-loop over the full cross product; here both sides are
+    * bucketized on a fixed time width — each interval explodes to the
+    * buckets it covers, each point lands in exactly one — so the join is a
+    * plain equi-join on the bucket id refined by the exact predicate. No
+    * duplicate pairs are produced (a point's single bucket meets each
+    * covering interval once), so no distinct is needed.
+    *
+    * `bucketSeconds` should be near the typical interval length: an
+    * interval explodes into (length/bucket + 1) rows, and a bucket's
+    * contents bound the refinement fan-out — the same coverage/width
+    * trade every distributed range-join optimizer makes. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointTs: String, startCol: String, endCol: String,
+                bucketSeconds: Long): DataFrame = {
+    val pb = points.withColumn("__bucket",
+      floor(unix_timestamp(col(pointTs).cast("timestamp")) / bucketSeconds))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(unix_timestamp(col(startCol).cast("timestamp")) / bucketSeconds),
+        floor(unix_timestamp(col(endCol).cast("timestamp")) / bucketSeconds))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** Batch sessionization: group events into sessions separated by ≥ `gap`
     * of inactivity, via Spark's native `session_window` (works identically
     * under Structured Streaming with a watermark). */

@@ -13,6 +13,37 @@ object TemporalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Interval (range) join: campaign windows x order timestamps via the
+    // bucketized equi-join (a raw theta join would be a nested loop over
+    // the cross product). Campaign intervals derive purely from testdata.
+    Q("q41_range_join",
+      (s, d) => {
+        val campaigns = Tables.nation(s, d).select(
+            col("n_nationkey").as("campaign_id"),
+            date_add(to_date(lit("1995-01-01")),
+              (col("n_nationkey") * 90).cast("int")).as("start_d"))
+          .withColumn("end_d", date_add(col("start_d"), 10))
+        Temporal.rangeJoin(Tables.orders(s, d), campaigns,
+            "o_orderdate", "start_d", "end_d", bucketSeconds = 14L * 86400L)
+          .groupBy(col("campaign_id"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy(col("campaign_id"))
+      },
+      Some("""WITH c2 AS (
+               SELECT n_nationkey AS campaign_id,
+                      DATE '1995-01-01' + n_nationkey * 90 AS start_d,
+                      DATE '1995-01-01' + n_nationkey * 90 + 10 AS end_d
+               FROM nation),
+             j AS (
+               SELECT campaign_id, o_totalprice
+               FROM orders JOIN c2
+                 ON o_orderdate >= start_d AND o_orderdate <= end_d)
+             SELECT campaign_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             FROM j GROUP BY campaign_id ORDER BY campaign_id""")),
+
     // Sessionization: 30-minute-gap sessions per user over the event stream.
     Q("q29_sessionization",
       (s, d) => Temporal.sessionize(Tables.events(s, d), "user_id", "ts", "30 minutes")
