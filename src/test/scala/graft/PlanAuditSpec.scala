@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan audits: the properties that make the key queries scale are
+  * asserted, not hoped for — a plan regression (lost pushdown, a join
+  * falling back to nested-loop, a sort sneaking in front of a top-k) fails
+  * the suite even while results stay correct. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("q01: filters reach the parquet scan; only needed columns read") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(!p.contains("l_comment")) // untouched wide column never scanned
+  }
+
+  test("q03: star joins broadcast the dimensions") {
+    val p = plan("q03_fact_assembly")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q16: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q16_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q41: range join is an equi-join on the bucket id, never a nested loop") {
+    val p = plan("q41_range_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q27: one-scan segmentation reads orders exactly once") {
+    val p = plan("q27_set_ops")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("q02: aggregation is map-side partial (two-phase hash aggregate)") {
+    val p = plan("q02_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
