@@ -43,16 +43,41 @@ object Medallion {
       .withColumn("updated_at", coalesce(col("updated_at"), current_timestamp()))
 
   /** Max-timestamp watermark from an existing table, else None (first run →
-    * full load; `bronze_dimension_fact_load.py:59-79`). */
-  def watermark(spark: SparkSession, path: String, tsCol: String): Option[java.sql.Timestamp] =
-    if (!tableExists(spark, path)) None
-    else spark.read.parquet(path).agg(max(col(tsCol))).first().get(0) match {
+    * full load; `bronze_dimension_fact_load.py:59-79`).
+    *
+    * The y/m/d partition values DERIVE from `tsCol` ([[bronzeIncremental]]),
+    * so the global max timestamp necessarily lives in the
+    * lexicographically-greatest partition — which is resolved from
+    * directory names (a pure metadata operation) so only ONE day partition
+    * is ever scanned for the max. A whole-table max would be the dominant
+    * per-batch cost on a large bronze table. Unpartitioned layouts fall
+    * back to the full scan. */
+  def watermark(spark: SparkSession, path: String, tsCol: String): Option[java.sql.Timestamp] = {
+    if (!tableExists(spark, path)) return None
+    val fs = hadoopFs(spark, path)
+    def maxChild(dir: org.apache.hadoop.fs.Path, prefix: String): Option[Int] = {
+      val vals = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(_.stripPrefix(prefix).toIntOption)
+      if (vals.isEmpty) None else Some(vals.max)
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val latestPartition = for {
+      y <- maxChild(root, "year=")
+      yp = new org.apache.hadoop.fs.Path(root, s"year=$y")
+      m <- maxChild(yp, "month=")
+      mp = new org.apache.hadoop.fs.Path(yp, s"month=$m")
+      dd <- maxChild(mp, "day=")
+    } yield s"$path/year=$y/month=$m/day=$dd"
+    spark.read.parquet(latestPartition.getOrElse(path))
+      .agg(max(col(tsCol))).first().get(0) match {
       case null => None
       case t: java.sql.Timestamp => Some(t)
       case ldt: java.time.LocalDateTime => Some(java.sql.Timestamp.valueOf(ldt))
       case i: java.time.Instant => Some(java.sql.Timestamp.from(i))
       case other => throw new IllegalStateException(s"unexpected watermark: $other")
     }
+  }
 
   /** Declared reaction to schema drift between an incoming batch and the
     * bronze target (drift itself is detected by [[Quality.schemaDrift]],
