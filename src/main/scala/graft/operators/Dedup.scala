@@ -302,6 +302,11 @@ object Dedup {
     }
     sym.unpersist()
     pairs.unpersist()
+    // a silently-unconverged labeling would split components undetectably —
+    // refuse rather than return wrong clusters
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        "(graph diameter exceeds the bound; raise maxIter)")
     labels.select(col("v").as("id"), col("label").as("component"))
   }
 

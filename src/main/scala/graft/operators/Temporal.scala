@@ -55,12 +55,17 @@ object Temporal {
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 pointTs: String, startCol: String, endCol: String,
                 bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
     val pb = points.withColumn("__bucket",
       floor(unix_timestamp(col(pointTs).cast("timestamp")) / bucketSeconds))
-    val ib = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(unix_timestamp(col(startCol).cast("timestamp")) / bucketSeconds),
-        floor(unix_timestamp(col(endCol).cast("timestamp")) / bucketSeconds))))
+    // degenerate intervals (end < start) match nothing by definition; they
+    // are dropped up front because sequence(hi, lo) would throw instead
+    val ib = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(unix_timestamp(col(startCol).cast("timestamp")) / bucketSeconds),
+          floor(unix_timestamp(col(endCol).cast("timestamp")) / bucketSeconds))))
     pb.join(ib, Seq("__bucket"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
       .drop("__bucket")

@@ -103,6 +103,8 @@ object TextAnalysis {
     * what a training pipeline needs from its holdout boundary. */
   def withSplit(df: DataFrame, idCol: String,
                 trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
     val bucket =
       s"((instr('0123456789abcdef', substr(md5(CAST($idCol AS STRING)), 1, 1)) - 1) * 16 + " +
         s"(instr('0123456789abcdef', substr(md5(CAST($idCol AS STRING)), 2, 1)) - 1)) % 100"

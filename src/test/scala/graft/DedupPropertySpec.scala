@@ -65,6 +65,32 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("tfidf over bigrams matches a Scala-computed reference") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    corpora.filter(_.size >= 2).take(4).foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val terms = corpus.zipWithIndex.flatMap { case (t, i) =>
+        t.trim.toLowerCase.split("\\s+").toSeq.sliding(2)
+          .filter(_.size == 2).map(w => (i.toLong, w.mkString(" "))).toSeq
+      }
+      val tf = terms.groupBy(identity).map { case ((id, term), xs) =>
+        (id, term) -> xs.size.toLong }
+      val docFreq = tf.keys.groupBy(_._2).map { case (term, xs) => term -> xs.size }
+      val n = corpus.size.toDouble
+      val expected = tf.map { case ((id, term), f) =>
+        (id, term) -> (f, round6(f * math.log(n / docFreq(term))))
+      }
+      val got = TextAnalysis.tfidf(docs, "doc_id", "text", n = 2)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == expected, s"corpus=$corpus")
+    }
+  }
+
   test("connectedComponents matches a union-find reference on random graphs") {
     import spark.implicits._
     val edgeGen: Gen[List[(Long, Long)]] =

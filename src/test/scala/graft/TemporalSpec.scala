@@ -24,6 +24,32 @@ class TemporalSpec extends SparkSpec {
     assert(sess(1).getAs[Long]("n_events") == 1)
   }
 
+  test("rangeJoin matches a filtered cross join; degenerate intervals match nothing") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-05 00:00:00")),
+      (3L, ts("2024-01-10 23:59:59")), (4L, ts("2024-02-01 00:00:00")))
+      .toDF("pid", "pts")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-06 00:00:00")),
+      (200L, ts("2024-01-05 00:00:00"), ts("2024-01-31 00:00:00")),
+      (300L, ts("2024-03-01 00:00:00"), ts("2024-02-01 00:00:00"))) // end < start
+      .toDF("iid", "s", "e")
+    val got = Temporal.rangeJoin(points, intervals, "pts", "s", "e",
+        bucketSeconds = 86400L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (p, pt) <- Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-05 00:00:00"),
+        (3L, "2024-01-10 23:59:59"), (4L, "2024-02-01 00:00:00"))
+      (i, s0, e0) <- Seq((100L, "2024-01-01 00:00:00", "2024-01-06 00:00:00"),
+        (200L, "2024-01-05 00:00:00", "2024-01-31 00:00:00"))
+      if !ts(pt).before(ts(s0)) && !ts(pt).after(ts(e0))
+    } yield (p, i)).toSet
+    assert(got == expected && got.nonEmpty)
+    assert(!got.exists(_._2 == 300L))
+  }
+
   test("asofJoin attaches the latest right ts at-or-before each left row") {
     import spark.implicits._
     val left = Seq(
