@@ -71,12 +71,14 @@ object Temporal {
       .drop("__bucket")
   }
 
-  /** Batch sessionization: group events into sessions separated by ≥ `gap`
-    * of inactivity, via Spark's native `session_window` (works identically
-    * under Structured Streaming with a watermark). */
+  /** Sessionization: group events into sessions separated by ≥ `gap` of
+    * inactivity, via Spark's native `session_window`. Batch by default;
+    * pass `watermark` to run the SAME operator under Structured Streaming
+    * (append mode requires one so closed sessions can be finalized —
+    * exercised end-to-end in TemporalSpec). */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-                 gap: String): DataFrame =
-    events
+                 gap: String, watermark: Option[String] = None): DataFrame =
+    watermark.fold(events)(w => events.withWatermark(tsCol, w))
       .groupBy(col(userCol), session_window(col(tsCol), gap).as("session"))
       .agg(
         count(lit(1)).as("n_events"),

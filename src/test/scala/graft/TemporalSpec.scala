@@ -50,6 +50,29 @@ class TemporalSpec extends SparkSpec {
     assert(!got.exists(_._2 == 300L))
   }
 
+  test("sessionize runs under Structured Streaming with a watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Temporal.sessionize(in.toDF().toDF("user_id", "ts"),
+        "user_id", "ts", "30 minutes", watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+        (1L, ts("2024-01-01 12:00:00"))) // second session, same user
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      in.addData((2L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("user_id") === 1)
+        .orderBy(col("first_event")).collect()
+      assert(rows.length == 2)
+      assert(rows.head.getAs[Long]("n_events") == 2L) // 10:00+10:10 merged
+      assert(rows.last.getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
   test("asofJoin attaches the latest right ts at-or-before each left row") {
     import spark.implicits._
     val left = Seq(
