@@ -233,6 +233,23 @@ object Medallion {
     spark.read.parquet(s"$root/v=${goldVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"gold table never published: $root"))}")
 
+  /** Versions still on disk (current + retained), ascending — the
+    * time-travel surface the versioned layout gives for free. */
+  def goldVersions(spark: SparkSession, root: String): Seq[Int] =
+    hadoopFs(spark, root).listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toIntOption)
+      .toSeq.sorted
+
+  /** Time travel: read a specific retained version (Delta `versionAsOf`
+    * stand-in; retention is publishGold's keep-previous policy). */
+  def readGoldAt(spark: SparkSession, root: String, version: Int): DataFrame = {
+    require(goldVersions(spark, root).contains(version),
+      s"version $version not retained at $root (have: ${goldVersions(spark, root).mkString(",")})")
+    spark.read.parquet(s"$root/v=$version")
+  }
+
   /** Publish a new version: write `v=N+1` completely, flip the pointer
     * atomically, prune versions older than N (N itself stays for in-flight
     * readers). Returns the committed version. */

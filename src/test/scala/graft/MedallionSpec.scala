@@ -133,6 +133,12 @@ class MedallionSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/v=1").exists())
     assert(new java.io.File(s"$root/v=2").exists())
     assert(Medallion.readGold(spark, root).count() == 1)
+    // time travel: the retained previous version reads back as published
+    assert(Medallion.goldVersions(spark, root) == Seq(2, 3))
+    assert(Medallion.readGoldAt(spark, root, 2).count() == 2)
+    intercept[IllegalArgumentException] {
+      Medallion.readGoldAt(spark, root, 1) // pruned
+    }
     // compaction = content-preserving atomic republish into fewer files
     val before = Medallion.readGold(spark, root).collect().toSet
     val v = Medallion.compactGold(spark, root, targetFiles = 1)
