@@ -324,7 +324,8 @@ object Medallion {
       .filter(!col("passed")).select("check_id").collect().map(_.getString(0)).toSeq
 
   /** Pipeline configuration: source paths in, zone roots out. */
-  case class Config(bronzeRoot: String, silverRoot: String, goldRoot: String)
+  case class Config(bronzeRoot: String, silverRoot: String, goldRoot: String,
+                    schemaPolicy: SchemaPolicy = SchemaPolicy.Merge)
 
   /** Full DAG in dependency order for the coffee-chain shape; returns a
     * per-stage row-count / failure report.
@@ -360,7 +361,7 @@ object Medallion {
          Seq("order_suggestion_accepted") else Nil)
     val bronzeCounts = bronzeTables.map { t =>
       val tsCol = if (sources(t).columns.contains("updated_at")) "updated_at" else "timestamp"
-      t -> bronzeIncremental(spark, sources(t), tsCol, s"$bronzeRoot/$t")
+      t -> bronzeIncremental(spark, sources(t), tsCol, s"$bronzeRoot/$t", conf.schemaPolicy)
     }.toMap
     // DQ gate: bronze
     val bronzeDq = dqGate(spark.read.parquet(s"$bronzeRoot/orders"), Seq(
