@@ -1,15 +1,19 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 object Bench {
-  /** Force FULL materialization of every output column: a bare `.count()`
-    * lets Catalyst prune the final projections (expression-heavy queries
-    * would be partially un-measured), so each query is timed to an
-    * `agg(sum(xxhash64(all columns)))` — every column is computed and
-    * hashed on the executors, and one scalar returns to the driver. */
+  /** Force FULL materialization of every output column.
+    *
+    * A bare `.count()` lets Catalyst prune the final projections (expression-
+    * heavy queries would be partially un-measured), so each query computes
+    * `xxhash64(all columns)` per row and folds the hashes with `bit_xor`.
+    * `bit_xor` — NOT `sum` — because under Spark 4 ANSI mode (default on)
+    * summing uniformly-random 64-bit hashes throws ARITHMETIC_OVERFLOW almost
+    * surely once output exceeds a few dozen rows; XOR is closed over Long and
+    * can never overflow, so every query runs clean to full materialization. */
   private def materialize(df: DataFrame): Unit =
     df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(sum(col("__h")))
+      .agg(expr("bit_xor(__h)"))
       .head()
 
   def main(args: Array[String]): Unit = {
@@ -27,15 +31,27 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    // Per-query: (name, seconds, ok | error message). Failures are REPORTED,
+    // never timed-as-success — a bench that times failures can hide a real
+    // regression forever.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val status =
+        try { materialize(fn(spark, sfDir)); "ok" }
+        catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            "error: " + msg.replaceAll("[\"\\n\\r\\t]", " ").take(160)
+        }
+      (name, (System.nanoTime() - t0) / 1e9, status)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val statuses = results.map { case (k, _, s) => s"\"" + k + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val failed = results.count(_._3 != "ok")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

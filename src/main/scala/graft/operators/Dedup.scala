@@ -44,10 +44,11 @@ object Dedup {
     * to match DuckDB's string_split_regex exactly). */
   def tokens(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
 
-  /** Distinct (id, shingle) rows: sliding n-word shingles over the token
-    * stream. The exploded long-format is the scalable representation — all
-    * downstream ops are joins/aggs on it. */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Raw (id, shingle) rows — sliding n-word shingles over the token stream,
+    * WITH duplicates (a narrow map-side explode, no shuffle). Feed this to
+    * duplicate-immune consumers (MinHash `min`); see [[shingleRows]] for the
+    * set-semantics frame. */
+  def shingleRowsRaw(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val idxs = (0 until n).map(j => s"__w[i + $j]").mkString(", ")
     docs
       .select(col(idCol), tokens(col(textCol)).as("__w"))
@@ -55,8 +56,16 @@ object Dedup {
       .select(col(idCol),
         explode(expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $idxs))"))
           .as("shingle"))
-      .distinct()
   }
+
+  /** Distinct (id, shingle) rows: sliding n-word shingles over the token
+    * stream. The exploded long-format is the scalable representation — all
+    * downstream ops are joins/aggs on it. The `distinct` is a full shuffle
+    * of the widest data in the dedup pipeline — only consumers that need SET
+    * semantics (Jaccard sizes/intersections) should pay for it; signature
+    * computation runs off [[shingleRowsRaw]]. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsRaw(docs, idCol, textCol, n).distinct()
 
   /** MinHash signature: k independent permutations approximated by minima
     * of 8-hex-char chunks of seeded md5s — hash i uses chunk i%4 of
@@ -161,13 +170,16 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.1, maxBucketSize: Int = 0): DataFrame = {
-    // The shingle frame (explode+distinct — the heaviest subtree) feeds four
-    // consumers on DIFFERENT shuffle keys (doc_id for signatures/sizes,
-    // shingle for the pair join), so ReusedExchange cannot dedupe it —
-    // without an explicit persist the explode re-runs per consumer.
+    // Signatures run off the RAW shingle stream: `min` is idempotent under
+    // duplicates, so the signature path needs no `distinct` — its only
+    // shuffle is the small map-side-combined (id, k partial mins) agg. The
+    // distinct frame (a full shuffle of the widest data) is computed only
+    // for Jaccard set sizes/intersections, and persisted because it feeds
+    // three consumers on DIFFERENT shuffle keys (id for sizes, shingle for
+    // the pair join) that ReusedExchange cannot dedupe.
     val sh = shingleRows(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sh, idCol, k)
+    val sig = minhashSignatures(shingleRowsRaw(docs, idCol, textCol, shingleN), idCol, k)
     val cand = lshCandidatePairs(lshBandRows(sig, idCol, bands, k / bands), idCol,
       maxBucketSize)
     jaccardForPairs(cand, sh, idCol, minJaccard = threshold)
@@ -181,14 +193,17 @@ object Dedup {
   /** Per-doc bit votes __v0..__v31 + n_tokens (shared by the string and
     * integer fingerprint forms). */
   private def simhashVotes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // The first 8 hex chars of the md5 are decoded ONCE per token row into a
+    // 32-bit integer (`conv` base 16→10); each bit vote is then two integer
+    // ops on that long. The per-bit string form (instr+substr per bit — 32
+    // string scans per row) computed identical values but dominated the
+    // vote aggregation's CPU profile. Bit j (msb-first) = digit j/4's bit
+    // (3 - j%4), i.e. plain bit (31-j) of the decoded value.
     val tokRows = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("__h", md5(col("tok")))
+      .withColumn("__hv", expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"))
     val votes = (0 until 32).map { j =>
-      val pos = j / 4 + 1
-      val shift = 1 << (3 - j % 4)
-      sum(expr(s"2 * (((instr('0123456789abcdef', substr(__h, $pos, 1)) - 1) div $shift) % 2) - 1"))
-        .as(s"__v$j")
+      sum(expr(s"2 * ((__hv div ${1L << (31 - j)}L) % 2) - 1")).as(s"__v$j")
     }
     tokRows.groupBy(col(idCol))
       .agg(votes.head, votes.tail :+ count(lit(1)).as("n_tokens"): _*)
@@ -251,9 +266,20 @@ object Dedup {
       val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      // Iterative find with path halving — a recursive find would recurse
+      // once per parent-chain hop and can overflow the JVM stack on
+      // adversarial chain graphs (200k-edge path ⇒ chains deep enough to
+      // blow a default 512k stack before compression kicks in).
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElseUpdate(x, x)
+        while (p != x) {
+          val gp = parent.getOrElseUpdate(p, p)
+          parent(x) = gp // path halving: point x at its grandparent
+          x = gp
+          p = parent.getOrElseUpdate(x, x)
+        }
+        x
       }
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))

@@ -97,7 +97,35 @@ object Scd2 {
 
   /** Production surrogate keying: collision-checked hash of (business key,
     * version start) — fully parallel, no global sort, no driver round-trip
-    * (vs the reference's `max(key)` collect at `gold_dim_payment.py:96-100`). */
-  def scalableKey(dim: DataFrame, key: String, keyCol: String): DataFrame =
-    dim.withColumn(keyCol, xxhash64(col(key), col(StartDate)))
+    * (vs the reference's `max(key)` collect at `gold_dim_payment.py:96-100`).
+    *
+    * The collision check is real, not aspirational: xxhash64 collides at
+    * birthday scale (~2³² rows, within reach of a 100 TB dimension), and a
+    * silent collision would hand two versions one surrogate key. One
+    * aggregation pass compares total rows against distinct surrogate keys
+    * and fails loudly on mismatch. The check costs a single
+    * map-side-combined agg over the keyed frame; callers that re-verify
+    * downstream can disable it via `check = false`. */
+  def scalableKey(dim: DataFrame, key: String, keyCol: String,
+                  check: Boolean = true): DataFrame =
+    scalableKeyWith(dim, key, keyCol, xxhash64(col(key), col(StartDate)), check)
+
+  /** Test seam for [[scalableKey]]: the hash expression is injectable so a
+    * spec can force a collision (xxhash64 collisions are unfindable at test
+    * scale) and prove the guard actually fires. */
+  private[graft] def scalableKeyWith(dim: DataFrame, key: String, keyCol: String,
+                                     hashExpr: Column, check: Boolean): DataFrame = {
+    val keyed = dim.withColumn(keyCol, hashExpr)
+    if (check) {
+      val r = keyed.agg(
+        countDistinct(col(key), col(StartDate)).as("__inputs"),
+        countDistinct(col(keyCol)).as("__keys")).head()
+      val (inputs, keys) = (r.getLong(0), r.getLong(1))
+      if (inputs != keys) throw new IllegalStateException(
+        s"scalableKey collision: $inputs distinct ($key, $StartDate) inputs " +
+          s"but only $keys distinct '$keyCol' values — xxhash64 collided; " +
+          "use a wider key (e.g. add a salt column) or deterministicKey at this scale")
+    }
+    keyed
+  }
 }

@@ -256,16 +256,13 @@ object Similarity {
       .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
       .limit(nCells) // sort+limit → TakeOrderedAndProject: distributed top-k, no global sort
 
-  /** IVF cell assignment: each vector joins the broadcast centroid set and
-    * keeps its best-dot centroid (deterministic tiebreak: smaller centroid
-    * id wins a dot tie). O(N·nCells) codegen'd dot products, embarrassingly
-    * parallel; the argmax is a map-side-combining max(struct) aggregation,
-    * not a window over the N×nCells expansion. Output: (id, __qv, cell). */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
-               nCells: Int): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
-    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
-    val cents = ivfCentroids(q, idCol, nCells)
+  /** One cell assignment pass: each (id, __qv) row keeps its best-dot
+    * centroid from the broadcast (cent_id, __cv) set (deterministic
+    * tiebreak: smaller centroid id wins a dot tie). O(N·nCells) codegen'd
+    * dot products, embarrassingly parallel; the argmax is a
+    * map-side-combining max(struct) aggregation, not a window over the
+    * N×nCells expansion. Output: (id, __qv, cell). */
+  private def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame =
     q.join(broadcast(cents))
       .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
       .groupBy(col(idCol))
@@ -273,6 +270,51 @@ object Similarity {
         max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"),
         first(col("__qv")).as("__qv")) // all rows of a group share one __qv
       .select(col(idCol), col("__qv"), (-col("__m.__nc")).as("cell"))
+
+  /** Lloyd-trained coarse centroids: `iters` k-means rounds (dot-product
+    * assignment ≡ cosine on unit vectors, element-wise integer-mean update)
+    * over the md5-sample seed. Fully deterministic and DataFrame-only:
+    * means are exact integer division of exact long sums (never a
+    * float mean, whose value would depend on reduction order), so the
+    * trained quantizer is bit-stable across runs and partitionings. A cell
+    * that attracts no vectors keeps its previous centroid. Per round:
+    * one broadcast assignment + one (cell, pos) aggregation over the
+    * posexploded vectors — at extreme corpus scale run it on a sample;
+    * the assignment pass downstream is unchanged. */
+  def ivfTrainCentroids(quantized: DataFrame, idCol: String,
+                        seed: DataFrame, iters: Int): DataFrame = {
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(quantized, idCol, cents)
+      val means = assigned
+        .select(col("cell").as("cent_id"), posexplode(col("__qv")).as(Seq("__pos", "__val")))
+        .groupBy(col("cent_id"), col("__pos"))
+        .agg(expr("sum(__val) div count(1)").as("__mv"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(__pos, __mv))), s -> s.__mv)")
+          .as("__new_cv"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("__new_cv"), col("__cv")).as("__cv"))
+        .localCheckpoint() // tiny frame; truncate the per-round plan growth
+    }
+    cents
+  }
+
+  /** IVF cell assignment over the full corpus. `trainIters` > 0 refines the
+    * seed centroids with that many Lloyd rounds ([[ivfTrainCentroids]])
+    * before assignment. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, trainIters: Int = 0): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+    assignCells(q, idCol, ivfCentroidsTrained(q, idCol, nCells, trainIters))
+  }
+
+  /** Seed-then-train composition shared by [[ivfIndex]] and [[ivfTopK]]. */
+  private def ivfCentroidsTrained(q: DataFrame, idCol: String,
+                                  nCells: Int, trainIters: Int): DataFrame = {
+    val seed = ivfCentroids(q, idCol, nCells)
+    if (trainIters <= 0) seed else ivfTrainCentroids(q, idCol, seed, trainIters)
   }
 
   /** IVF approximate top-k: queries probe their `nProbe` closest cells and
@@ -287,11 +329,16 @@ object Similarity {
     * itself must become hierarchical — documented limit, not hidden. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val index = ivfIndex(emb, idCol, vecCol, nCells)
+              nCells: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+    // one centroid set shared by index assignment AND query probing — a
+    // retrained quantizer must never diverge between the two sides
+    val cents = ivfCentroidsTrained(q, idCol, nCells, trainIters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = ivfCentroids(
-      emb.select(col(idCol), quantize(col(vecCol)).as("__qv")), idCol, nCells)
+    val index = assignCells(q, idCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryIds = emb.filter(queryPred).select(col(idCol))
     val queries = index.join(queryIds, idCol)
       .select(col(idCol).as("query_id"), col("__qv").as("__qvec"))

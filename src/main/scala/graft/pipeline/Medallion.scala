@@ -251,24 +251,58 @@ object Medallion {
   }
 
   /** Publish a new version: write `v=N+1` completely, flip the pointer
-    * atomically, prune versions older than N (N itself stays for in-flight
-    * readers). Returns the committed version. */
-  def publishGold(spark: SparkSession, df: DataFrame, root: String): Int = {
+    * atomically, prune versions older than `N+1 − retain` (so the previous
+    * `retain` versions stay on disk for in-flight readers and time travel).
+    * Returns the committed version.
+    *
+    * Writer safety — this publish path is single-writer by design (the
+    * reference runs it from one daily DAG; multi-writer ACID is what Delta's
+    * log provides, `gold_dim_payment.py:108-122`), and the design is
+    * ENFORCED, not assumed: a table-level `_claim` lease is acquired with
+    * create-no-overwrite BEFORE the current version is read (so the computed
+    * `next` can never go stale under a race), and after the pointer flip the
+    * committed version is re-read and compared — a silent lost update
+    * becomes a loud failure. On HDFS and conditional-put object stores the
+    * exclusive create is atomic; on plain local filesystems it is
+    * best-effort check-then-create, which still converts the silent
+    * last-rename-wins corruption into an error in any realistic
+    * interleaving. A crashed publisher leaves its claim behind: recovery is
+    * explicit (delete the claim), never automatic — an expiry heuristic
+    * could revoke a live slow writer. */
+  def publishGold(spark: SparkSession, df: DataFrame, root: String,
+                  retain: Int = 1): Int = {
+    require(retain >= 1, s"retain must keep at least the previous version, got $retain")
     val fs = hadoopFs(spark, root)
-    val next = goldVersion(spark, root).getOrElse(0) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$next")
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"v=$next".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_CURRENT"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") &&
-        p.getName.stripPrefix("v=").toIntOption.exists(_ < next - 1))
-      .foreach(p => fs.delete(p, true))
-    next
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val claim = new org.apache.hadoop.fs.Path(root, "_claim")
+    val claimOut =
+      try fs.create(claim, false)
+      catch { case e: java.io.IOException => throw new IllegalStateException(
+        s"concurrent publisher detected at $root: $claim exists — another " +
+          "writer is mid-publish, or crashed and needs its claim removed", e) }
+    try claimOut.write(java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getName.getBytes("UTF-8"))
+    finally claimOut.close()
+    try {
+      val next = goldVersion(spark, root).getOrElse(0) + 1
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$next")
+      val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.$next.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"v=$next".getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(root, "_CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      val committed = goldVersion(spark, root)
+      if (!committed.contains(next)) throw new IllegalStateException(
+        s"lost publish race at $root: committed pointer is $committed, " +
+          s"this writer published v=$next — a concurrent writer bypassed the claim")
+      fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") &&
+          p.getName.stripPrefix("v=").toIntOption.exists(_ < next - retain))
+        .foreach(p => fs.delete(p, true))
+      next
+    } finally fs.delete(claim, false)
   }
 
   /** Small-files maintenance for a versioned gold table: rewrite the
@@ -276,8 +310,9 @@ object Medallion {
     * version — to readers it is just another atomic publish. Incremental
     * pipelines accumulate small files; periodic compaction keeps scan task
     * counts and parquet-footer overhead bounded at scale. */
-  def compactGold(spark: SparkSession, root: String, targetFiles: Int): Int =
-    publishGold(spark, readGold(spark, root).repartition(targetFiles), root)
+  def compactGold(spark: SparkSession, root: String, targetFiles: Int,
+                  retain: Int = 1): Int =
+    publishGold(spark, readGold(spark, root).repartition(targetFiles), root, retain)
 
   /** Gold SCD2 dim refresh: initial load or merge (`gold_dim_*.py`),
     * committed via [[publishGold]]. The effective date is typed end-to-end
@@ -323,6 +358,72 @@ object Medallion {
     Quality.evaluate(df, checks)
       .filter(!col("passed")).select("check_id").collect().map(_.getString(0)).toSeq
 
+  /** Multi-table gate: one single-pass evaluation per table, failures from
+    * every table in one report. */
+  def dqGateSuite(tables: Map[String, DataFrame], checks: Seq[Quality.Check]): Seq[String] =
+    Quality.evaluateSuite(tables, checks)
+      .filter(!col("passed")).select("check_id").collect().map(_.getString(0)).toSeq.sorted
+
+  /** Per-table bronze DQ rule map — full parity with the reference's
+    * table→columns map (`bronze_validation.py:87-118`): listed columns
+    * null-rate-gated at the 5% rule, natural keys unique. Tables the
+    * reference's map omits (payment_method, customers) get the same
+    * id-completeness/uniqueness pattern — omitting them was a reference
+    * gap, not a semantic choice.
+    *
+    * Note bronze is an incremental APPEND layer: a dimension row that
+    * changes legitimately appears twice (two updated_at generations), and
+    * the id-uniqueness rule then reports it — exactly as the reference's
+    * validator would on its own incremental bronze. The gate reports; the
+    * DAG continues (reference behavior, `spark_job_airflow.py:113-126`). */
+  def bronzeRules(table: String): Seq[Quality.Check] = {
+    val t = s"brz.$table"
+    def nulls(cols: String*) = cols.map(c => Quality.NullRate(t, c, 0.05): Quality.Check)
+    def unique(cols: String*) = cols.map(c => Quality.Uniqueness(t, c, 1.0): Quality.Check)
+    table match {
+      case "orders" =>
+        nulls("id", "customer_id", "payment_method_id", "store_id") ++ unique("id")
+      case "order_details" | "order_suggestion_accepted" =>
+        nulls("order_id", "product_id", "quantity", "subtotal")
+      case "products" =>
+        nulls("id", "name", "category_id", "unit_price", "updated_at") ++ unique("id")
+      case "product_category" =>
+        nulls("id", "updated_at") ++ unique("id")
+      case "stores" =>
+        nulls("id", "address", "district", "city", "updated_at") ++ unique("id")
+      case "payment_method" =>
+        nulls("id", "method_name", "updated_at") ++ unique("id")
+      case "customers" =>
+        nulls("id", "updated_at") ++ unique("id")
+      case _ =>
+        Seq.empty // unknown table: no rules (mirrors the reference's allowlist map)
+    }
+  }
+
+  /** Silver DQ suite — full parity with the reference's five-table Deequ
+    * suite (`silver_validation.py:86-135`), mapped onto this pipeline's
+    * silver vocabulary: the reference's slv.orders + slv.order_details
+    * checks both land on the joined line-grain `fact_orders`; stores /
+    * payment_method / customers keep their source column names (this
+    * pipeline renames only products). */
+  def silverRules: Seq[Quality.Check] = {
+    def complete(t: String, cols: String*) =
+      cols.map(c => Quality.Completeness(t, c, 1.0): Quality.Check)
+    complete("slv.products", "product_id", "product_name", "category", "updated_at") ++
+      Seq(Quality.MinValue("slv.products", "unit_price", 0.0),
+        Quality.Uniqueness("slv.products", "product_id", 1.0)) ++
+      complete("slv.stores", "id", "address", "district", "city", "updated_at") ++
+      Seq(Quality.Uniqueness("slv.stores", "id", 1.0)) ++
+      complete("slv.payment_method", "id", "updated_at") ++
+      Seq(Quality.Uniqueness("slv.payment_method", "id", 1.0)) ++
+      complete("slv.customers", "id", "updated_at") ++
+      Seq(Quality.Uniqueness("slv.customers", "id", 1.0)) ++
+      complete("slv.fact_orders",
+        "order_id", "store_id", "customer_id", "payment_method_id",
+        "product_id", "quantity", "subtotal") ++
+      Seq(Quality.MinValue("slv.fact_orders", "subtotal", 0.0))
+  }
+
   /** Pipeline configuration: source paths in, zone roots out. */
   case class Config(bronzeRoot: String, silverRoot: String, goldRoot: String,
                     schemaPolicy: SchemaPolicy = SchemaPolicy.Merge)
@@ -363,10 +464,11 @@ object Medallion {
       val tsCol = if (sources(t).columns.contains("updated_at")) "updated_at" else "timestamp"
       t -> bronzeIncremental(spark, sources(t), tsCol, s"$bronzeRoot/$t", conf.schemaPolicy)
     }.toMap
-    // DQ gate: bronze
-    val bronzeDq = dqGate(spark.read.parquet(s"$bronzeRoot/orders"), Seq(
-      Quality.Completeness("brz.orders", "id", 1.0),
-      Quality.Uniqueness("brz.orders", "id", 1.0)))
+    // DQ gate: bronze — EVERY table gated per its rule map
+    // (`bronze_validation.py:87-118` parity)
+    val bronzeDq = dqGateSuite(
+      bronzeTables.map(t => s"brz.$t" -> spark.read.parquet(s"$bronzeRoot/$t")).toMap,
+      bronzeTables.flatMap(bronzeRules))
     // Silver dims (cleaned overwrite) + fact
     silverDim(spark, s"$bronzeRoot/stores", s"$silverRoot/stores", Seq("city", "district"))
     silverDim(spark, s"$bronzeRoot/payment_method", s"$silverRoot/payment_method", Seq("bank"))
@@ -378,10 +480,12 @@ object Medallion {
       suggestionsPath =
         if (sources.contains("order_suggestion_accepted"))
           Some(s"$bronzeRoot/order_suggestion_accepted") else None)
-    // DQ gate: silver
-    val silverDq = dqGate(spark.read.parquet(s"$silverRoot/products"), Seq(
-      Quality.MinValue("slv.products", "unit_price", 0.0),
-      Quality.Completeness("slv.products", "product_id", 1.0)))
+    // DQ gate: silver — all five silver tables through the Deequ-parity
+    // suite (`silver_validation.py:86-135`)
+    val silverDq = dqGateSuite(
+      Seq("products", "stores", "payment_method", "customers", "fact_orders")
+        .map(t => s"slv.$t" -> spark.read.parquet(s"$silverRoot/$t")).toMap,
+      silverRules)
     // Gold dims (SCD2) + fact
     goldDim(spark, s"$silverRoot/stores", s"$goldRoot/dim_stores", "id",
       Seq("name", "address", "district", "city"))

@@ -123,6 +123,25 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("driver union-find survives a 100k-edge path graph (deep parent chains)") {
+    import spark.implicits._
+    // Descending-order path edges build a maximal-depth parent chain
+    // (parent(i) = i-1, every union touching only fresh roots), then the
+    // final edge probes the tail while the chain is still uncompressed:
+    // that one find() must walk ~1e5 hops. A recursive find overflows the
+    // JVM stack here; the iterative path-halving implementation must
+    // return the single component rooted at 0.
+    val n = 100000
+    val edges = (n - 1 to 1 by -1).map(i => (i.toLong, (i - 1).toLong)) :+
+      ((n - 1).toLong, n.toLong)
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+    assert(got.agg(countDistinct(col("component"))).head().getLong(0) == 1L)
+    assert(got.agg(min(col("component")), max(col("component"))).head()
+      .toSeq == Seq(0L, 0L))
+    assert(got.count() == (n + 1).toLong)
+  }
+
   test("jaccardForPairs equals set-computed |A∩B| / |A∪B|") {
     import spark.implicits._
     corpora.filter(_.size >= 2).foreach { corpus =>

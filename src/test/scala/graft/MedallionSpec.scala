@@ -96,6 +96,15 @@ class MedallionSpec extends SparkSpec {
 
     // --- run 2: store 1 address changes; one new order appended
     val r2 = Medallion.run(spark, sources(2), conf)
+    // the changed store row now legitimately appears twice in the bronze
+    // APPEND layer (two updated_at generations) — the per-table rule map
+    // must surface exactly that uniqueness violation and nothing else,
+    // and the DAG continues (reference logs-and-continues behavior)
+    assert(r2("bronze_dq_failures") == Seq("brz.stores.uniqueness.id"))
+    // silver is a cleaning overwrite, NOT a dedupe (`silver_dimensions.py`
+    // carries every bronze generation through) — so the silver suite warns
+    // about the same key, exactly as the reference's validator would
+    assert(r2("silver_dq_failures") == Seq("slv.stores.uniqueness.id"))
     val dimStores = Medallion.readGold(spark, s"${conf.goldRoot}/dim_stores")
     assert(dimStores.filter(col("id") === 1).count() == 2) // SCD2 versioned
     assert(dimStores.filter(col("id") === 1 && col("is_current")).head()
@@ -145,6 +154,51 @@ class MedallionSpec extends SparkSpec {
     assert(v == 4 && Medallion.goldVersion(spark, root).contains(4))
     assert(Medallion.readGold(spark, root).collect().toSet == before)
     assert(Medallion.readGold(spark, root).rdd.getNumPartitions == 1)
+  }
+
+  test("publishGold writer guard refuses a second publisher; retention is configurable") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("goldguard").toString + "/dim_y"
+    Medallion.publishGold(spark, Seq((1, "a")).toDF("id", "v"), root)
+    // a held table lease (in-flight or crashed publisher) blocks publish
+    val claimFile = new java.io.File(s"$root/_claim")
+    assert(claimFile.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      Medallion.publishGold(spark, Seq((2, "b")).toDF("id", "v"), root)
+    }
+    assert(ex.getMessage.contains("concurrent publisher"))
+    assert(Medallion.goldVersion(spark, root).contains(1)) // refused, untouched
+    assert(claimFile.delete()) // explicit operator recovery
+    // rapid double-publish with retain=2: a reader that resolved v=1 before
+    // both publishes still reads its version afterwards
+    Medallion.publishGold(spark, Seq((2, "b")).toDF("id", "v"), root, retain = 2)
+    Medallion.publishGold(spark, Seq((3, "c")).toDF("id", "v"), root, retain = 2)
+    assert(Medallion.readGoldAt(spark, root, 1)
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    assert(Medallion.goldVersions(spark, root) == Seq(1, 2, 3))
+    // and the claim never lingers after successful publishes
+    assert(!claimFile.exists())
+    Medallion.publishGold(spark, Seq((4, "d")).toDF("id", "v"), root, retain = 2)
+    assert(Medallion.goldVersions(spark, root) == Seq(2, 3, 4))
+  }
+
+  test("bronze rule map flags a seeded-dirty table, table by table") {
+    // 1 of 3 order_details rows (33% > the 5% rule) has a NULL product_id
+    // and a NULL subtotal; a second table in the same suite stays clean —
+    // failures must be attributed per-table, per-column
+    val dirtyRows = Seq(
+      Row("O1", "P1", 1, 0, 30000L, false),
+      Row("O1", null, 2, 0, null, false),
+      Row("O2", "P2", 1, 0, 45000L, false))
+    val dirty = spark.createDataFrame(dirtyRows.asJava, Schemas.orderDetails)
+    val clean = spark.createDataFrame(
+      Seq(Row(1, "coffee", ts("2024-01-01 08:00:00"))).asJava, Schemas.productCategory)
+    val failures = Medallion.dqGateSuite(
+      Map("brz.order_details" -> dirty, "brz.product_category" -> clean),
+      Medallion.bronzeRules("order_details") ++ Medallion.bronzeRules("product_category"))
+    assert(failures == Seq(
+      "brz.order_details.null_rate.product_id",
+      "brz.order_details.null_rate.subtotal"))
   }
 
   test("bronzeIncremental returns the increment count, not the table count") {

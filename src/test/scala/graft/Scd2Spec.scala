@@ -83,4 +83,20 @@ class Scd2Spec extends SparkSpec {
     val keyed = Scd2.scalableKey(t1, "method_id", "dim_key")
     assert(keyed.select("dim_key").distinct().count() == keyed.count())
   }
+
+  test("scalableKey collision check fails loudly when the hash collides") {
+    val t0 = Scd2.initialLoad(df((1, "card", "A"), (2, "cash", "B")), lit("2024-01-01"))
+    val t1 = Scd2.merge(t0, df((1, "card", "B")), "method_id", attrs, lit("2024-02-01"))
+    // force a collision through the test seam: a constant "hash" maps every
+    // distinct (key, start_date) input to one surrogate value
+    val ex = intercept[IllegalStateException] {
+      Scd2.scalableKeyWith(t1, "method_id", "dim_key", lit(42L), check = true)
+    }
+    assert(ex.getMessage.contains("collision"))
+    // same degenerate hash with check=false passes through unguarded
+    assert(Scd2.scalableKeyWith(t1, "method_id", "dim_key", lit(42L), check = false)
+      .count() == 3)
+    // and the real hash passes the check on the same frame
+    assert(Scd2.scalableKey(t1, "method_id", "dim_key").count() == 3)
+  }
 }

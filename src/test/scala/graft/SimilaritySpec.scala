@@ -71,6 +71,25 @@ class SimilaritySpec extends SparkSpec {
     assert(part.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("Lloyd-trained IVF centroids beat the random-centroid baseline at nProbe=4") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pred = col("vec_id") % 40 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred, k = 10))
+    def recallAt(trainIters: Int): Double =
+      pairs(Similarity.ivfTopK(emb, "vec_id", "embedding", pred, k = 10,
+        nCells = 16, nProbe = 4, trainIters = trainIters))
+        .intersect(brute).size.toDouble / brute.size
+    val (random, trained) = (recallAt(0), recallAt(3))
+    info(s"IVF recall at nProbe=4/16: random=$random trained(3 Lloyd iters)=$trained")
+    assert(trained > random,
+      s"training must improve recall: random=$random trained=$trained")
+    // training is deterministic: same iters -> identical result set
+    assert(recallAt(3) == trained)
+  }
+
   test("ivf index assigns near-identical vectors to the same cell; planted dup found at nProbe=1") {
     val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
