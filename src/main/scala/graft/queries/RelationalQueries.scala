@@ -38,25 +38,45 @@ object RelationalQueries {
              ORDER BY l_orderkey, l_linenumber""")),
 
     // A-series: hash aggregate with multiple measures (TPC-H Q1 shape; the
-    // reference's DQ/agg ops A3–A6 generalized). Map-side partial agg keeps
-    // the shuffle tiny regardless of input size.
-    // DECIMAL sums are a deliberate scale-correctness choice: scaled-long
-    // "cents" sums measure ~2x faster at sf0.1 but a 64-bit accumulator
-    // overflows around 1e18 scaled units — within reach of 100 TB fact
-    // tables (600B rows x 1e7-cent prices). Plain double sums are order-
-    // dependent and not reproducible across partitionings.
+    // reference's DQ/agg ops A3–A6 generalized).
+    // Money is aggregated TWO-PHASE: per-partition partial sums in exact
+    // long "cents" (prices/discounts are 2-dp values, so round(x*100) is
+    // their exact scaled integer), then a final merge over the tiny partial
+    // frame in DECIMAL. Per-row work is integer-only (the all-decimal form
+    // paid a per-row BigDecimal conversion + decimal add — measured ~2×
+    // slower); overflow safety at 100 TB is preserved because a long
+    // partial would need ~1e9 rows × max-price in ONE task partition to
+    // overflow (ANSI would still fail loudly, never wrap) and the
+    // cross-partition total — the sum that genuinely reaches ~6e20 at
+    // 600B rows — is carried in DECIMAL(38). Values are bit-identical to
+    // the all-decimal form: every partial is exact, the decimal merge is
+    // exact, and the final double cast rounds the same exact rational.
     Q("q02_pricing_summary",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")
-            * (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("sum_disc_price"),
-          avg(col("l_quantity")).as("avg_qty"),
-          (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      (s, d) => {
+        val partial = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("__pc"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("__dc"),
+            spark_partition_id().as("__pid"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"), col("__pid"))
+          .agg(
+            sum(col("l_quantity")).as("__q"),
+            sum(col("__pc")).as("__p"),
+            sum(expr("__pc * (100 - __dc)")).as("__dp"),
+            sum(col("__dc")).as("__d"),
+            count(lit(1)).as("__n"))
+        partial
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("__q")).as("sum_qty"),
+            (sum(col("__p").cast("decimal(38,0)")) / 100).cast("double").as("sum_base_price"),
+            (sum(col("__dp").cast("decimal(38,0)")) / 10000).cast("double").as("sum_disc_price"),
+            (sum(col("__q")) / sum(col("__n"))).as("avg_qty"),
+            ((sum(col("__d").cast("decimal(38,0)")) / 100).cast("double") / sum(col("__n")))
+              .as("avg_disc"),
+            sum(col("__n")).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
       Some("""SELECT l_returnflag, l_linestatus,
              SUM(l_quantity) AS sum_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
+
+/** Dev profiler: time named registered queries repeatedly in ONE warm JVM
+  * (min-of-reps removes the fixed JVM/codegen first-touch cost that
+  * dominates single-shot timings). Same bit_xor materialization as Bench.
+  *
+  *   sbt "runMain graft.tools.ProfileQ q02_pricing_summary q15_minhash_lsh"
+  */
+object ProfileQ {
+  private def materialize(df: DataFrame): Unit =
+    df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(expr("bit_xor(__h)"))
+      .head()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+                else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[profile] $name%-28s min=${times.min}%6.2f  runs=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
