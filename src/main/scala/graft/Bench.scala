@@ -25,12 +25,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen/parquet-reader paths once so per-query times
-    // measure the queries, not first-touch initialization.
+    // Warm up once so per-query times measure the queries, not first-touch
+    // engine initialization: parquet reader paths on the big tables, then
+    // the whole-stage-codegen compiler, hash-agg / join / window / explode
+    // templates, and the shuffle + broadcast machinery via one composite
+    // mini-query over the tiny dims (nation/region: 25/5 rows).
     Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{broadcast, count, explode, array, row_number, lit}
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val warmed = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .repartition(2, col("n_nationkey")) // exercise a real exchange
+        .groupBy(col("r_name")).agg(count(lit(1)).as("c"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("r_name")).orderBy(col("c"))))
+        .select(col("r_name"), explode(array(col("c"), col("rn"))).as("v"))
+      materialize(warmed)
+    } catch { case _: Throwable => }
     // Per-query: (name, seconds, ok | error message). Failures are REPORTED,
     // never timed-as-success — a bench that times failures can hide a real
     // regression forever.

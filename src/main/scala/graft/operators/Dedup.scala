@@ -73,14 +73,19 @@ object Dedup {
     * evaluations per shingle row (computed once in a pre-groupBy projection;
     * aggregate-side CSE is not guaranteed). Output: id + h0..h{k-1}.
     * One shuffle (groupBy id), k mins computed map-side. */
-  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
+  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int,
+                        withSize: Boolean = false): DataFrame = {
     val nMd5 = (k + 3) / 4
     val withHash = shingles.select(
       col(idCol) +: (0 until nMd5).map(j =>
         md5(concat(lit(s"$j:"), col("shingle"))).as(s"__m$j")): _*)
     val aggs = (0 until k).map { i =>
       min(substring(col(s"__m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")
-    }
+    } ++ (if (withSize) Seq(count(lit(1)).as("n")) else Nil)
+    // withSize fuses the Jaccard set-size count into this same pass (one
+    // aggregation instead of two over the widest frame) — only meaningful
+    // when `shingles` is the DISTINCT frame; the mins themselves are
+    // duplicate-immune either way.
     withHash.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -143,8 +148,10 @@ object Dedup {
     * of expanding to |A| shingle rows each. Output is unchanged — pruned
     * pairs are exactly those the `jaccard >= minJaccard` filter would drop. */
   def jaccardForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String,
-                      minJaccard: Double = 0.0): DataFrame = {
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+                      minJaccard: Double = 0.0,
+                      precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n")))
     val withSizes = pairs
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
@@ -170,19 +177,21 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.1, maxBucketSize: Int = 0): DataFrame = {
-    // Signatures run off the RAW shingle stream: `min` is idempotent under
-    // duplicates, so the signature path needs no `distinct` — its only
-    // shuffle is the small map-side-combined (id, k partial mins) agg. The
-    // distinct frame (a full shuffle of the widest data) is computed only
-    // for Jaccard set sizes/intersections, and persisted because it feeds
-    // three consumers on DIFFERENT shuffle keys (id for sizes, shingle for
-    // the pair join) that ReusedExchange cannot dedupe.
+    // The distinct shingle frame — the pipeline's one unavoidable full
+    // shuffle of the widest data (Jaccard needs SET semantics) — is
+    // computed once and persisted; signatures AND set sizes come out of a
+    // single fused aggregation over it (mins are duplicate-immune, so the
+    // distinct costs them nothing, and fusing saves a whole second pass).
+    // The sig+size frame is persisted too: banding and the Jaccard size
+    // join consume it on different keys, which ReusedExchange can't dedupe.
     val sh = shingleRows(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(shingleRowsRaw(docs, idCol, textCol, shingleN), idCol, k)
-    val cand = lshCandidatePairs(lshBandRows(sig, idCol, bands, k / bands), idCol,
+    val sigN = minhashSignatures(sh, idCol, k, withSize = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatePairs(lshBandRows(sigN, idCol, bands, k / bands), idCol,
       maxBucketSize)
-    jaccardForPairs(cand, sh, idCol, minJaccard = threshold)
+    jaccardForPairs(cand, sh, idCol, minJaccard = threshold,
+      precomputedSizes = Some(sigN.select(col(idCol), col("n"))))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -19,11 +19,15 @@ object ProfileQ {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B config experiments: SPARK_GRAFT_CONF="k=v,k=v"
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(",")).map(_.split("=", 2))
+      .foreach { case Array(k, v) => builder.config(k, v); case _ => () }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
                 else graft.SparkEntry.queries.keys.toSeq.sorted
