@@ -156,6 +156,26 @@ class MedallionSpec extends SparkSpec {
     assert(Medallion.readGold(spark, root).rdd.getNumPartitions == 1)
   }
 
+  test("medallionDag runs the reference's ten-stage DAG shape end to end") {
+    import graft.pipeline.Orchestration
+    val root2 = Files.createTempDirectory("medallion_dag").toString
+    val conf2 = Medallion.Config(s"$root2/bronze", s"$root2/silver", s"$root2/gold")
+    val dag = Orchestration.medallionDag(spark, sources(1), conf2)
+    // the wiring mirrors spark_job_airflow.py's edges: fact waits on all
+    // three gold dims, dims wait on the silver DQ gate, etc.
+    assert(dag.topoOrder.head == "bronze_layer_load")
+    assert(dag.topoOrder.last == "show_gold_layer_data")
+    val report = dag.run()
+    assert(report.values.forall(_.status == Orchestration.Succeeded),
+      report.collect { case (n, r) if r.status != Orchestration.Succeeded => n -> r.status })
+    // gold fact landed exactly as in Medallion.run
+    val fact = spark.read.parquet(s"$root2/gold/fact_orders")
+    assert(fact.count() == 3)
+    // both DQ gates reported clean on run-1 fixtures
+    assert(report("bronze_data_quality_check").result.contains(Seq.empty))
+    assert(report("silver_data_quality_check").result.contains(Seq.empty))
+  }
+
   test("publishGold writer guard refuses a second publisher; retention is configurable") {
     import spark.implicits._
     val root = Files.createTempDirectory("goldguard").toString + "/dim_y"
