@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot64"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot64"),
       (exprs: Seq[Expression]) => LongArrayDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_matdot"),
+      new ExpressionInfo(classOf[LongMatrixDot].getName, "graft_matdot"),
+      (exprs: Seq[Expression]) => LongMatrixDot(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }

@@ -67,14 +67,103 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: dots of one `array<bigint>` vector against a
+  * CONSTANT matrix (`array<array<bigint>>`, foldable), returning
+  * `array<bigint>` — one per matrix row.
+  *
+  * Motivation: hyperplane-LSH signatures need P (64–128) dot products per
+  * vector. P separate [[LongArrayDot]] calls against P literal plane arrays
+  * generate P expression trees — whole-stage codegen emits and Janino
+  * compiles all of them, and at P=64 that compile dominates the query's
+  * single-shot latency. This expression is ONE small codegen'd nested loop
+  * over a static `long[][]` reference, so generated code size is constant
+  * in P and the inner loop gets the matrix via a JVM-local array (better
+  * locality than P boxed literals, too). */
+case class LongMatrixDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVec = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val okMat = right.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    if (!okVec || !okMat) TypeCheckResult.TypeCheckFailure(
+      s"graft_matdot requires (array<bigint>, array<array<bigint>>), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      "graft_matdot requires a constant (foldable) matrix argument")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_matdot"
+
+  @transient private lazy val planes: Array[Array[Long]] = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val row = ad.getArray(i)
+      Array.tabulate(row.numElements())(row.getLong)
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      val n = math.min(x.numElements(), row.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * row(i); i += 1 }
+      out(p) = s
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val mat = ctx.addReferenceObj("planes", planes, "long[][]")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final long[] $out = new long[$mat.length];
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  final long[] __row = $mat[$p];
+         |  final int $n = java.lang.Math.min($a.numElements(), __row.length);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getLong($i) * __row[$i];
+         |  }
+         |  $out[$p] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongMatrixDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration + Column helpers for graft's native expressions. */
 object GraftFunctions {
 
-  /** Register `graft_dot64` in the session's function registry so it is
-    * usable from `expr(...)` / SQL text. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_dot64` / `graft_matdot` in the session's function
+    * registry so they are usable from `expr(...)` / SQL text. Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot64", exprs => LongArrayDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_matdot", exprs => LongMatrixDot(exprs.head, exprs(1)), "scala_udf")
+  }
 
   /** Column-API form (requires [[register]] on the owning session first). */
   def longArrayDot(a: Column, b: Column): Column =

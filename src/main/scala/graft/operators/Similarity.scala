@@ -106,20 +106,29 @@ object Similarity {
     if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
   }
 
+  /** SQL literal for the planes×dim ±1 hyperplane matrix (md5-derived,
+    * [[planeComp]]); constant-folded to one Literal before codegen and
+    * consumed by the native graft_matdot as a static long[][]. */
+  private def planeMatrixSql(planes: Int, dim: Int): String =
+    (0 until planes).map(p =>
+      (0 until dim).map(j => s"${planeComp(p, j)}L").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
   /** Random-hyperplane LSH signature per vector: bit i = sign of the
     * projection onto plane i. Zero shuffles: each vector is quantized once,
-    * then dotted against `planes` literal ±1 arrays with the native
-    * codegen'd graft_dot64 — one scan, per-row work only (the previous
-    * posexplode + broadcast-join + 16 conditional sums shape shuffled
-    * N×dim rows and ran interpreted). */
+    * then dotted against the full plane matrix in ONE native graft_matdot
+    * pass (P dots in a single codegen'd nested loop — P separate dot
+    * expressions made Janino compile dominate single-shot latency, and the
+    * original posexplode + broadcast-join shape shuffled N×dim rows and
+    * ran interpreted). */
   def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
                            planes: Int, dim: Int): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val bits = (0 until planes).map { p =>
-      val arr = (0 until dim).map(j => s"${planeComp(p, j)}L").mkString(", ")
-      when(expr(s"graft_dot64(__qv, array($arr))") >= 0, lit("1")).otherwise(lit("0"))
-    }
+    val bits = (0 until planes).map(p =>
+      when(expr(s"__dots[$p]") >= 0, lit("1")).otherwise(lit("0")))
     emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol),
+        expr(s"graft_matdot(__qv, ${planeMatrixSql(planes, dim)})").as("__dots"))
       .select(col(idCol), concat(bits: _*).as("signature"))
   }
 
@@ -150,15 +159,18 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     val bitsPerBand = planes / bands
     require(bands * bitsPerBand == planes, "planes must split evenly into bands")
+    // one graft_matdot pass computes all P projections; band keys are then
+    // P tiny sign-and-shift terms over the dots array (generated code size
+    // stays constant in P — see LongMatrixDot)
     val keyCols = (0 until bands).map { b =>
       (0 until bitsPerBand).map { j =>
         val p = b * bitsPerBand + j
-        val arr = (0 until dim).map(i => s"${planeComp(p, i)}L").mkString(", ")
-        when(expr(s"graft_dot64(__qv, array($arr))") >= 0, lit(1 << j))
-          .otherwise(lit(0)): Column
+        when(expr(s"__dots[$p]") >= 0, lit(1 << j)).otherwise(lit(0)): Column
       }.reduce(_ + _).cast("int").as(s"__band$b")
     }
     emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol), col("__qv"),
+        expr(s"graft_matdot(__qv, ${planeMatrixSql(planes, dim)})").as("__dots"))
       .select(col(idCol) +: col("__qv") +: keyCols: _*)
   }
 

@@ -77,6 +77,12 @@ object Stress {
         col("vec_id") % 40 === 0, k = 10, nCells = 283, nProbe = 16).count()
     }
     println(s"[stress] ivf rows=$ivf")
+    val ivfT = t("ivfTopK trained (2 Lloyd iters) 80k corpus") {
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 40 === 0, k = 10, nCells = 283, nProbe = 16,
+        trainIters = 2).count()
+    }
+    println(s"[stress] ivf trained rows=$ivfT")
     spark.stop()
   }
 }
