@@ -100,6 +100,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("graft_matdot equals per-plane graft_dot64 on parquet-backed vectors") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // parquet-backed so the expression runs through whole-stage codegen,
+    // not a constant-folded local relation
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val mat = "array(array(" + (1 to 64).map(i => s"${if (i % 3 == 0) -1 else 1}L").mkString(",") +
+      "), array(" + (1 to 64).map(i => s"${if (i % 5 == 0) -1 else 1}L").mkString(",") + "))"
+    val row1 = "array(" + (1 to 64).map(i => s"${if (i % 3 == 0) -1 else 1}L").mkString(",") + ")"
+    val row2 = "array(" + (1 to 64).map(i => s"${if (i % 5 == 0) -1 else 1}L").mkString(",") + ")"
+    val got = df.select(col("vec_id"), expr(s"graft_matdot(q, $mat)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = df.select(col("vec_id"),
+        expr(s"graft_dot64(q, $row1)").as("d0"), expr(s"graft_dot64(q, $row2)").as("d1"))
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // non-constant matrix argument is rejected at analysis
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_matdot(q, array(q))")).collect()
+    }
+    assert(ex.getMessage.contains("foldable") || ex.getMessage.contains("constant"))
+  }
+
   test("fixed-point dot is exact for representable values") {
     import spark.implicits._
     val df = Seq((Seq(0.5f, 0.25f), Seq(0.5f, 0.5f))).toDF("a", "b")
