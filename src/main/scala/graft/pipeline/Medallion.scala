@@ -35,6 +35,30 @@ object Medallion {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /** S1 — bounded-partition JDBC table scan: the reference's
+    * `read_mysql_table` (`bronze_dimension_fact_load.py:46-57`) re-expressed
+    * on Spark's BUILT-IN JDBC source. `numPartitions` executors each issue a
+    * range slice of `partitionColumn` (the id-bounded parallel read that
+    * keeps a big source table from serializing through one connection), and
+    * Catalyst pushes filters and column pruning into the remote SQL — the
+    * watermark slice in [[bronzeIncremental]] arrives at the database as a
+    * WHERE clause, not a full-table transfer.
+    *
+    * Integration-tested against embedded Derby (the one JDBC driver this
+    * environment ships, `/opt/spark/jars/derby-*.jar`); a MySQL/Postgres
+    * deployment swaps only `url` (+ its driver jar on the classpath). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitionColumn: String, lowerBound: Long, upperBound: Long,
+               numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+
   /** S5 — CSV seed read: header, declared schema, ingestion timestamp
     * (mirrors `load_static_file.py:53-72`'s LOAD DATA + SET updated_at). */
   def readCsvSeed(spark: SparkSession, path: String,
