@@ -115,11 +115,18 @@ object Dedup {
     * LSH exists to avoid — standard practice for skewed real-world corpora.
     * The cap is part of the operator's semantics, so oracles replicate it. */
   def lshCandidatePairs(bandRows: DataFrame, idCol: String,
-                        maxBucketSize: Int = 0): DataFrame = {
+                        maxBucketSize: Int = 0,
+                        persistInput: Boolean = false): DataFrame = {
     // The band-row frame fans out below (bucket count, semi-join probe, and
-    // both self-join sides) on the same narrow rows — persist it so the
-    // upstream signature pipeline executes once, not once per consumer.
-    val rows = bandRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both self-join sides). Every in-repo caller derives bandRows as a
+    // NARROW explode over an already-persisted signature frame, so
+    // re-deriving per consumer is cheaper than a fourth materialization
+    // barrier — pass persistInput = true when feeding an expensive
+    // unpersisted pipeline instead.
+    val rows =
+      if (persistInput)
+        bandRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bandRows
     val bounded =
       if (maxBucketSize <= 0) rows
       else {
