@@ -43,4 +43,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q02_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q26: lineitem pre-aggregates by orderkey BEFORE the orders join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = SparkEntry.queries("q26_rollup_revenue")(spark, d)
+      .queryExecution.optimizedPlan
+    // the orders⋈lineitem join's fact side must be the (orderkey, n, rev)
+    // aggregate — one row per order crosses the shuffle, not one per line
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.exists(j =>
+      (j.left +: j.left.children).exists {
+        case a: Aggregate =>
+          a.groupingExpressions.exists(_.references.exists(_.name == "l_orderkey"))
+        case _ => false
+      }), s"no pre-aggregated fact side under a join:\n$opt")
+  }
+
+  test("q31: ANN signature pipeline carries ONE matrix-dot, not P plane dots") {
+    val p = plan("q31_ann_topk")
+    assert(p.contains("graft_matdot"))
+    assert(!p.contains("graft_dot64(__qv, ["), "per-plane literal dots crept back")
+  }
 }
