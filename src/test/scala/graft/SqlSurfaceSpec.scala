@@ -76,6 +76,17 @@ class SqlSurfaceSpec extends SparkSpec {
         .orderBy("vec_id")
       assert(direct.collect().toSeq == viaApi.collect().toSeq)
 
+      // the injected matrix-dot is SQL-callable (constant matrix) and
+      // agrees with graft_dot64 against the same constant row
+      val ones = (1 to 64).map(_ => "1L").mkString(",")
+      val mat = s.sql(
+        s"""SELECT vec_id,
+           |  graft_matdot(q, array(array($ones), array($ones))) AS dd,
+           |  graft_dot64(q, array($ones)) AS d
+           |FROM qemb ORDER BY vec_id""".stripMargin)
+      assert(mat.collect().forall(r =>
+        r.getSeq[Long](1) == Seq(r.getLong(2), r.getLong(2))))
+
       // the injected optimizer rule rewrites the idiomatic HOF form written
       // by a SQL user into the native expression — plan-asserted
       val hof = s.sql(
