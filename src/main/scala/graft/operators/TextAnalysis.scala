@@ -114,6 +114,54 @@ object TextAnalysis {
         .otherwise(lit("test")))
   }
 
+  /** Benchmark-contamination detection: for every corpus document, the
+    * number of its distinct n-gram shingles that appear anywhere in the
+    * eval/benchmark set. The canonical pre-training hygiene op — training
+    * documents overlapping an eval set inflate benchmark scores, so they
+    * are flagged (any overlap) and scored (overlap ratio) for removal or
+    * decontamination.
+    *
+    * Scale design: the eval side is collapsed to DISTINCT shingles and
+    * broadcast (eval sets are orders of magnitude smaller than the
+    * corpus); the corpus-side probe is a broadcast left_semi — no shuffle
+    * of corpus shingles for the membership test, one aggregation for the
+    * counts. The corpus shingle frame feeds both on different keys, so it
+    * is persisted. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val corpusSh = Dedup.shingleRows(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = Dedup.shingleRows(evalSet, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val overlap = corpusSh.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__ov"))
+    corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__ov"), lit(0L)).as("n_overlap"),
+        (coalesce(col("__ov"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("overlap_ratio"),
+        (coalesce(col("__ov"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** PII scrubbing: redact emails then phone-number-shaped digit runs,
+    * reporting per-document redaction counts alongside the cleaned text.
+    * Pure codegen'd regex (no UDF); patterns are deliberately conservative
+    * ASCII shapes that mean the same thing in Spark's (Java) and the
+    * oracle's (RE2) regex dialects. Phones are counted AFTER email
+    * redaction so an address's digits are never double-counted. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noEmail = regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>"))
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("bigint").as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(PhoneRe), lit(0)))
+        .cast("bigint").as("n_phones"),
+      regexp_replace(noEmail, lit(PhoneRe), lit("<PHONE>")).as("clean_text"))
+  }
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

@@ -308,6 +308,66 @@ object TextQueries {
              FROM stats s
              JOIN lang l ON l.doc_id = s.doc_id
              JOIN fp f ON f.doc_id = s.doc_id
-             ORDER BY s.doc_id"""))
+             ORDER BY s.doc_id""")),
+
+    // Benchmark-contamination detection: corpus docs (doc_id % 50 != 0)
+    // scored by distinct-3-gram overlap against the held-out "eval set"
+    // (doc_id % 50 == 0) — flag any overlap, ratio for thresholding.
+    Q("q42_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.contamination(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${tokCtesOver("(SELECT * FROM documents WHERE doc_id % 50 <> 0)")},
+             etoks AS (
+               SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents WHERE doc_id % 50 = 0),
+             esh AS (
+               SELECT DISTINCT s
+               FROM etoks, UNNEST(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+               WHERE len(w) >= 3),
+             tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+                     FROM sh GROUP BY doc_id),
+             ov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                    FROM sh WHERE s IN (SELECT s FROM esh) GROUP BY doc_id)
+             SELECT t.doc_id, t.n_shingles,
+                    COALESCE(ov.n_overlap, 0) AS n_overlap,
+                    CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / t.n_shingles AS overlap_ratio,
+                    COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+             FROM tot t LEFT JOIN ov ON ov.doc_id = t.doc_id
+             ORDER BY t.doc_id""")),
+
+    // PII scrubbing: emails then phone-shaped digit runs redacted with
+    // per-document counts. The synthetic corpus has no PII, so the query
+    // plants a deterministic address + phone per row (pure column
+    // functions) and scrubs THAT — redaction provably fires on every row
+    // and the cleaned text is hash-compared across engines.
+    Q("q43_pii_scrub",
+      (s, d) => TextAnalysis.piiScrub(
+          Tables.documents(s, d).select(col("doc_id"),
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com or +84 90 555 "),
+              col("doc_id").cast("string"), lit("7")).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH aug AS (
+               SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com or +84 90 555 ' || CAST(doc_id AS VARCHAR) || '7' AS text
+               FROM documents),
+             ne AS (
+               SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+                 regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1
+               FROM aug)
+             SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(t1, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+               regexp_replace(t1, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
+             FROM ne ORDER BY doc_id"""))
   )
 }
