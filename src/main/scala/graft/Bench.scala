@@ -57,7 +57,8 @@ object Bench {
         catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            "error: " + msg.replaceAll("[\"\\n\\r\\t]", " ").take(160)
+            // keep the status JSON-safe: drop quotes, backslashes, control chars
+            "error: " + msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
         }
       (name, (System.nanoTime() - t0) / 1e9, status)
     }

@@ -104,9 +104,8 @@ object Orchestration {
                    conf: Medallion.Config,
                    retries: Int = 1): Dag = {
     import Medallion._
-    val report = scala.collection.mutable.Map[String, Any]()
     def stage(name: String)(body: => Any) =
-      Stage(name, () => { val r = body; report(name) = r; r }, retries)
+      Stage(name, () => body, retries)
     val bronzeTables = Seq("stores", "payment_method", "product_category",
       "products", "customers", "orders", "order_details") ++
       (if (sources.contains("order_suggestion_accepted"))
