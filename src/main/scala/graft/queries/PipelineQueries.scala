@@ -39,6 +39,10 @@ object PipelineQueries {
     // dimension. Gen1 = price change for key%10==0 (real change), plus a
     // no-op re-delivery for key%13==1 (hash-equal, must NOT version).
     // Deterministic row_number surrogate keys make it oracle-checkable.
+    // WARNING (do not copy into production): deterministicKey is a GLOBAL
+    // single-partition window — chosen here ONLY because the cross-engine
+    // oracle needs reproducible keys. Production keying is
+    // Scd2.scalableKey (collision-checked hash, fully parallel).
     Q("q12_scd2_merge",
       (s, d) => {
         val gen0 = Tables.part(s, d).select(

@@ -64,4 +64,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_matdot"))
     assert(!p.contains("graft_dot64(__qv, ["), "per-plane literal dots crept back")
   }
+
+  test("repo-wide: no registered query plans a CartesianProduct or a UDF") {
+    // CartesianProduct = a non-broadcast all-pairs join — never acceptable;
+    // the deliberate quadratic verifiers (q19/q21/q31/q34) broadcast their
+    // tiny side, which plans as BroadcastNestedLoopJoin, not Cartesian.
+    // UDF nodes (BatchEvalPython / ScalaUDF) would break codegen fusion —
+    // the engine's contract is built-ins + native Expressions only.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, d).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$name plans a UDF")
+    }
+  }
 }
