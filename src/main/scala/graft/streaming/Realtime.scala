@@ -116,6 +116,69 @@ object Realtime {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(updateOrderState(ttl))
   }
 
+  // ------------------------- T2/T3 on the Spark-4 transformWithState API
+
+  /** [[completenessJoin]]'s semantics on `transformWithState` — Spark 4's
+    * successor to flatMapGroupsWithState: typed named state with NATIVE
+    * per-state TTL (`TTLConfig`) instead of hand-managed timeout timers,
+    * evolvable state schema, and the RocksDB state store in streaming.
+    * Same transition logic; the TTL that took explicit
+    * `setTimeoutDuration` + `hasTimedOut` plumbing above is one config
+    * object here (the Redis `EXPIRE 120` parity, `orders_consumer.py:76`).
+    */
+  class OrderCompletenessProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, OrderEvent, CompletedOrder] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    @transient private var state: ValueState[OrderState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+      state = getHandle.getValueState[OrderState](
+        "orderState", org.apache.spark.sql.Encoders.product[OrderState], ttlConf)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[OrderEvent],
+                                 timerValues: TimerValues): Iterator[CompletedOrder] = {
+      val prev = Option(state.get()).getOrElse(
+        OrderState(None, Set.empty, emitted = false))
+      val next = rows.foldLeft(prev) { (st, ev) =>
+        st.copy(
+          header = ev.header.orElse(st.header),
+          products = ev.line.map(l => st.products + l.productId).getOrElse(st.products))
+      }
+      val complete = next.header.exists(h => next.products.size >= h.numProducts)
+      if (complete && !next.emitted) {
+        state.update(next.copy(emitted = true))
+        val h = next.header.get
+        Iterator.single(CompletedOrder(key, h.customerId, h.numProducts,
+          next.products.toSeq.sorted))
+      } else {
+        state.update(next)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Keyed completeness join via [[OrderCompletenessProcessor]]. TTL
+    * requires processing-time mode; `ttl = None` runs in TimeMode.None
+    * (state lives until the query stops). Streaming requires the RocksDB
+    * state store provider (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def completenessJoinTws(events: Dataset[OrderEvent],
+                          ttl: Option[java.time.Duration] =
+                            Some(java.time.Duration.ofSeconds(120))): Dataset[CompletedOrder] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.orderId)
+      .transformWithState(new OrderCompletenessProcessor(ttl),
+        timeMode, OutputMode.Append())
+  }
+
   // --------------------------------------------------------- T4: eligibility
 
   /** Stream-static membership filter: keep events whose customer is in the

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState completeness join matches flatMapGroupsWithState (RocksDB store)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Spark 4's new state API requires the RocksDB provider for streaming
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[OrderEvent]
+    val q = Realtime.completenessJoinTws(input.toDS(), ttl = None)
+      .writeStream.format("memory").queryName("tws1").outputMode("append").start()
+    try {
+      input.addData(line(1, 101), header(2, 21, 1))
+      q.processAllAvailable()
+      assert(spark.table("tws1").count() == 0) // nothing complete yet
+      input.addData(header(1, 11, 2), line(2, 201), line(1, 102))
+      q.processAllAvailable()
+      val rows = spark.table("tws1").as[CompletedOrder].collect().sortBy(_.orderId)
+      assert(rows.map(_.orderId).toSeq == Seq(1L, 2L))
+      assert(rows.head.productIds == Seq(101L, 102L))
+      // duplicate redelivery after emission → suppressed (same T3 contract)
+      input.addData(line(1, 101), header(1, 11, 2))
+      q.processAllAvailable()
+      assert(spark.table("tws1").count() == 2)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("incomplete orders emit nothing; extra lines beyond expected don't re-emit") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
