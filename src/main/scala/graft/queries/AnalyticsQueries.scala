@@ -119,6 +119,27 @@ object AnalyticsQueries {
                 CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low
              FROM orders GROUP BY 1 ORDER BY yr""")),
 
+    // EXACT quantiles (the companion to q28's sketches): interpolated
+    // percentile over the full sorted distribution. Quantities are
+    // integer-valued, and results are rounded to 6 decimals pre-compare so
+    // the one interpolation multiply can't diverge by an ulp across
+    // engines (Spark percentile ≡ DuckDB quantile_cont definition).
+    Q("q44_exact_quantiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_quantity, 0.99)"), 6).as("p99_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                    ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+                    ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+                    ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99_qty,
+                    CAST(COUNT(*) AS BIGINT) AS n_lines
+             FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // Approximate sketches: HLL distinct + quantile sketch. The sketch
     // algorithms differ between engines, so there is no value oracle — the
     // driver records a weaker rows-only check; exactness bounds are asserted
