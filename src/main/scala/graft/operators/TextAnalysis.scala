@@ -144,6 +144,23 @@ object TextAnalysis {
         (coalesce(col("__ov"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Intra-document repetition: fraction of a document's n-gram shingle
+    * OCCURRENCES that are repeats of an earlier shingle in the same doc
+    * (1 − distinct/total). High-repetition documents (boilerplate, looped
+    * generations, scraped nav chrome) are standard low-quality-filter
+    * targets in training-data curation. One aggregation over the RAW
+    * shingle stream — count and count-distinct in the same pass, no
+    * second scan and no distinct shuffle of the shingle frame. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame =
+    Dedup.shingleRowsRaw(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct"))
+      .select(col(idCol), col("n_shingles"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+          .as("repetition_ratio"))
+
   /** PII scrubbing: redact emails then phone-number-shaped digit runs,
     * reporting per-document redaction counts alongside the cleaned text.
     * Pure codegen'd regex (no UDF); patterns are deliberately conservative

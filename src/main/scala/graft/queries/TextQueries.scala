@@ -342,6 +342,25 @@ object TextQueries {
              FROM tot t LEFT JOIN ov ON ov.doc_id = t.doc_id
              ORDER BY t.doc_id""")),
 
+    // Intra-document repetition ratio: repeated-shingle fraction per doc —
+    // the standard boilerplate/looped-text quality filter. 1 - 1/n ratio
+    // arithmetic is integer-division-derived → bit-stable cross-engine.
+    Q("q45_repetition",
+      (s, d) => TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+               SELECT doc_id, s
+               FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents),
+                    UNNEST(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+               WHERE len(w) >= 3)
+             SELECT doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                    CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct,
+                    1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS repetition_ratio
+             FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
     // PII scrubbing: emails then phone-shaped digit runs redacted with
     // per-document counts. The synthetic corpus has no PII, so the query
     // plants a deterministic address + phone per row (pure column
