@@ -16,6 +16,11 @@ object Bench {
       .agg(expr("bit_xor(__h)"))
       .head()
 
+  /** Error text embedded in the one-line JSON artifact must never break its
+    * parse: quotes, backslashes and control characters become spaces. */
+  private[graft] def jsonSafe(msg: String): String =
+    msg.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -56,9 +61,7 @@ object Bench {
         try { materialize(fn(spark, sfDir)); "ok" }
         catch {
           case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            // keep the status JSON-safe: drop quotes, backslashes, control chars
-            "error: " + msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+            "error: " + jsonSafe(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       (name, (System.nanoTime() - t0) / 1e9, status)
     }
