@@ -256,6 +256,35 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
   }
 
+  /** Approximate near-dup PAIRS via hyperplane-LSH buckets — the corpus-
+    * scale path for [[nearDupPairs]]'s quadratic exact form: candidates are
+    * bucket-mates only (sub-quadratic, capped against skew), then exact
+    * fixed-point re-scoring keeps pairs with dot ≥ threshold. Same
+    * signature frame as [[annTopK]]; narrow candidate rows first, vectors
+    * attach after (shuffle discipline per annTopK). Recall is a function
+    * of planes/bands vs the threshold's angular distance — asserted
+    * against the exact operator in SimilaritySpec. */
+  def annNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double,
+                      planes: Int = 64, dim: Int = 64, bands: Int = 8,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val sig = signatureFrame(emb, idCol, vecCol, planes, dim, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = sig.select(col(idCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"__band$b").as("band_key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val cand = Dedup.lshCandidatePairs(bandRows, idCol, maxBucketSize)
+    val va = sig.select(col(idCol).as("doc_a"), col("__qv").as("__va"))
+    val vb = sig.select(col(idCol).as("doc_b"), col("__qv").as("__vb"))
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .withColumn("dot",
+        GraftFunctions.longArrayDot(col("__va"), col("__vb")) / lit(1099511627776.0d))
+      .filter(col("dot") >= threshold)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"), col("dot"))
+  }
+
   // ------------------------------------------------------------ IVF variant
 
   /** Deterministic coarse centroids for an IVF index: the `nCells` corpus

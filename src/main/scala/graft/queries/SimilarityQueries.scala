@@ -66,6 +66,28 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank")),
       None),
 
+    // LSH-bucketed approximate near-dup PAIRS — the corpus-scale path for
+    // q21's exact quadratic form (candidates = bucket-mates only, exact
+    // fixed-point re-score). The testdata corpus has no true near-dups
+    // (max pair dot ≈ 0.5), so the query plants deterministic
+    // near-duplicates (every 20th vector, slightly perturbed, id+1e6) and
+    // mines at the operator's actual regime (dot ≥ 0.9 — where hyperplane
+    // bucket collision probability is high). Approximation → rows-only;
+    // SimilaritySpec asserts recall + soundness vs the exact pair set.
+    Q("q46_ann_neardup_pairs",
+      (s, d) => {
+        val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = base.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            expr("transform(embedding, (x, i) -> " +
+              "CAST(x + 0.001D * (CAST(i % 5 AS DOUBLE) - 2.0D) AS FLOAT))")
+              .as("embedding"))
+        Similarity.annNearDupPairs(base.unionByName(planted),
+            "vec_id", "embedding", threshold = 0.9)
+          .orderBy(col("dot").desc, col("vec_a"), col("vec_b"))
+      },
+      None),
+
     // IVF-partitioned approximate top-k — the second ANN scale path
     // (cell-partitioned index vs overlapping LSH buckets). Approximation →
     // rows-only; SimilaritySpec asserts nProbe=nCells degenerates to the

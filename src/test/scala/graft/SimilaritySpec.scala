@@ -100,6 +100,30 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("annNearDupPairs finds planted near-dups at high recall; results are sound") {
+    // plant near-identical copies (the q46 construction): near-dup mining's
+    // operating regime is HIGH thresholds, where hyperplane buckets collide
+    // w.h.p. — at low thresholds (far pairs) LSH recall necessarily decays
+    val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x + 0.001D * (CAST(i % 5 AS DOUBLE) - 2.0D) AS FLOAT))").as("embedding"))
+    val corpus = base.unionByName(planted)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9))
+    val approx = pairs(Similarity.annNearDupPairs(corpus, "vec_id", "embedding", 0.9))
+    // soundness: re-scoring is exact, so every reported pair is a true pair
+    assert(approx.subsetOf(exact))
+    assert(exact.nonEmpty) // the planted copies are the true pair set
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    info(s"ANN near-dup recall vs exact at dot>=0.9: $recall (${exact.size} true pairs)")
+    assert(recall >= 0.9)
+  }
+
   test("graft_matdot equals per-plane graft_dot64 on parquet-backed vectors") {
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
