@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-curation operators for training-data pipelines: token-budget
+  * shard packing, vocabulary building, stratified sampling, int8 embedding
+  * quantization, dedup-aware splitting, and the composed quality gate.
+  *
+  * Beyond the reference's operator surface (its curation stops at
+  * `regexp_replace` cleanup + Deequ-style checks, `silver_dimensions.py:50`,
+  * `silver_validation.py:86-135`) — these are the ops an LLM pre-training
+  * pipeline runs between "raw corpus" and "tokenizer-ready shards".
+  * Everything is built-ins/codegen, no UDFs; all derived numbers are exact
+  * integer arithmetic (or integer-division doubles) so every operator is
+  * oracle-checkable cross-engine.
+  */
+object Curation {
+
+  /** Concatenate-and-chunk shard packing: documents are laid out in id
+    * order, each starting at the running token offset of its predecessors,
+    * and assigned to shard `start_offset div tokensPerShard` — the standard
+    * "concat then cut fixed-token blocks" layout for pre-training shards
+    * (a document is never split across assignment rows; shards may overrun
+    * by at most one document's tokens).
+    *
+    * Scale design — the global prefix sum is TWO-LEVEL, never a global
+    * single-partition window: range-partition by id, per-partition token
+    * subtotals (one tiny P-row frame) get a driver-free cumulative offset
+    * via a window over P rows, broadcast back, and each partition computes
+    * its local prefix sum independently. Wall-clock is one range shuffle +
+    * one P-row window; the classic `Window.orderBy(id)` form would funnel
+    * 100 TB through ONE task. Offsets are partitioning-independent (the
+    * prefix sum over a total id order), so results are deterministic
+    * whatever boundaries the range sampler picks. */
+  def packShards(docs: DataFrame, idCol: String, textCol: String,
+                 tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be > 0: $tokensPerShard")
+    val parted = docs
+      .select(col(idCol), size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      // nondeterministic expr must live in a Project before any grouping
+      .select(col(idCol), col("n_tokens"), spark_partition_id().as("__pid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wP = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptotal"))
+      .select(col("__pid"), coalesce(sum(col("__ptotal")).over(wP), lit(0L)).as("__poffset"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted.join(broadcast(offsets), "__pid")
+      .select(col(idCol), col("n_tokens"),
+        (col("__poffset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+          .as("start_offset"))
+      .withColumn("shard", expr(s"start_offset div ${tokensPerShard}L"))
+  }
+
+  /** Corpus vocabulary: top-K terms by collection frequency (total
+    * occurrences), document frequency alongside, deterministic tie-break on
+    * the term. One explode + one hash aggregate; the top-K is a
+    * TakeOrderedAndProject (per-partition heaps + driver merge of K rows),
+    * never a global sort, and the K-row rank window is driver-scale. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int, n: Int = 1): DataFrame = {
+    val top = TextAnalysis.termRows(docs, idCol, textCol, n)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col(idCol)).as("df"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
+  }
+
+  /** Deterministic stratified sample: exactly min(n, |stratum|) rows per
+    * stratum, chosen by md5-rank of the id — a pure function of the data,
+    * stable across runs/engines/partitionings (`Dataset.sample` is neither
+    * stratified nor cross-engine reproducible). Spark plans the per-group
+    * limit as WindowGroupLimit (rank pushed below the sort at 3.5+), so each
+    * stratum keeps ~n candidate rows per task instead of fully sorting —
+    * a skewed giant stratum costs one partial top-n pass, not a stratum-wide
+    * sort. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       nPerStratum: Int): DataFrame = {
+    require(nPerStratum > 0, s"nPerStratum must be > 0: $nPerStratum")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * storage/bandwidth compression before ANN serving (4× smaller than
+    * float32, dot products stay proportional). Per vector: the float is
+    * fixed-pointed exactly (floor(x·2^20), see [[Similarity.quantize]]),
+    * scale = max |fixed| over dims, and q_i = trunc(127·fixed_i / scale) in
+    * pure 64-bit integer math — every output (the quantized vector, its
+    * scale, the exact integer reconstruction-error numerator) is
+    * bit-reproducible cross-engine. Reconstruction: x_i ≈ q_i·scale /
+    * (127·2^20); per-dim error < scale/(127·2^20) by construction.
+    * `err_num` = Σ|127·fixed_i − q_i·scale| (exact; divide by 127·2^20 for
+    * the absolute-error sum). All per-row lambda work, no shuffle. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("__fx"))
+      .withColumn("scale_fp", expr("array_max(transform(__fx, v -> abs(v)))"))
+      .withColumn("qvec", expr(
+        """transform(__fx, v -> CASE WHEN scale_fp = 0L THEN 0L
+          |  WHEN v < 0L THEN -(((-v) * 127L) div scale_fp)
+          |  ELSE (v * 127L) div scale_fp END)""".stripMargin))
+      .select(col(idCol),
+        col("scale_fp"),
+        size(col("__fx")).cast("long").as("n_dims"),
+        expr("concat_ws(',', transform(qvec, v -> CAST(v AS STRING)))").as("qvec_csv"),
+        expr("""aggregate(zip_with(__fx, qvec, (a, q) -> abs(a * 127L - q * scale_fp)),
+               |  0L, (acc, v) -> acc + v)""".stripMargin).as("err_num"))
+
+  /** Dedup-aware train/val/test split: near-duplicate documents MUST land
+    * in the same split (a train/test boundary through a near-dup cluster
+    * leaks training text into eval), so the split hash is taken over the
+    * cluster's canonical id — component of the MinHash near-dup graph,
+    * the document's own id when unclustered — rather than the document id.
+    * Composition of [[Dedup.minhashNearDups]] → [[Dedup.connectedComponents]]
+    * → [[TextAnalysis.withSplit]]; inherits their scale shapes (bucketed
+    * LSH, bounded component iteration, pure-hash assignment). */
+  def dedupAwareSplit(docs: DataFrame, idCol: String, textCol: String,
+                      trainPct: Int, valPct: Int,
+                      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                      threshold: Double = 0.1, maxBucketSize: Int = 100): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol,
+      shingleN, k, bands, threshold, maxBucketSize)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val canonical = docs.select(col(idCol))
+      .join(comp, docs(idCol) === comp("id"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical_id"))
+    TextAnalysis.withSplit(canonical, "canonical_id", trainPct, valPct)
+  }
+
+  /** The composed corpus quality gate — one call from raw corpus to
+    * keep/drop decisions with full per-gate attribution:
+    *
+    *   - length gate: minTokens ≤ n_tokens ≤ maxTokens
+    *   - stopword gate: stop_ratio ≥ minStopRatio (word-salad filter)
+    *   - repetition gate: repeated-shingle fraction ≤ maxRepetition
+    *     (boilerplate/looped-text filter)
+    *   - contamination gate: zero n-gram overlap with the eval set
+    *   - exact-dup gate: only each duplicate group's min-id survivor passes
+    *
+    * `keep` = all five; every underlying measure and flag is emitted so
+    * downstream can re-threshold without recomputing. Four aggregations
+    * over the corpus (tokens, raw shingles, eval-overlap probe, dup
+    * groups) joined on id — each is one shuffle on the same key; the eval
+    * side is distinct-collapsed and broadcast ([[TextAnalysis.contamination]]).
+    * Near-dup clustering is deliberately NOT in the gate — it reassigns
+    * rather than drops (see [[dedupAwareSplit]], [[Dedup.dedupCorpus]]). */
+  def curate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+             textCol: String, stopwords: Seq[String],
+             minTokens: Long, maxTokens: Long, minStopRatio: Double,
+             maxRepetition: Double, shingleN: Int = 3): DataFrame = {
+    val stats = TextAnalysis.tokenStats(corpus, idCol, textCol, stopwords)
+      .select(col(idCol), col("n_tokens"), col("stop_ratio"))
+    val rep = TextAnalysis.repetition(corpus, idCol, textCol, shingleN)
+      .select(col(idCol), col("repetition_ratio"))
+    val contam = TextAnalysis.contamination(corpus, evalSet, idCol, textCol, shingleN)
+      .select(col(idCol), col("contaminated"))
+    val canon = corpus
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(Dedup.exactGroups(corpus, idCol, textCol)
+        .select(col("text_hash").as("__h"), col("canonical_id")), "__h")
+      .select(col(idCol), (col(idCol) === col("canonical_id")).as("is_canonical"))
+    stats
+      // docs shorter than shingleN tokens have no shingle rows: no
+      // repetition signal (→ 0) and unscoreable for contamination (→ clean)
+      .join(rep, Seq(idCol), "left")
+      .join(contam, Seq(idCol), "left")
+      .join(canon, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("stop_ratio"),
+        coalesce(col("repetition_ratio"), lit(0.0)).as("repetition_ratio"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("is_canonical"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("pass_length"),
+        (col("stop_ratio") >= minStopRatio).as("pass_stopwords"),
+        (col("repetition_ratio") <= maxRepetition).as("pass_repetition"))
+      .withColumn("keep",
+        col("pass_length") && col("pass_stopwords") && col("pass_repetition") &&
+          !col("contaminated") && col("is_canonical"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Curation
+
+/** Round-4 corpus-curation coverage: shard packing, vocabulary,
+  * stratified sampling, int8 embedding quantization, dedup-aware
+  * splitting, and the composed quality gate. All arithmetic is exact
+  * integer math or integer-division doubles → bit-stable oracles.
+  */
+object CurationQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Raw (non-distinct) 3-shingle rows over `rel` — mirrors
+    * Dedup.shingleRowsRaw; the distinct variant lives in
+    * [[TextQueries.tokCtesOver]]. */
+  private def rawShingleCte(rel: String) =
+    s"""rsh AS (
+       |  SELECT doc_id, s
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |        FROM $rel),
+       |       UNNEST(list_transform(range(1, len(w) - 1),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+       |  WHERE len(w) >= 3)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Concat-and-chunk token packing into fixed-budget shards. The Spark
+    // side computes the global prefix sum two-level (range partition →
+    // per-partition offsets → local windows); the oracle is the plain
+    // single-window definition — identical values prove the decomposition.
+    Q("q47_pack_shards",
+      (s, d) => Curation.packShards(Tables.documents(s, d), "doc_id", "text",
+          tokensPerShard = 500L)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+               FROM documents),
+             o AS (
+               SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+               FROM t)
+             SELECT doc_id, n_tokens, start_offset,
+               CAST(start_offset // 500 AS BIGINT) AS shard
+             FROM o ORDER BY doc_id""")),
+
+    // Top-100 vocabulary by collection frequency with document frequency.
+    Q("q48_vocabulary",
+      (s, d) => Curation.vocabulary(Tables.documents(s, d), "doc_id", "text",
+          topK = 100)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("rnk")),
+      Some("""WITH tr AS (
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+               FROM documents),
+             v AS (
+               SELECT term, CAST(COUNT(*) AS BIGINT) AS cf,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tr GROUP BY term),
+             r AS (
+               SELECT *, CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rnk
+               FROM v)
+             SELECT term, cf, df, rnk FROM r WHERE rnk <= 100 ORDER BY rnk""")),
+
+    // Deterministic stratified sample: 20 docs per language by md5-rank.
+    Q("q49_stratified_sample",
+      (s, d) => Curation.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+          nPerStratum = 20)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang, source FROM documents
+             QUALIFY row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+             ORDER BY doc_id""")),
+
+    // Symmetric int8 embedding quantization — the full quantized vector
+    // (as CSV), its scale, and the exact integer error numerator are all
+    // hash-compared cross-engine.
+    Q("q50_quantize_int8",
+      (s, d) => Curation.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id")),
+      Some("""WITH fx AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS f
+               FROM embeddings),
+             sc AS (
+               SELECT vec_id, f,
+                 CAST(list_max(list_transform(f, v -> abs(v))) AS BIGINT) AS scale_fp
+               FROM fx),
+             q AS (
+               SELECT vec_id, f, scale_fp,
+                 list_transform(f, v -> CASE WHEN scale_fp = 0 THEN 0
+                   WHEN v < 0 THEN -(((-v) * 127) // scale_fp)
+                   ELSE (v * 127) // scale_fp END) AS qv
+               FROM sc)
+             SELECT vec_id, scale_fp,
+               CAST(len(f) AS BIGINT) AS n_dims,
+               array_to_string(list_transform(qv, v -> CAST(v AS VARCHAR)), ',') AS qvec_csv,
+               CAST(list_sum(list_transform(range(1, len(f) + 1),
+                 i -> abs(f[i] * 127 - qv[i] * scale_fp))) AS BIGINT) AS err_num
+             FROM q ORDER BY vec_id""")),
+
+    // Dedup-aware split: near-dup clusters (q15 pair graph → q38
+    // components) share one split via the canonical id's hash bucket.
+    Q("q51_dedup_split",
+      (s, d) => Curation.dedupAwareSplit(Tables.documents(s, d), "doc_id", "text",
+          trainPct = 80, valPct = 10)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE ${TextQueries.minhashPairCtesOver("documents")},
+             nodes AS (
+               SELECT DISTINCT v FROM (
+                 SELECT doc_a AS v FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs)),
+             e2 AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+             reach(v, r) AS (
+               SELECT v, v FROM nodes
+               UNION
+               SELECT reach.v, e2.dst FROM reach JOIN e2 ON e2.src = reach.r),
+             comp AS (
+               SELECT v AS id, MIN(r) AS component FROM reach GROUP BY v),
+             canon AS (
+               SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+               FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+             SELECT doc_id, canonical_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (
+               SELECT doc_id, canonical_id,
+                 ((strpos('0123456789abcdef', substr(md5(CAST(canonical_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(canonical_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS b
+               FROM canon)
+             ORDER BY doc_id""")),
+
+    // The composed quality gate over the corpus (eval set = doc_id % 50 = 0
+    // holdout, as q42): length, stopword, repetition, contamination and
+    // exact-dup gates with full per-gate attribution.
+    Q("q52_curate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.curate(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", stopwords,
+            minTokens = 30L, maxTokens = 10000L,
+            minStopRatio = 0.02, maxRepetition = 0.05)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH c AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+             toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM c),
+             tr AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+             stats AS (
+               SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio
+               FROM tr GROUP BY doc_id),
+             ${rawShingleCte("c")},
+             rep AS (
+               SELECT doc_id,
+                 1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS repetition_ratio
+               FROM rsh GROUP BY doc_id),
+             etoks AS (
+               SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents WHERE doc_id % 50 = 0),
+             esh AS (
+               SELECT DISTINCT s
+               FROM etoks, UNNEST(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+               WHERE len(w) >= 3),
+             ov AS (
+               SELECT doc_id, COUNT(*) AS n_overlap
+               FROM (SELECT DISTINCT doc_id, s FROM rsh)
+               WHERE s IN (SELECT s FROM esh) GROUP BY doc_id),
+             canon AS (SELECT md5(text) AS h, MIN(doc_id) AS k FROM c GROUP BY 1),
+             base AS (
+               SELECT s.doc_id, s.n_tokens, s.stop_ratio,
+                 COALESCE(r.repetition_ratio, 0.0) AS repetition_ratio,
+                 COALESCE(o.n_overlap, 0) > 0 AS contaminated,
+                 (d.doc_id = cn.k) AS is_canonical
+               FROM stats s
+               JOIN c d ON d.doc_id = s.doc_id
+               JOIN canon cn ON md5(d.text) = cn.h
+               LEFT JOIN rep r ON r.doc_id = s.doc_id
+               LEFT JOIN ov o ON o.doc_id = s.doc_id)
+             SELECT doc_id, n_tokens, stop_ratio, repetition_ratio,
+               contaminated, is_canonical,
+               (n_tokens >= 30 AND n_tokens <= 10000) AS pass_length,
+               (stop_ratio >= 0.02) AS pass_stopwords,
+               (repetition_ratio <= 0.05) AS pass_repetition,
+               ((n_tokens >= 30 AND n_tokens <= 10000)
+                AND stop_ratio >= 0.02
+                AND repetition_ratio <= 0.05
+                AND NOT contaminated AND is_canonical) AS keep
+             FROM base ORDER BY doc_id"""))
+  )
+}

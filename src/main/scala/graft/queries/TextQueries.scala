@@ -14,7 +14,7 @@ object TextQueries {
 
   /** Shared DuckDB CTEs: tokens and distinct 3-shingles over `rel`,
     * matching Dedup.tokens / Dedup.shingleRows semantics exactly. */
-  private def tokCtesOver(rel: String) =
+  private[queries] def tokCtesOver(rel: String) =
     s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
        |  FROM $rel),
@@ -30,7 +30,7 @@ object TextQueries {
     * `rel`, up to a `pairs(doc_a, doc_b, jaccard)` relation — consumed by
     * the q15 oracle directly, q38's recursive component closure, and q40's
     * full-dedup composition. */
-  private def minhashPairCtesOver(rel: String) =
+  private[queries] def minhashPairCtesOver(rel: String) =
     s"""${tokCtesOver(rel)},
        |sig AS (
        |  SELECT doc_id,

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+/** Curation operator semantics on planted fixtures: shard packing is the
+  * single-window prefix sum (despite the two-level plan), sampling is
+  * exact-n and deterministic, quantization honors its error bound, the
+  * dedup-aware split keeps near-dup clusters on one side of the holdout
+  * boundary, and every curate gate fires on its planted offender. */
+class CurationSpec extends SparkSpec {
+
+  private def doc(words: Int, tag: String): String =
+    (1 to words).map(i => s"$tag$i").mkString(" ")
+
+  test("packShards: offsets are the global prefix sum, shards cut at the budget") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, doc(i.toInt % 7 + 1, "w"))).toDF("doc_id", "text")
+    val out = Curation.packShards(docs, "doc_id", "text", tokensPerShard = 10L)
+      .orderBy("doc_id")
+      .collect()
+    var cum = 0L
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("start_offset") == cum, s"offset at doc ${r.get(0)}")
+      assert(r.getAs[Long]("shard") == cum / 10L)
+      cum += n
+    }
+    // budget respected: consecutive docs in one shard total < budget + one doc
+    val byShard = out.groupBy(_.getAs[Long]("shard")).values
+    byShard.foreach { rows =>
+      val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+      val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+      assert(tot < 10L + maxDoc)
+    }
+  }
+
+  test("vocabulary: cf-descending, term tie-break, df bounded by cf and corpus size") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry cherry"),
+      (3L, "banana apple")).toDF("doc_id", "text")
+    val v = Curation.vocabulary(docs, "doc_id", "text", topK = 10).orderBy("rank").collect()
+    assert(v.map(_.getAs[String]("term")).toSeq == Seq("apple", "cherry", "banana"))
+    assert(v.map(_.getAs[Long]("cf")).toSeq == Seq(4L, 3L, 2L))
+    assert(v.map(_.getAs[Long]("df")).toSeq == Seq(3L, 1L, 2L))
+    v.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("cf") &&
+      r.getAs[Long]("df") <= 3L))
+  }
+
+  test("stratifiedSample: exactly min(n, stratum size) rows, bit-deterministic") {
+    import spark.implicits._
+    val df = (1L to 90L).map(i => (i, if (i % 3 == 0) "small" else "big"))
+      .toDF("id", "stratum")
+      .filter(col("stratum") === "big" || col("id") <= 9) // small stratum: 3 rows
+    val take = (d: org.apache.spark.sql.DataFrame) =>
+      Curation.stratifiedSample(d, "stratum", "id", nPerStratum = 10)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val s1 = take(df)
+    val s2 = take(df.repartition(7)) // partitioning must not change the sample
+    assert(s1 == s2)
+    val byStratum = Curation.stratifiedSample(df, "stratum", "id", 10)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("big") == 10L)
+    assert(byStratum("small") == 3L) // fewer rows than n → all kept
+  }
+
+  test("quantizeInt8: int8 range, exact error bound, zero-vector safe") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0
+      (3L, Array(-1.0f, 1.0f, 0.003f, -0.997f))).toDF("vec_id", "embedding")
+    val out = Curation.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    out.foreach { r =>
+      val qs = r.getAs[String]("qvec_csv").split(",").map(_.toLong)
+      assert(qs.forall(q => q >= -127L && q <= 127L))
+      val scale = r.getAs[Long]("scale_fp")
+      val n = r.getAs[Long]("n_dims")
+      // per-dim truncation error |127·fx − q·scale| < scale by construction
+      assert(r.getAs[Long]("err_num") <= (if (scale == 0) 0L else (scale - 1) * n))
+    }
+    val zero = out(1)
+    assert(zero.getAs[Long]("scale_fp") == 0L)
+    assert(zero.getAs[String]("qvec_csv") == "0,0,0,0")
+    // max-magnitude dim quantizes to exactly ±127
+    assert(out(2).getAs[String]("qvec_csv").split(",").map(_.toLong).min == -127L)
+  }
+
+  test("dedupAwareSplit: a near-dup cluster lands in ONE split, singletons keep their own hash") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val docs = Seq(
+      (10L, base),
+      (11L, base), // exact dup of 10 → same cluster
+      (12L, base.replaceFirst("lazy", "sleepy")), // near-dup → same cluster
+      (13L, doc(40, "alpha")),
+      (14L, doc(40, "beta"))).toDF("doc_id", "text")
+    val out = Curation.dedupAwareSplit(docs, "doc_id", "text",
+        trainPct = 50, valPct = 25, threshold = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[String]("split"))).toMap
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L && out(12L)._1 == 10L)
+    assert(Set(out(10L)._2, out(11L)._2, out(12L)._2).size == 1)
+    // singletons: canonical = self, split = the plain withSplit assignment
+    val solo = graft.operators.TextAnalysis
+      .withSplit(docs.filter(col("doc_id") >= 13L), "doc_id", 50, 25)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out(13L)._1 == 13L && out(13L)._2 == solo(13L))
+    assert(out(14L)._1 == 14L && out(14L)._2 == solo(14L))
+  }
+
+  test("curate: each gate fires on its planted offender and only there") {
+    import spark.implicits._
+    val good = "the cat sat of the mat and went to sleep in a box " +
+      doc(30, "filler") // stopwords + length + low repetition
+    val evalText = "held out benchmark question about catalyst optimizer internals today"
+    val corpus = Seq(
+      (1L, good),
+      (2L, "tiny doc"), // fails length (< 30 tokens)
+      (3L, ("the of and to in a " * 8) + doc(20, "rep ") + ("the of and to in a " * 8)), // repetition
+      (4L, doc(45, "nostop")), // no stopwords → fails stopword gate
+      (5L, good), // exact dup of 1 → not canonical
+      (6L, s"the start of a doc and then $evalText plus the rest of the text to pad it out " + doc(20, "pad"))
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val out = Curation.curate(corpus, eval, "doc_id", "text",
+        Seq("the", "a", "of", "and", "to", "in"),
+        minTokens = 30L, maxTokens = 10000L, minStopRatio = 0.02,
+        maxRepetition = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("pass_length") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("pass_repetition"))
+    assert(!out(4L).getAs[Boolean]("pass_stopwords"))
+    assert(!out(5L).getAs[Boolean]("is_canonical") && out(1L).getAs[Boolean]("is_canonical"))
+    assert(out(6L).getAs[Boolean]("contaminated") && !out(6L).getAs[Boolean]("keep"))
+    assert(!out(1L).getAs[Boolean]("contaminated"))
+  }
+}
