@@ -23,10 +23,14 @@ object AnalyticsQueries {
         val li = Tables.lineitem(s, d)
         val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        // q02's two-phase money trick: the 600k-row pre-agg sums exact long
+        // cents (pure integer codegen); only the per-order partials — 4×
+        // fewer rows — are widened to DECIMAL at the rollup, where the
+        // 100 TB-scale total genuinely needs 38 digits.
         val liAgg = li.groupBy(col("l_orderkey"))
           .agg(
             count(lit(1)).as("__n"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).as("__rev"))
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("__revc"))
         liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(Tables.customer(s, d)
             .select(col("c_custkey"), col("c_nationkey"))),
@@ -38,7 +42,7 @@ object AnalyticsQueries {
           .rollup(col("r_name"), col("n_name"))
           .agg(
             sum(col("__n")).as("n_lines"),
-            sum(col("__rev")).cast("double").as("revenue"))
+            (sum(col("__revc").cast("decimal(38,0)")) / 100).cast("double").as("revenue"))
           .select(col("r_name"), col("n_name"), col("n_lines"), col("revenue"))
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
       },

@@ -229,6 +229,16 @@ object Realtime {
                   watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
 
+  /** Key-only streaming dedup on Spark 4's `dropDuplicatesWithinWatermark`:
+    * re-deliveries of the same id are dropped even when their event
+    * timestamps DIFFER (retry storms re-stamp events; the (id, ts) form
+    * above would pass those through). State for an id is evictable once the
+    * watermark passes its first-seen timestamp + delay — bounded, unlike a
+    * batch-style global `dropDuplicates(id)` which would grow state forever. */
+  def dedupStreamById(events: DataFrame, idCol: String, tsCol: String,
+                      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
+
   /** True watermarked stream-stream inner join (beyond the reference's
     * hand-rolled state machine): headers ⋈ lines on the order id with a
     * time-range bound so both sides' state is evictable. State size is

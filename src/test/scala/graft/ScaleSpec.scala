@@ -41,4 +41,67 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"))
     assert(joined.count() == lineitem.count())
   }
+
+  /** Run `body` with the given SQL confs set, restoring prior values after —
+    * the shared test session must not leak config into other suites. */
+  private def withConf(confs: (String, String)*)(body: => Unit): Unit = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed join partition (skew=true in the adaptive plan)") {
+    import spark.implicits._
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val pad = "x" * 128
+      // 1/4 of the left rows share key 0 → one shuffle partition dwarfs the
+      // median and AQE must split it instead of running one straggler task
+      val left = spark.range(0, 40000)
+        .select(when($"id" % 4 === 0, 0L).otherwise($"id").as("k"), lit(pad).as("pad"))
+      val right = spark.range(0, 2000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+      // materialize THIS dataframe's query execution (count() would plan a
+      // separate one and the adaptive plan would never finalize here)
+      val n = joined.collect().length
+      // key 0 matches its 10k left rows; left keys 1..1999 not div by 4
+      // (1500 of them) match once each
+      assert(n == 10000 + 1500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
+    }
+  }
+
+  test("runtime bloom filter from the selective dim side prunes the fact scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    spark.range(0, 200000).select($"id".as("k"), ($"id" % 97).as("v"))
+      .write.parquet(s"$dir/fact")
+    spark.range(0, 5000).select($"id".as("k"), ($"id" % 7).as("cat"))
+      .write.parquet(s"$dir/dim")
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"cat" === 3)
+      val joined = fact.join(dim, "k")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter in plan:\n$plan")
+      assert(joined.count() == 714L) // cat==3: ids 3, 10, …, 4998 → 714 dims
+    }
+  }
 }

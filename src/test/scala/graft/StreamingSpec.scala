@@ -247,6 +247,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("dropDuplicatesWithinWatermark: re-stamped re-deliveries of an id emit once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF("event_id", "ts")
+    val q = Realtime.dedupStreamById(df, "event_id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dwm").outputMode("append").start()
+    try {
+      in.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:03:00")),
+        (2L, t("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      in.addData((1L, t("2024-01-01 10:06:00"))) // retry storm: same id, new stamp
+      q.processAllAvailable()
+      val got = spark.table("dwm").select("event_id").collect().map(_.getLong(0)).sorted
+      // the (id, ts) dedup form would emit id 1 three times here
+      assert(got.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink lands streaming output idempotently") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
