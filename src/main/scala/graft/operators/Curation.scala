@@ -187,4 +187,24 @@ object Curation {
         col("pass_length") && col("pass_stopwords") && col("pass_repetition") &&
           !col("contaminated") && col("is_canonical"))
   }
+
+  /** Per-source curation scorecard: how much of each ingestion source
+    * survives the [[curate]] gate, with counts per failure mode — the
+    * report a pipeline operator reads to decide which crawls/feeds to
+    * deprioritize. One aggregation over the gate output joined to the
+    * source metadata; all measures are integer counts (+ one
+    * integer-division rate), so the rollup is oracle-exact. */
+  def sourceQuality(gated: DataFrame, docsMeta: DataFrame, idCol: String,
+                    sourceCol: String): DataFrame =
+    gated.join(docsMeta.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum((!col("pass_length")).cast("long")).as("n_bad_length"),
+        sum((!col("pass_stopwords")).cast("long")).as("n_low_stopword"),
+        sum((!col("pass_repetition")).cast("long")).as("n_repetitive"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"),
+        sum((!col("is_canonical")).cast("long")).as("n_exact_dups"))
+      .withColumn("keep_rate", col("n_keep").cast("double") / col("n_docs"))
 }

@@ -179,6 +179,24 @@ object TextAnalysis {
       regexp_replace(noEmail, lit(PhoneRe), lit("<PHONE>")).as("clean_text"))
   }
 
+  /** Subword-ish token accounting without a trained tokenizer: a GPT-2-style
+    * pre-tokenizer regex (letter runs | single digits, Llama-style | punct
+    * runs; whitespace is a separator, not a token) approximates the unit a
+    * BPE tokenizer would start from — the standard cheap estimator for
+    * "how many tokens will this doc cost" in corpus budgeting. The pattern
+    * is conservative ASCII so Java regex (Spark) and RE2 (oracle) agree.
+    * chars_per_subword is the classic tokenizer-health ratio (very low =
+    * punct soup / code, very high = CJK or concatenated junk). */
+  val BpeishRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+  def subwordStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeishRe), lit(0)))
+        .cast("long").as("n_subwords"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    .withColumn("chars_per_subword",
+      col("n_chars").cast("double") / col("n_subwords"))
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

@@ -25,6 +25,61 @@ object CurationQueries {
        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
        |  WHERE len(w) >= 3)""".stripMargin
 
+  /** The q52 quality-gate CTE chain (corpus = doc_id % 50 <> 0, eval =
+    * the held-out rows) ending in a `gate` CTE with the full per-gate
+    * attribution — shared by q52 (row-level) and q53 (per-source rollup). */
+  private def gateSql(finalSelect: String) =
+    s"""WITH c AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+       toks AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+         FROM c),
+       tr AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+       stats AS (
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio
+         FROM tr GROUP BY doc_id),
+       ${rawShingleCte("c")},
+       rep AS (
+         SELECT doc_id,
+           1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS repetition_ratio
+         FROM rsh GROUP BY doc_id),
+       etoks AS (
+         SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+         FROM documents WHERE doc_id % 50 = 0),
+       esh AS (
+         SELECT DISTINCT s
+         FROM etoks, UNNEST(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+         WHERE len(w) >= 3),
+       ov AS (
+         SELECT doc_id, COUNT(*) AS n_overlap
+         FROM (SELECT DISTINCT doc_id, s FROM rsh)
+         WHERE s IN (SELECT s FROM esh) GROUP BY doc_id),
+       canon AS (SELECT md5(text) AS h, MIN(doc_id) AS k FROM c GROUP BY 1),
+       base AS (
+         SELECT s.doc_id, s.n_tokens, s.stop_ratio,
+           COALESCE(r.repetition_ratio, 0.0) AS repetition_ratio,
+           COALESCE(o.n_overlap, 0) > 0 AS contaminated,
+           (d.doc_id = cn.k) AS is_canonical
+         FROM stats s
+         JOIN c d ON d.doc_id = s.doc_id
+         JOIN canon cn ON md5(d.text) = cn.h
+         LEFT JOIN rep r ON r.doc_id = s.doc_id
+         LEFT JOIN ov o ON o.doc_id = s.doc_id),
+       gate AS (
+         SELECT doc_id, n_tokens, stop_ratio, repetition_ratio,
+           contaminated, is_canonical,
+           (n_tokens >= 30 AND n_tokens <= 10000) AS pass_length,
+           (stop_ratio >= 0.02) AS pass_stopwords,
+           (repetition_ratio <= 0.05) AS pass_repetition,
+           ((n_tokens >= 30 AND n_tokens <= 10000)
+            AND stop_ratio >= 0.02
+            AND repetition_ratio <= 0.05
+            AND NOT contaminated AND is_canonical) AS keep
+         FROM base)
+       $finalSelect"""
+
   val all: Seq[Q] = Seq(
 
     // Concat-and-chunk token packing into fixed-budget shards. The Spark
@@ -152,53 +207,36 @@ object CurationQueries {
             minStopRatio = 0.02, maxRepetition = 0.05)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH c AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
-             toks AS (
-               SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-               FROM c),
-             tr AS (SELECT doc_id, unnest(w) AS tok FROM toks),
-             stats AS (
-               SELECT doc_id,
-                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                 CAST(SUM(CASE WHEN tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio
-               FROM tr GROUP BY doc_id),
-             ${rawShingleCte("c")},
-             rep AS (
-               SELECT doc_id,
-                 1.0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS repetition_ratio
-               FROM rsh GROUP BY doc_id),
-             etoks AS (
-               SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
-               FROM documents WHERE doc_id % 50 = 0),
-             esh AS (
-               SELECT DISTINCT s
-               FROM etoks, UNNEST(list_transform(range(1, len(w) - 1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
-               WHERE len(w) >= 3),
-             ov AS (
-               SELECT doc_id, COUNT(*) AS n_overlap
-               FROM (SELECT DISTINCT doc_id, s FROM rsh)
-               WHERE s IN (SELECT s FROM esh) GROUP BY doc_id),
-             canon AS (SELECT md5(text) AS h, MIN(doc_id) AS k FROM c GROUP BY 1),
-             base AS (
-               SELECT s.doc_id, s.n_tokens, s.stop_ratio,
-                 COALESCE(r.repetition_ratio, 0.0) AS repetition_ratio,
-                 COALESCE(o.n_overlap, 0) > 0 AS contaminated,
-                 (d.doc_id = cn.k) AS is_canonical
-               FROM stats s
-               JOIN c d ON d.doc_id = s.doc_id
-               JOIN canon cn ON md5(d.text) = cn.h
-               LEFT JOIN rep r ON r.doc_id = s.doc_id
-               LEFT JOIN ov o ON o.doc_id = s.doc_id)
-             SELECT doc_id, n_tokens, stop_ratio, repetition_ratio,
-               contaminated, is_canonical,
-               (n_tokens >= 30 AND n_tokens <= 10000) AS pass_length,
-               (stop_ratio >= 0.02) AS pass_stopwords,
-               (repetition_ratio <= 0.05) AS pass_repetition,
-               ((n_tokens >= 30 AND n_tokens <= 10000)
-                AND stop_ratio >= 0.02
-                AND repetition_ratio <= 0.05
-                AND NOT contaminated AND is_canonical) AS keep
-             FROM base ORDER BY doc_id"""))
+      Some(gateSql("""SELECT doc_id, n_tokens, stop_ratio, repetition_ratio,
+               contaminated, is_canonical, pass_length, pass_stopwords,
+               pass_repetition, keep
+             FROM gate ORDER BY doc_id"""))),
+
+    // Per-source curation scorecard: the q52 gate rolled up by ingestion
+    // source with per-failure-mode counts — which crawls/feeds to
+    // deprioritize. Pure integer counts + one integer-division rate.
+    Q("q53_source_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val gated = Curation.curate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", stopwords,
+          minTokens = 30L, maxTokens = 10000L,
+          minStopRatio = 0.02, maxRepetition = 0.05)
+        Curation.sourceQuality(gated, docs, "doc_id", "source")
+          .orderBy(col("source"))
+      },
+      Some(gateSql("""SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+               CAST(SUM(CASE WHEN NOT g.pass_length THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_length,
+               CAST(SUM(CASE WHEN NOT g.pass_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+               CAST(SUM(CASE WHEN NOT g.pass_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+               CAST(SUM(CASE WHEN g.contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN NOT g.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+               CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
+             FROM gate g JOIN documents d ON d.doc_id = g.doc_id
+             GROUP BY d.source ORDER BY d.source""")))
   )
 }

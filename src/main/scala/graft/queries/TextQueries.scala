@@ -387,6 +387,23 @@ object TextQueries {
              SELECT doc_id, n_emails,
                CAST(len(regexp_extract_all(t1, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
                regexp_replace(t1, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
-             FROM ne ORDER BY doc_id"""))
+             FROM ne ORDER BY doc_id""")),
+
+    // Subword-ish token accounting: GPT-2-style pre-tokenizer regex counts
+    // (letter runs | single digits | punct runs) vs whitespace tokens, plus
+    // the chars-per-subword health ratio. The conservative ASCII pattern
+    // keeps Java regex (Spark) and RE2 (DuckDB) in exact agreement.
+    Q("q54_subword_stats",
+      (s, d) => TextAnalysis.subwordStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH b AS (
+               SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishRe}')) AS BIGINT) AS n_subwords,
+                 CAST(length(text) AS BIGINT) AS n_chars
+               FROM documents)
+             SELECT doc_id, n_ws_tokens, n_subwords, n_chars,
+               CAST(n_chars AS DOUBLE) / n_subwords AS chars_per_subword
+             FROM b ORDER BY doc_id"""))
   )
 }

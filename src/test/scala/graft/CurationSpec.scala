@@ -140,4 +140,47 @@ class CurationSpec extends SparkSpec {
     assert(out(6L).getAs[Boolean]("contaminated") && !out(6L).getAs[Boolean]("keep"))
     assert(!out(1L).getAs[Boolean]("contaminated"))
   }
+
+  test("sourceQuality: per-source rollup attributes each planted failure mode") {
+    import spark.implicits._
+    val goodA = "the cat sat of the mat and went to sleep in a box " + doc(30, "fillerA")
+    val goodB = "the cat sat of the mat and went to sleep in a box " + doc(30, "fillerB")
+    val corpus = Seq(
+      (1L, goodA, "crawlA"),   // keeps
+      (2L, "tiny doc", "crawlA"), // bad length
+      (3L, goodB, "crawlB"),   // keeps (canonical of its dup group: min id)
+      (4L, goodB + " extra", "crawlB"), // distinct text → keeps
+      (5L, goodB, "crawlB")    // exact dup of 3 → not canonical
+    ).toDF("doc_id", "text", "source")
+    val eval = Seq((100L, "held out benchmark text entirely absent from corpus today"))
+      .toDF("doc_id", "text")
+    val gated = Curation.curate(corpus.select(col("doc_id"), col("text")), eval,
+      "doc_id", "text", Seq("the", "a", "of", "and", "to", "in"),
+      minTokens = 30L, maxTokens = 10000L, minStopRatio = 0.02, maxRepetition = 0.5)
+    val out = Curation.sourceQuality(gated, corpus, "doc_id", "source")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("crawlA").getAs[Long]("n_docs") == 2L)
+    assert(out("crawlA").getAs[Long]("n_keep") == 1L)
+    assert(out("crawlA").getAs[Long]("n_bad_length") == 1L)
+    assert(out("crawlA").getAs[Double]("keep_rate") == 0.5)
+    assert(out("crawlB").getAs[Long]("n_docs") == 3L)
+    assert(out("crawlB").getAs[Long]("n_exact_dups") == 1L)
+    assert(out("crawlB").getAs[Long]("n_keep") == 2L)
+    assert(out("crawlB").getAs[Long]("n_contaminated") == 0L)
+  }
+
+  test("subwordStats: pre-tokenizer splits letter runs, single digits, punct runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),              // 2 subwords, 2 ws tokens
+      (2L, "abc123,,x"),                // abc|1|2|3|,,|x = 6 subwords, 1 ws token
+      (3L, "don't stop-me now")         // don|'|t|stop|-|me|now = 7
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.subwordStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_subwords") == 2L && out(1L).getAs[Long]("n_ws_tokens") == 2L)
+    assert(out(2L).getAs[Long]("n_subwords") == 6L && out(2L).getAs[Long]("n_ws_tokens") == 1L)
+    assert(out(3L).getAs[Long]("n_subwords") == 7L && out(3L).getAs[Long]("n_ws_tokens") == 3L)
+    assert(out(2L).getAs[Double]("chars_per_subword") == 9.0 / 6.0)
+  }
 }
