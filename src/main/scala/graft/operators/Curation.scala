@@ -188,6 +188,39 @@ object Curation {
           !col("contaminated") && col("is_canonical"))
   }
 
+  /** Domain/source mixture weights for training-data sampling: weight each
+    * source proportionally to n_tokens^alpha (alpha < 1 upsamples small
+    * high-quality sources relative to bulk crawl — the standard
+    * temperature-style reweighting), plus the epochs-per-source a given
+    * token budget implies (epochs > 1 ⇒ that source repeats during
+    * training).
+    *
+    * Determinism: the one libm call (pow) is fixed-pointed to integer
+    * thousandths immediately, so the normalizing sum and both emitted
+    * ratios are exact integer arithmetic / integer-division doubles —
+    * bit-stable across engines and partition orders. Ranges: safe while
+    * n_tokens^alpha·10³ · tokenBudget < 2⁶³ (alpha ≤ 0.5, petatoken
+    * corpora and terabyte budgets included).
+    *
+    * One aggregation over the corpus + a broadcast 1-row normalizer. */
+  def mixtureWeights(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, alpha: Double,
+                     tokenBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be > 0: $tokenBudget")
+    val t = docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(Dedup.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val p = t.withColumn("__pw",
+      round(pow(col("n_tokens").cast("double"), lit(alpha)) * 1000, 0).cast("long"))
+    val norm = p.agg(sum(col("__pw")).as("__sp"))
+    p.crossJoin(broadcast(norm))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("__pw").cast("double") / col("__sp")).as("weight"),
+        ((col("__pw") * tokenBudget).cast("double") / (col("__sp") * col("n_tokens")))
+          .as("epochs"))
+  }
+
   /** Per-source curation scorecard: how much of each ingestion source
     * survives the [[curate]] gate, with counts per failure mode — the
     * report a pipeline operator reads to decide which crawls/feeds to

@@ -179,6 +179,51 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Shingle-set containment for candidate pairs: C = |A∩B| / min(|A|,|B|)
+    * — 1.0 when the smaller document's shingles all appear in the larger
+    * (quotation, wrapper boilerplate, copy-with-additions), where Jaccard
+    * would be diluted by the size difference. Same pair-shingle join shape
+    * as [[jaccardForPairs]]; no size pre-prune exists for containment (a
+    * tiny doc can be fully contained in a huge one), so the threshold is
+    * applied after the intersection count. */
+  def containmentForPairs(pairs: DataFrame, shingles: DataFrame, idCol: String,
+                          precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n")))
+    val sa = shingles.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = shingles.select(col(idCol).as("doc_b"), col("shingle"))
+    pairs
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sa, "doc_a")
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+  }
+
+  /** Containment near-dup pipeline: LSH candidates (as [[minhashNearDups]])
+    * verified by exact shingle containment ≥ threshold. Candidate recall is
+    * Jaccard-driven (MinHash bands collide on Jaccard, not containment), so
+    * extreme size-ratio containments can be missed at banding level — the
+    * standard trade; for strict containment search, band within
+    * document-size strata so same-scale docs dominate each bucket. */
+  def containmentNearDups(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigN = minhashSignatures(sh, idCol, k, withSize = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatePairs(lshBandRows(sigN, idCol, bands, k / bands), idCol,
+      maxBucketSize)
+    containmentForPairs(cand, sh, idCol,
+      precomputedSizes = Some(sigN.select(col(idCol), col("n"))))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     * pairs → exact-Jaccard filter. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,

@@ -197,6 +197,95 @@ object TextAnalysis {
     .withColumn("chars_per_subword",
       col("n_chars").cast("double") / col("n_subwords"))
 
+  /** Corpus-level boilerplate detection: shingles appearing in at least
+    * `minDocFrac` of all documents (site chrome, nav text, license headers
+    * — content no single document owns) and, per document, the fraction of
+    * its distinct shingles that are such boilerplate — the standard
+    * "mostly-template page" removal signal in web-corpus curation.
+    *
+    * Scale: one df-aggregation over the (id, shingle) frame (shuffle on
+    * shingle), the df-filtered boilerplate set is small by construction
+    * (high-df survivors only; AQE broadcasts the membership join when it
+    * fits), one per-doc aggregation. The shingle frame feeds three
+    * consumers on two keys, so it is persisted. */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  minDocFrac: Double, n: Int = 3): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1, s"minDocFrac in (0,1]: $minDocFrac")
+    val sh = Dedup.shingleRows(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val bp = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df").cast("double") >= lit(minDocFrac) * col("__nd"))
+      .select(col("shingle"))
+    val nb = sh.join(bp, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nb"))
+    sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(nb, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__nb"), lit(0L)).as("n_boiler"),
+        (coalesce(col("__nb"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("boiler_ratio"))
+  }
+
+  /** Corpus unigram language model with add-one (Laplace) smoothing:
+    * (term, cf, logp_micros) where logp_micros = round(ln((cf+1)/(T+V))·10⁶)
+    * as an exact integer — T = total token occurrences, V = vocabulary size.
+    * Fixed-pointing the log here is what makes [[lmScore]] oracle-exact:
+    * per-document totals become integer sums (associative, partitioning-
+    * independent), instead of order-dependent double additions. The one
+    * libm call (ln) is rounded to 0 decimals AFTER the 10⁶ scale, so a
+    * 1-ulp engine difference cannot survive into the stored weight.
+    * One explode + one hash aggregate; T and V ride along as a broadcast
+    * 1-row frame. */
+  def unigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cf = termRows(docs, idCol, textCol, 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("__t"), count(lit(1)).as("__v"))
+    cf.crossJoin(broadcast(tot))
+      .select(col("term"), col("cf"),
+        round(log((col("cf") + 1).cast("double") / (col("__t") + col("__v"))) * 1000000, 0)
+          .cast("long").as("logp_micros"))
+  }
+
+  /** Per-document quality score under a unigram LM: the average token
+    * log-probability (natural log), high for statistically typical text and
+    * low for gibberish / rare-token soup — the classic cheap stand-in for
+    * model-based perplexity filtering in training-data curation.
+    *
+    * Trains on `trainDocs` (the corpus itself by default — self-scoring;
+    * pass a clean reference corpus to score raw crawl against it).
+    * Out-of-vocabulary terms get the unseen-mass probability 1/(T+V).
+    * Outputs: n_tokens, n_oov, logprob_micros (exact integer), avg_logprob
+    * (integer-division double → bit-stable cross-engine).
+    *
+    * Scale: two hash aggregations over (id, term) rows + one join against
+    * the V-row model (AQE broadcasts it when small); no double is ever
+    * summed — see [[unigramLm]]. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              trainDocs: Option[DataFrame] = None): DataFrame = {
+    val lm = unigramLm(trainDocs.getOrElse(docs), idCol, textCol)
+    // unseen-term weight ln(1/(T+V))·10⁶, from a 1-row aggregate of the
+    // V-row model frame (not a rescan of the training corpus)
+    val tot = lm.agg(sum(col("cf")).as("__t"), count(lit(1)).as("__v"))
+    val oovW = tot.select(
+      round(log(lit(1.0) / (col("__t") + col("__v"))) * 1000000, 0)
+        .cast("long").as("__oov"))
+    val dt = termRows(docs, idCol, textCol, 1)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    dt.join(lm.select(col("term"), col("logp_micros")), Seq("term"), "left")
+      .crossJoin(broadcast(oovW))
+      .select(col(idCol), col("tf"),
+        coalesce(col("logp_micros"), col("__oov")).as("__l"),
+        col("logp_micros").isNull.cast("long").as("__isoov"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("__isoov")).as("n_oov"),
+        sum(col("tf") * col("__l")).as("logprob_micros"))
+      .withColumn("avg_logprob",
+        col("logprob_micros").cast("double") / (col("n_tokens") * 1000000L))
+  }
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

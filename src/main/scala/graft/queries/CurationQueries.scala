@@ -237,6 +237,26 @@ object CurationQueries {
                CAST(SUM(CASE WHEN NOT g.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
                CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate
              FROM gate g JOIN documents d ON d.doc_id = g.doc_id
-             GROUP BY d.source ORDER BY d.source""")))
+             GROUP BY d.source ORDER BY d.source"""))),
+
+    // Domain mixture weights at alpha = 0.5 with a 1M-token budget: the
+    // pow() is fixed-pointed to integer thousandths, so the normalizer and
+    // both ratios are exact cross-engine.
+    Q("q56_mixture_weights",
+      (s, d) => Curation.mixtureWeights(Tables.documents(s, d), "doc_id", "text",
+          "source", alpha = 0.5, tokenBudget = 1000000L)
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+               SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             p AS (
+               SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000, 0) AS BIGINT) AS pw
+               FROM t),
+             s AS (SELECT CAST(SUM(pw) AS BIGINT) AS sp FROM p)
+             SELECT source, n_docs, n_tokens,
+               CAST(pw AS DOUBLE) / sp AS weight,
+               CAST(pw * 1000000 AS DOUBLE) / (sp * n_tokens) AS epochs
+             FROM p, s ORDER BY source"""))
   )
 }

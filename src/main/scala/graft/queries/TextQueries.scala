@@ -404,6 +404,76 @@ object TextQueries {
                FROM documents)
              SELECT doc_id, n_ws_tokens, n_subwords, n_chars,
                CAST(n_chars AS DOUBLE) / n_subwords AS chars_per_subword
-             FROM b ORDER BY doc_id"""))
+             FROM b ORDER BY doc_id""")),
+
+    // Unigram-LM quality score (cheap perplexity stand-in): corpus-trained
+    // add-one-smoothed model, per-doc average token log-prob. Log-probs are
+    // fixed-pointed to integer micros inside the operator, so every sum the
+    // oracle compares is exact integer math — no cross-partition double
+    // addition anywhere.
+    Q("q55_lm_score",
+      (s, d) => TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some("""WITH tr AS (
+               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+               FROM documents),
+             cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM tr GROUP BY term),
+             tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM cf),
+             lp AS (
+               SELECT term,
+                 CAST(round(ln((CAST(cf AS DOUBLE) + 1) / (t + v)) * 1000000, 0) AS BIGINT) AS l
+               FROM cf, tot),
+             dt AS (
+               SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tr GROUP BY doc_id, term),
+             agg AS (
+               SELECT doc_id,
+                 CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 CAST(0 AS BIGINT) AS n_oov,
+                 CAST(SUM(tf * l) AS BIGINT) AS logprob_micros
+               FROM dt JOIN lp USING (term) GROUP BY doc_id)
+             SELECT doc_id, n_tokens, n_oov, logprob_micros,
+               CAST(logprob_micros AS DOUBLE) / (n_tokens * 1000000) AS avg_logprob
+             FROM agg ORDER BY doc_id""")),
+
+    // Shingle-set containment over LSH candidates: catches
+    // doc-contained-in-doc (quotes, wrapper boilerplate) that Jaccard
+    // dilutes. The oracle re-derives the full candidate chain and scores
+    // containment from the same `inter`/`sizes` CTEs q15 uses for Jaccard.
+    Q("q57_containment",
+      (s, d) => graft.operators.Dedup.containmentNearDups(
+          Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5, maxBucketSize = 100)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH ${minhashPairCtesOver("documents")}
+             SELECT i.doc_a, i.doc_b,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(i.ni AS BIGINT) AS n_inter,
+               CAST(i.ni AS DOUBLE) / least(sa.n, sb.n) AS containment
+             FROM inter i
+             JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+             WHERE CAST(i.ni AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+             ORDER BY i.doc_a, i.doc_b""")),
+
+    // Corpus boilerplate: shingles present in ≥ 2% of documents, and each
+    // document's boilerplate fraction — the mostly-template-page signal.
+    Q("q58_boilerplate",
+      (s, d) => TextAnalysis.boilerplate(Tables.documents(s, d), "doc_id", "text",
+          minDocFrac = 0.02)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $tokCtes,
+             nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+             bp AS (SELECT s FROM df, nd WHERE CAST(df AS DOUBLE) >= 0.02 * n),
+             tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+                     FROM sh GROUP BY doc_id),
+             nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+                    FROM sh WHERE s IN (SELECT s FROM bp) GROUP BY doc_id)
+             SELECT t.doc_id, t.n_shingles,
+               COALESCE(nb.n_boiler, 0) AS n_boiler,
+               CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / t.n_shingles AS boiler_ratio
+             FROM tot t LEFT JOIN nb ON nb.doc_id = t.doc_id
+             ORDER BY t.doc_id"""))
   )
 }

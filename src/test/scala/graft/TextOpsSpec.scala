@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** Semantics of the round-4 text/curation additions on planted fixtures:
+  * the unigram LM ranks gibberish below typical text (and handles OOV
+  * against an external training corpus), mixture weights upsample small
+  * sources at alpha < 1 and respect the exact integer normalizer,
+  * containment catches a quoted-inside-wrapper doc that Jaccard dilutes
+  * below threshold, and boilerplate shingles are attributed per document. */
+class TextOpsSpec extends SparkSpec {
+
+  test("lmScore: typical text outranks rare-token soup; micros are exact") {
+    import spark.implicits._
+    val common = "the cat sat on the mat and the dog sat on the rug"
+    val docs = Seq(
+      (1L, common),
+      (2L, common),
+      (3L, "zxqv wvyx qqzz vvxx kkjj hhgg ffdd ssaa ppoo iiuu yytt rree")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("avg_logprob") > out(3L).getAs[Double]("avg_logprob"))
+    assert(out(1L).getAs[Long]("logprob_micros") == out(2L).getAs[Long]("logprob_micros"))
+    // self-scoring: every term is in-vocabulary
+    assert(out.values.forall(_.getAs[Long]("n_oov") == 0L))
+    // exactness: micros / (n·1e6) reproduces the emitted double bit-for-bit
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("avg_logprob") ==
+        r.getAs[Long]("logprob_micros").toDouble / (r.getAs[Long]("n_tokens") * 1000000L))
+    }
+  }
+
+  test("lmScore: external training corpus marks unseen terms OOV") {
+    import spark.implicits._
+    val train = Seq((10L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val score = Seq((1L, "alpha beta novelword")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(score, "doc_id", "text", Some(train)).collect().head
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Long]("n_oov") == 1L)
+    // OOV weight ln(1/(T+V)): T=5, V=3 → round(ln(1/8)·1e6) = -2079442
+    val lmTerms = TextAnalysis.unigramLm(train, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("logp_micros")).toMap
+    val expected = lmTerms("alpha") + lmTerms("beta") +
+      math.round(math.log(1.0 / 8.0) * 1000000)
+    assert(out.getAs[Long]("logprob_micros") == expected)
+  }
+
+  test("mixtureWeights: alpha<1 upsamples small sources; weights sum to 1 in fixed point") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, TestDocs.words(900), "bulk"), (2L, TestDocs.words(700), "bulk"),
+      (3L, TestDocs.words(100), "curated")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.mixtureWeights(docs, "doc_id", "text", "source",
+        alpha = 0.5, tokenBudget = 1600L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val wBulk = out("bulk").getAs[Double]("weight")
+    val wCur = out("curated").getAs[Double]("weight")
+    assert(math.abs(wBulk + wCur - 1.0) < 1e-9)
+    // token share of curated = 100/1700 ≈ 5.9%; sqrt-weight ≈ 20% — upsampled
+    assert(wCur > 100.0 / 1700.0)
+    // curated source repeats (>1 epoch) under this budget, bulk does not
+    assert(out("curated").getAs[Double]("epochs") > 1.0)
+    assert(out("bulk").getAs[Double]("epochs") < 1.0)
+  }
+
+  test("containment: wrapper-quoted doc scores 1.0 where Jaccard is diluted") {
+    import spark.implicits._
+    val quoted = TestDocs.words(10) // 8 distinct 3-shingles
+    val wrapper = quoted + " " + TestDocs.words(90, "pad")
+    val docs = Seq((1L, quoted), (2L, wrapper)).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val c = Dedup.containmentForPairs(pairs, sh, "doc_id").collect().head
+    assert(c.getAs[Double]("containment") == 1.0)
+    // the same pair under Jaccard: 8 shared of ~99 union → far below 0.5
+    val j = Dedup.jaccardForPairs(pairs, sh, "doc_id").collect().head
+    assert(j.getAs[Double]("jaccard") < 0.2)
+  }
+
+  test("boilerplate: high-df shingles flagged, per-doc ratio attributed") {
+    import spark.implicits._
+    val chrome = "copyright acme corp all rights reserved"
+    val docs = (1L to 10L).map { i =>
+      val body = TestDocs.words(20, s"body$i")
+      // chrome on 9 of 10 docs; doc 10 is chrome-free
+      (i, if (i < 10) s"$chrome $body" else body)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplate(docs, "doc_id", "text", minDocFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the 4 pure-chrome shingles (within "copyright…reserved") are boilerplate
+    assert(out(1L).getAs[Long]("n_boiler") == 4L)
+    assert(out(10L).getAs[Long]("n_boiler") == 0L)
+    assert(out(10L).getAs[Double]("boiler_ratio") == 0.0)
+    assert(out(1L).getAs[Double]("boiler_ratio") > 0.0)
+  }
+}
+
+private object TestDocs {
+  def words(n: Int, tag: String = "w"): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+}
