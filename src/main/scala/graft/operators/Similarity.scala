@@ -341,6 +341,29 @@ object Similarity {
     cents
   }
 
+  /** K-means clustering of an embedding column, emitting per-vector
+    * assignments: (id, cell, dot_fp) where dot_fp is the exact fixed-point
+    * dot with the winning centroid. Seed = md5-order sample, `trainIters`
+    * Lloyd rounds ([[ivfTrainCentroids]]) — because every step is exact
+    * integer arithmetic (quantized vectors, integer-mean updates,
+    * integer-dot argmax with deterministic tiebreak), the ENTIRE clustering
+    * is reproducible cross-engine and oracle-checkable, not just its shape.
+    * Scale: per round one broadcast assignment over the persisted quantized
+    * frame + one (cell, pos) aggregation; the final pass is the same
+    * O(N·nCells) codegen'd assignment as [[ivfIndex]]. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, trainIters: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCentroidsTrained(q, idCol, nCells, trainIters)
+    q.join(broadcast(cents))
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"))
+      .select(col(idCol), (-col("__m.__nc")).as("cell"), col("__m.__cd").as("dot_fp"))
+  }
+
   /** IVF cell assignment over the full corpus. `trainIters` > 0 refines the
     * seed centroids with that many Lloyd rounds ([[ivfTrainCentroids]])
     * before assignment. */

