@@ -172,17 +172,22 @@ object Curation {
       .select(col(idCol), (col(idCol) === col("canonical_id")).as("is_canonical"))
     stats
       // docs shorter than shingleN tokens have no shingle rows: no
-      // repetition signal (→ 0) and unscoreable for contamination (→ clean)
+      // repetition signal (→ 0) and unscoreable for contamination (→ clean).
+      // The coalesce MUST happen in its own projection — deriving the pass
+      // flags in the same select would resolve `repetition_ratio` /
+      // `contaminated` to the pre-coalesce nullable columns and yield NULL
+      // flags for short docs.
       .join(rep, Seq(idCol), "left")
       .join(contam, Seq(idCol), "left")
       .join(canon, Seq(idCol))
       .select(col(idCol), col("n_tokens"), col("stop_ratio"),
         coalesce(col("repetition_ratio"), lit(0.0)).as("repetition_ratio"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
-        col("is_canonical"),
-        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("pass_length"),
-        (col("stop_ratio") >= minStopRatio).as("pass_stopwords"),
-        (col("repetition_ratio") <= maxRepetition).as("pass_repetition"))
+        col("is_canonical"))
+      .withColumn("pass_length",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("pass_stopwords", col("stop_ratio") >= minStopRatio)
+      .withColumn("pass_repetition", col("repetition_ratio") <= maxRepetition)
       .withColumn("keep",
         col("pass_length") && col("pass_stopwords") && col("pass_repetition") &&
           !col("contaminated") && col("is_canonical"))
