@@ -83,6 +83,32 @@ object Stress {
         trainIters = 2).count()
     }
     println(s"[stress] ivf trained rows=$ivfT")
+
+    // ---- round-4 operators at the same inflation ----
+    val cont = t("containment near-dup 200k") {
+      Dedup.containmentNearDups(docs, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 100).count()
+    }
+    println(s"[stress] containment pairs=$cont")
+    t("boilerplate 200k") {
+      TextAnalysis.boilerplate(docs, "doc_id", "text", minDocFrac = 0.02).count()
+    }
+    t("lmScore 200k (self-trained)") {
+      TextAnalysis.lmScore(docs, "doc_id", "text").count()
+    }
+    t("curate 200k (full gate)") {
+      graft.operators.Curation.curate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", Seq("the", "a", "of", "and", "to", "in"),
+        minTokens = 30L, maxTokens = 10000L,
+        minStopRatio = 0.0, maxRepetition = 1.0).count()
+    }
+    val km = t("kmeansAssign 80k vectors (283 cells, 2 Lloyd iters)") {
+      Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        nCells = 283, trainIters = 2).count()
+    }
+    println(s"[stress] kmeans assigned=$km")
     spark.stop()
   }
 }
