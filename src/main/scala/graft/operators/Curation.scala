@@ -193,6 +193,41 @@ object Curation {
           !col("contaminated") && col("is_canonical"))
   }
 
+  /** Adaptive length gate: keep documents whose token count lies within the
+    * corpus's own [loPct, hiPct] percentile band — thresholds derived from
+    * the data instead of hand-tuned constants, so the gate transfers across
+    * corpora with different length regimes. Exact interpolated percentiles
+    * (one pass over a 1-column frame), rounded to 6 decimals for
+    * cross-engine stability (as q44), broadcast back as a 1-row bound. */
+  def adaptiveLengthGate(docs: DataFrame, idCol: String, textCol: String,
+                         loPct: Double, hiPct: Double): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 1: $loPct, $hiPct")
+    val t = docs.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val bounds = t.agg(
+      round(expr(s"percentile(n_tokens, ${loPct}D)"), 6).as("lo"),
+      round(expr(s"percentile(n_tokens, ${hiPct}D)"), 6).as("hi"))
+    t.crossJoin(broadcast(bounds))
+      .withColumn("keep", col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+  }
+
+  /** Token-budget truncation: cap every document at `maxTokens` whitespace
+    * tokens (sequence-packing prep — long documents are cut, short ones
+    * pass through). Case and inner whitespace of the kept prefix are
+    * normalized by the split/rejoin; the token stream itself is what a
+    * tokenizer consumes downstream. Pure per-row array ops, no shuffle. */
+  def truncateTokens(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be > 0: $maxTokens")
+    val w = split(trim(col(textCol)), "\\s+")
+    docs.select(col(idCol),
+      size(w).cast("long").as("n_tokens"),
+      least(size(w).cast("long"), lit(maxTokens.toLong)).as("kept_tokens"),
+      (size(w) > maxTokens).as("truncated"),
+      concat_ws(" ", slice(w, 1, maxTokens)).as("text_trunc"))
+  }
+
   /** Domain/source mixture weights for training-data sampling: weight each
     * source proportionally to n_tokens^alpha (alpha < 1 upsamples small
     * high-quality sources relative to bulk crawl — the standard

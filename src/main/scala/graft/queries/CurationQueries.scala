@@ -257,6 +257,40 @@ object CurationQueries {
              SELECT source, n_docs, n_tokens,
                CAST(pw AS DOUBLE) / sp AS weight,
                CAST(pw * 1000000 AS DOUBLE) / (sp * n_tokens) AS epochs
-             FROM p, s ORDER BY source"""))
+             FROM p, s ORDER BY source""")),
+
+    // Adaptive length gate: thresholds are the corpus's own 5th/95th token-
+    // count percentiles (exact interpolated, round-6 — the q44 recipe).
+    Q("q60_adaptive_gate",
+      (s, d) => Curation.adaptiveLengthGate(Tables.documents(s, d), "doc_id", "text",
+          loPct = 0.05, hiPct = 0.95)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+               FROM documents),
+             b AS (
+               SELECT ROUND(quantile_cont(n_tokens, 0.05), 6) AS lo,
+                      ROUND(quantile_cont(n_tokens, 0.95), 6) AS hi
+               FROM t)
+             SELECT doc_id, n_tokens, lo, hi,
+               (n_tokens >= lo AND n_tokens <= hi) AS keep
+             FROM t, b ORDER BY doc_id""")),
+
+    // Token-budget truncation at 64 tokens: the cut text itself is
+    // hash-compared cross-engine.
+    Q("q61_truncate",
+      (s, d) => Curation.truncateTokens(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 64)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+               SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents)
+             SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(least(len(w), 64) AS BIGINT) AS kept_tokens,
+               (len(w) > 64) AS truncated,
+               array_to_string(list_slice(w, 1, 64), ' ') AS text_trunc
+             FROM t ORDER BY doc_id"""))
   )
 }
