@@ -228,6 +228,25 @@ object Curation {
       concat_ws(" ", slice(w, 1, maxTokens)).as("text_trunc"))
   }
 
+  /** Per-domain document cap: at most `maxPerSource` documents survive per
+    * source, chosen by md5-rank of the id — the standard web-corpus guard
+    * against a single hot domain dominating the training mix. The md5
+    * order makes the selection a uniform deterministic sample (stable
+    * across runs/engines/partitionings), not "first N by crawl order".
+    * Emits every row with its pick_order and a keep flag for auditability;
+    * at scale, filtering `pick_order <= cap` directly plans as
+    * WindowGroupLimit (per-task partial top-N, no full per-domain sort) —
+    * same property as [[stratifiedSample]]. */
+  def domainCap(docs: DataFrame, idCol: String, sourceCol: String,
+                maxPerSource: Int): DataFrame = {
+    require(maxPerSource > 0, s"maxPerSource must be > 0: $maxPerSource")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("pick_order", row_number().over(w).cast("long"))
+      .withColumn("keep", col("pick_order") <= maxPerSource)
+  }
+
   /** Domain/source mixture weights for training-data sampling: weight each
     * source proportionally to n_tokens^alpha (alpha < 1 upsamples small
     * high-quality sources relative to bulk crawl — the standard

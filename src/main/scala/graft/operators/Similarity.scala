@@ -364,6 +364,46 @@ object Similarity {
       .select(col(idCol), (-col("__m.__nc")).as("cell"), col("__m.__cd").as("dot_fp"))
   }
 
+  /** Semantic dedup (SemDeDup-shaped): k-means-cluster the embeddings
+    * ([[kmeansAssign]]'s exact-integer pipeline), then score pairs ONLY
+    * within each cell and drop any vector that has a smaller-id neighbor
+    * with dot ≥ `threshold` in its cell. The cell partition is what makes
+    * embedding dedup sub-quadratic at corpus scale: candidate pairs are
+    * O(N²/nCells) instead of O(N²), and nCells grows with N (√N guidance,
+    * as IVF). Greedy smallest-id-survives is deterministic and needs no
+    * iteration — the standard epsilon-dedup approximation of per-cluster
+    * canonical selection. Cross-cell near-dups are the recall trade, same
+    * as published semantic-dedup pipelines.
+    * Emits (id, cell, keep); every step is exact integer / power-of-two
+    * arithmetic, so the full pipeline — training included — is oracled. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, trainIters: Int, threshold: Double): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCentroidsTrained(q, idCol, nCells, trainIters)
+    // assignment keeps the quantized vector alongside the cell so the
+    // pair scoring below needs no second join back to the corpus
+    val assigned = q.join(broadcast(cents))
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"),
+        first(col("__qv")).as("__qv"))
+      .select(col(idCol), (-col("__m.__nc")).as("cell"), col("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col(idCol).as("__ia"), col("cell"), col("__qv").as("__va"))
+    val b = assigned.select(col(idCol).as("__ib"), col("cell"), col("__qv").as("__vb"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("__ia") < col("__ib"))
+      .filter(GraftFunctions.longArrayDot(col("__va"), col("__vb"))
+        / lit(1099511627776.0d) >= threshold)
+      .select(col("__ib").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dup.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
+
   /** IVF cell assignment over the full corpus. `trainIters` > 0 refines the
     * seed centroids with that many Lloyd rounds ([[ivfTrainCentroids]])
     * before assignment. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: token statistics, quality
@@ -196,6 +197,36 @@ object TextAnalysis {
       length(col(textCol)).cast("long").as("n_chars"))
     .withColumn("chars_per_subword",
       col("n_chars").cast("double") / col("n_subwords"))
+
+  /** BPE first-merge pair statistics: corpus-weighted counts of adjacent
+    * character pairs inside pre-tokens — the aggregation a BPE tokenizer
+    * trainer runs to pick its first merge. Uses the classic corpus-scale
+    * trick: aggregate to DISTINCT pre-token types with their frequencies
+    * FIRST (a 100 TB corpus has ~10⁸ word types, not 10¹³ occurrences),
+    * then explode pairs only over the type table weighted by frequency.
+    * pair_count = total corpus occurrences, n_word_types = distinct
+    * pre-tokens containing the pair. Top-K is TakeOrderedAndProject
+    * (per-partition heaps); the K-row rank window is driver-scale. */
+  def bpePairStats(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be > 0: $topK")
+    val types = docs
+      .select(explode(regexp_extract_all(col(textCol), lit(BpeishRe), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__freq"))
+      .filter(length(col("w")) >= 2)
+    val top = types
+      .select(col("w"), col("__freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      // a pair occurring at two positions of one word counts both positions
+      // ("aaa" adds 2×freq to "aa"), but the word itself only once
+      .agg(sum(col("__freq")).as("pair_count"),
+        countDistinct(col("w")).as("n_word_types"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("pair_count").desc, col("pair")))
+        .cast("long"))
+  }
 
   /** Corpus-level boilerplate detection: shingles appearing in at least
     * `minDocFrac` of all documents (site chrome, nav text, license headers

@@ -291,6 +291,20 @@ object CurationQueries {
                CAST(least(len(w), 64) AS BIGINT) AS kept_tokens,
                (len(w) > 64) AS truncated,
                array_to_string(list_slice(w, 1, 64), ' ') AS text_trunc
-             FROM t ORDER BY doc_id"""))
+             FROM t ORDER BY doc_id""")),
+
+    // Per-domain cap: at most 20 docs per source survive, md5-uniform pick.
+    Q("q63_domain_cap",
+      (s, d) => Curation.domainCap(Tables.documents(s, d), "doc_id", "source",
+          maxPerSource = 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+               SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                   AS pick_order
+               FROM documents)
+             SELECT doc_id, source, pick_order, (pick_order <= 20) AS keep
+             FROM r ORDER BY doc_id"""))
   )
 }

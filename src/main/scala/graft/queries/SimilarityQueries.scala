@@ -151,6 +151,72 @@ object SimilarityQueries {
              SELECT vec_id, CAST(cent_id AS BIGINT) AS cell, dot AS dot_fp
              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                      ORDER BY dot DESC, cent_id) AS rn FROM d2)
-             WHERE rn = 1 ORDER BY vec_id"""))
+             WHERE rn = 1 ORDER BY vec_id""")),
+
+    // Semantic dedup: the q59 training chain, then pairs scored ONLY within
+    // each cell; a vector with a smaller-id cell-mate at dot >= 0.4 is
+    // dropped. The oracle re-derives the whole pipeline — clustering,
+    // within-cell pair scoring, greedy survivor choice.
+    Q("q62_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCells = 16, trainIters = 1, threshold = 0.4)
+        .orderBy(col("vec_id")),
+      Some("""WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             seed AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             d1 AS (
+               SELECT q.vec_id, q.qv, s.cent_id,
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * s.cv[i])) AS BIGINT) AS dot
+               FROM q, seed s),
+             a1 AS (
+               SELECT vec_id, qv, cent_id AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dot DESC, cent_id) AS rn FROM d1)
+               WHERE rn = 1),
+             mexp AS (
+               SELECT cell, i AS pos, qv[i] AS v
+               FROM a1, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+             msum AS (
+               SELECT cell AS cent_id, pos,
+                 CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+               FROM mexp GROUP BY cell, pos),
+             mdiv AS (
+               SELECT cent_id, pos,
+                 CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS mv
+               FROM msum),
+             newc AS (
+               SELECT cent_id, list(mv ORDER BY pos) AS cv
+               FROM mdiv GROUP BY cent_id),
+             cents1 AS (
+               SELECT s.cent_id, COALESCE(n.cv, s.cv) AS cv
+               FROM seed s LEFT JOIN newc n ON n.cent_id = s.cent_id),
+             d2 AS (
+               SELECT q.vec_id, q.qv, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot
+               FROM q, cents1 c),
+             a2 AS (
+               SELECT vec_id, qv, cent_id AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dot DESC, cent_id) AS rn FROM d2)
+               WHERE rn = 1),
+             dup AS (
+               SELECT DISTINCT y.vec_id
+               FROM a2 x JOIN a2 y
+                 ON x.cell = y.cell AND x.vec_id < y.vec_id
+               WHERE CAST(list_sum(list_transform(range(1, len(x.qv) + 1),
+                       i -> x.qv[i] * y.qv[i])) AS BIGINT)
+                     / 1099511627776.0 >= 0.4),
+             out AS (
+               SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cell,
+                 (dup.vec_id IS NULL) AS keep
+               FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id)
+             SELECT * FROM out ORDER BY vec_id"""))
   )
 }

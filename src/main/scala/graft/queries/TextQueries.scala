@@ -474,6 +474,30 @@ object TextQueries {
                COALESCE(nb.n_boiler, 0) AS n_boiler,
                CAST(COALESCE(nb.n_boiler, 0) AS DOUBLE) / t.n_shingles AS boiler_ratio
              FROM tot t LEFT JOIN nb ON nb.doc_id = t.doc_id
-             ORDER BY t.doc_id"""))
+             ORDER BY t.doc_id""")),
+
+    // BPE first-merge statistics: corpus-weighted adjacent-char-pair counts
+    // over distinct pre-token types (the tokenizer-trainer aggregation).
+    Q("q64_bpe_pairs",
+      (s, d) => TextAnalysis.bpePairStats(Tables.documents(s, d), "text", topK = 50)
+        .orderBy(col("rank")),
+      Some(s"""WITH w0 AS (
+               SELECT unnest(regexp_extract_all(text, '${TextAnalysis.BpeishRe}')) AS w
+               FROM documents),
+             wf AS (
+               SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY w),
+             p AS (
+               SELECT w, substr(w, CAST(i AS INT), 2) AS pair, freq
+               FROM wf, UNNEST(range(1, len(w))) AS t(i)
+               WHERE len(w) >= 2),
+             a AS (
+               SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+                 CAST(COUNT(DISTINCT w) AS BIGINT) AS n_word_types
+               FROM p GROUP BY pair),
+             r AS (
+               SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair) AS rnk
+               FROM a)
+             SELECT pair, pair_count, n_word_types, CAST(rnk AS BIGINT) AS rank
+             FROM r WHERE rnk <= 50 ORDER BY rank"""))
   )
 }

@@ -183,4 +183,24 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_subwords") == 7L && out(3L).getAs[Long]("n_ws_tokens") == 3L)
     assert(out(2L).getAs[Double]("chars_per_subword") == 9.0 / 6.0)
   }
+
+  test("domainCap: exactly min(cap, |source|) keeps per source, stable under repartition") {
+    import spark.implicits._
+    val docs = (1L to 12L).map(i => (i, if (i <= 7) "big" else "small"))
+      .toDF("doc_id", "source")
+    val out = Curation.domainCap(docs, "doc_id", "source", maxPerSource = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("pick_order"), r.getAs[Boolean]("keep")))
+    assert(out.length == 12)
+    val bySource = out.groupBy(_._2)
+    // pick_order is a 1..n permutation per source; keeps = min(cap, n)
+    assert(bySource("big").map(_._3).sorted.toSeq == (1L to 7L))
+    assert(bySource("small").map(_._3).sorted.toSeq == (1L to 5L))
+    assert(bySource("big").count(_._4) == 3)
+    assert(bySource("small").count(_._4) == 3)
+    // selection is a pure function of the data, not of partitioning
+    val again = Curation.domainCap(docs.repartition(7), "doc_id", "source", 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"))).toSet
+    assert(again == out.map(t => (t._1, t._4)).toSet)
+  }
 }

@@ -214,4 +214,33 @@ class SimilaritySpec extends SparkSpec {
       assert(best._1 == cell && best._2 == dotFp, s"vec $id")
     }
   }
+
+  test("semanticDedup: drop set is exactly the smaller-id within-cell neighbor rule") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 8, trainIters = 1, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    // recompute cells + exact fixed-point dots locally and check the rule
+    val q = emb.select(col("vec_id"),
+      graft.operators.Similarity.quantize(col("embedding")).as("__qv"))
+    val cells = out.map(t => t._1 -> t._2).toMap
+    val vecs = q.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val ids = vecs.keys.toSeq.sorted
+    val expectedDrop = ids.filter { b =>
+      ids.exists { a =>
+        a < b && cells(a) == cells(b) &&
+          vecs(a).zip(vecs(b)).map { case (x, y) => x * y }.sum /
+            1099511627776.0d >= 0.4
+      }
+    }.toSet
+    val actualDrop = out.filter(!_._3).map(_._1).toSet
+    assert(actualDrop == expectedDrop)
+    // the cell column agrees with the standalone clustering operator
+    val km = graft.operators.Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        nCells = 8, trainIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == km)
+  }
 }

@@ -96,6 +96,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(10L).getAs[Double]("boiler_ratio") == 0.0)
     assert(out(1L).getAs[Double]("boiler_ratio") > 0.0)
   }
+
+  test("bpePairStats: corpus-weighted adjacent pairs over word types, overlaps counted") {
+    import spark.implicits._
+    // types: "aaab"×3, "xy"×1, "z"×2 (len 1 → no pairs)
+    val docs = Seq((1L, "aaab aaab xy z"), (2L, "aaab z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(docs, "text", topK = 10)
+      .collect().map(r => r.getAs[String]("pair") ->
+        (r.getAs[Long]("pair_count"), r.getAs[Long]("n_word_types"),
+         r.getAs[Long]("rank"))).toMap
+    // "aaab" pairs per occurrence: aa (pos 1), aa (pos 2), ab → aa=2×3=6, ab=3
+    assert(out("aa") == ((6L, 1L, 1L)))
+    assert(out("ab") == ((3L, 1L, 2L)))
+    assert(out("xy") == ((1L, 1L, 3L)))
+    assert(!out.contains("z"))
+    assert(out.size == 3)
+  }
 }
 
 private object TestDocs {
