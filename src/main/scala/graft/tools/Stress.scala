@@ -109,6 +109,16 @@ object Stress {
         nCells = 283, trainIters = 2).count()
     }
     println(s"[stress] kmeans assigned=$km")
+    // semantic dedup at volume: the watch item is cell-occupancy skew —
+    // one hot cell makes the within-cell pair join quadratic again
+    val sem = t("semanticDedup 80k vectors (283 cells)") {
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 283, trainIters = 1, threshold = 0.9)
+    }
+    val semKept = t("semanticDedup materialize") { sem.filter(col("keep")).count() }
+    val occ = sem.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), expr("percentile(n, 0.99)").as("p99")).head()
+    println(s"[stress] semantic kept=$semKept maxCell=${occ.get(0)} p99Cell=${occ.get(1)}")
     spark.stop()
   }
 }
