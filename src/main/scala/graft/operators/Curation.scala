@@ -228,6 +228,33 @@ object Curation {
       concat_ws(" ", slice(w, 1, maxTokens)).as("text_trunc"))
   }
 
+  /** Overlapping-window document chunking: split each document's token
+    * stream into chunks of `chunkTokens`, each starting `strideTokens`
+    * after the previous (stride < chunk ⇒ overlap — context-window prep
+    * for embedding/indexing long docs). Chunk count is
+    * 1 + ceil((n − chunk)/stride) so the last chunk is the first one to
+    * reach the end (no fully-redundant tail windows). Pure per-row
+    * generate — explode of a per-doc integer sequence, no shuffle, no
+    * joins; a 100 TB corpus chunks in a single map stage. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk: $strideTokens, $chunkTokens")
+    val c = lit(chunkTokens.toLong)
+    val s = lit(strideTokens.toLong)
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        when(col("__n") <= c, lit(0L))
+          .otherwise(expr(s"(__n - ${chunkTokens}L + ${strideTokens}L - 1L) div ${strideTokens}L")))))
+      .select(col(idCol), col("chunk_id"),
+        col("__n").as("n_tokens"),
+        least(c, col("__n") - col("chunk_id") * s).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__w"),
+          (col("chunk_id") * s + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Per-domain document cap: at most `maxPerSource` documents survive per
     * source, chosen by md5-rank of the id — the standard web-corpus guard
     * against a single hot domain dominating the training mix. The md5

@@ -415,6 +415,50 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental (batch-vs-corpus) dedup — the production mode: a new
+    * crawl batch is checked against the already-curated corpus, and only
+    * batch docs matter in the output. exact_dup = the batch text exists
+    * verbatim in the corpus (md5 match); near_dup = some corpus doc is a
+    * MinHash near-duplicate at `threshold` (the [[minhashNearDups]]
+    * pipeline over corpus ∪ batch, restricted to cross pairs);
+    * keep = neither. Ids must be disjoint across the two frames (the
+    * normal contract for an append-only corpus with monotone ids).
+    *
+    * Scale: the exact probe is a semi join on a 1-column hash frame; the
+    * near path is the standard banded pipeline (sub-quadratic, capped
+    * buckets) whose pair output is tiny and persisted for the two
+    * side-restriction probes. Within-batch duplicates are deliberately NOT
+    * flagged here — run [[dedupCorpus]] on the batch for that. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String, shingleN: Int = 3, k: Int = 8,
+                       bands: Int = 4, threshold: Double = 0.1,
+                       maxBucketSize: Int = 0): DataFrame = {
+    val all = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val exactHit = batch
+      .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
+        md5(batch(textCol)) === col("__h"), "left_semi")
+      .select(col(idCol))
+    val pairs = minhashNearDups(all, idCol, textCol, shingleN, k, bands,
+        threshold, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearHit = pairs
+      .join(corpus.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_semi")
+      .select(col("doc_b").as(idCol))
+      .unionByName(pairs
+        .join(corpus.select(col(idCol).as("doc_b")), Seq("doc_b"), "left_semi")
+        .select(col("doc_a").as(idCol)))
+      .join(batch.select(col(idCol)), Seq(idCol), "left_semi")
+      .distinct()
+    batch.select(col(idCol))
+      .join(exactHit.withColumn("__e", lit(true)), Seq(idCol), "left")
+      .join(nearHit.withColumn("__n", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__e"), lit(false)).as("exact_dup"),
+        coalesce(col("__n"), lit(false)).as("near_dup"))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** SimHash near-dup pairs: band the 32-bit fingerprint into `bands`
     * sub-strings, candidate = any shared band, verify by full hamming ≤
     * `maxHamming`. Same sub-quadratic LSH shape as MinHash banding —

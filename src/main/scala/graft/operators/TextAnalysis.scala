@@ -317,6 +317,62 @@ object TextAnalysis {
         col("logprob_micros").cast("double") / (col("n_tokens") * 1000000L))
   }
 
+  /** Corpus bigram language model, add-one smoothed per context:
+    * p(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V), stored as (term "w1 w2", cf2,
+    * cf1, logp_micros) with the same integer-micros fixed-pointing as
+    * [[unigramLm]] — no double ever crosses a partition boundary. Context
+    * counts derive from the bigram frame itself (c(w1·) = Σ cf2 over w1),
+    * so the model is one explode + two hash aggregates; V (unigram vocab)
+    * rides along as a broadcast 1-row frame. */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = termRows(docs, idCol, textCol, 2)
+      .groupBy(col("term")).agg(count(lit(1)).as("cf2"))
+      .withColumn("w1", substring_index(col("term"), " ", 1))
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("cf2")).as("cf1"))
+    val v = termRows(docs, idCol, textCol, 1)
+      .agg(countDistinct(col("term")).as("__v"))
+    bg.join(ctx, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("term"), col("w1"), col("cf2"), col("cf1"),
+        round(log((col("cf2") + 1).cast("double") / (col("cf1") + col("__v"))) * 1000000, 0)
+          .cast("long").as("logp_micros"))
+  }
+
+  /** Per-document quality score under a bigram LM — the sharper version of
+    * [[lmScore]] (a bigram model sees local word ORDER, so shuffled-word
+    * salad scores low even when its unigrams are common). Unseen bigrams
+    * back off to the context's unseen mass 1/(c(w1·)+V); unseen contexts
+    * to 1/V. Outputs n_bigrams, n_unseen, logprob_micros (exact integer),
+    * avg_logprob (integer-division double). Scale: per-doc bigram tf agg,
+    * one join against the model (AQE-broadcast when small), one against
+    * the context frame, one final per-doc aggregation — every sum is over
+    * integers, so the result is partitioning-independent. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+                  trainDocs: Option[DataFrame] = None): DataFrame = {
+    val lm = bigramLm(trainDocs.getOrElse(docs), idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = lm.select(col("w1"), col("cf1")).distinct()
+    val v = termRows(trainDocs.getOrElse(docs), idCol, textCol, 1)
+      .agg(countDistinct(col("term")).as("__v"))
+    val dt = termRows(docs, idCol, textCol, 2)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", substring_index(col("term"), " ", 1))
+    dt.join(lm.select(col("term"), col("logp_micros")), Seq("term"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol), col("tf"),
+        coalesce(col("logp_micros"),
+          round(log(lit(1.0) / (coalesce(col("cf1"), lit(0L)) + col("__v"))) * 1000000, 0)
+            .cast("long")).as("__l"),
+        col("logp_micros").isNull.cast("long").as("__unseen"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("__unseen")).as("n_unseen"),
+        sum(col("tf") * col("__l")).as("logprob_micros"))
+      .withColumn("avg_logprob",
+        col("logprob_micros").cast("double") / (col("n_bigrams") * 1000000L))
+  }
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

@@ -305,6 +305,28 @@ object CurationQueries {
                    AS pick_order
                FROM documents)
              SELECT doc_id, source, pick_order, (pick_order <= 20) AS keep
-             FROM r ORDER BY doc_id"""))
+             FROM r ORDER BY doc_id""")),
+
+    // Overlapping-window chunking: 48-token chunks every 32 tokens; the
+    // chunk text itself is hash-compared cross-engine.
+    Q("q67_chunk_docs",
+      (s, d) => Curation.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 48, strideTokens = 32)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (
+               SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+               FROM documents),
+             c AS (
+               SELECT doc_id, w, n,
+                 CASE WHEN n <= 48 THEN 0
+                      ELSE (n - 48 + 32 - 1) // 32 END AS mx
+               FROM t)
+             SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, n AS n_tokens,
+               CAST(least(48, n - i * 32) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(w, CAST(i * 32 + 1 AS INT),
+                 CAST(i * 32 + 48 AS INT)), ' ') AS chunk_text
+             FROM c, UNNEST(range(0, mx + 1)) AS t2(i)
+             ORDER BY doc_id, chunk_id"""))
   )
 }

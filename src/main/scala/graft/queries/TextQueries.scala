@@ -498,6 +498,87 @@ object TextQueries {
                SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair) AS rnk
                FROM a)
              SELECT pair, pair_count, n_word_types, CAST(rnk AS BIGINT) AS rank
-             FROM r WHERE rnk <= 50 ORDER BY rank"""))
+             FROM r WHERE rnk <= 50 ORDER BY rank""")),
+
+    // Bigram-LM quality score, trained on the doc_id % 4 != 0 subset so the
+    // unseen-bigram backoff paths (seen context / unseen context) are
+    // exercised. Same integer-micros fixed-pointing as q55.
+    Q("q65_bigram_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.bigramScore(docs, "doc_id", "text",
+            trainDocs = Some(docs.filter(col("doc_id") % 4 =!= 0)))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             tt AS (SELECT doc_id, w FROM toks WHERE doc_id % 4 <> 0),
+             bgt AS (
+               SELECT w[i] || ' ' || w[i+1] AS term
+               FROM tt, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+             cf2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf2
+                     FROM bgt GROUP BY term),
+             ctx AS (SELECT split_part(term, ' ', 1) AS w1,
+                       CAST(SUM(cf2) AS BIGINT) AS cf1
+                     FROM cf2 GROUP BY 1),
+             vv AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS v
+                    FROM (SELECT unnest(w) AS u FROM tt)),
+             m AS (SELECT c.term,
+                     CAST(round(ln((c.cf2 + 1.0) / (x.cf1 + vv.v)) * 1000000, 0)
+                       AS BIGINT) AS lp
+                   FROM cf2 c JOIN ctx x ON split_part(c.term, ' ', 1) = x.w1, vv),
+             bgd AS (
+               SELECT doc_id, w[i] || ' ' || w[i+1] AS term
+               FROM toks, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+             dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM bgd GROUP BY 1, 2),
+             sc AS (SELECT dt.doc_id, dt.tf,
+                      COALESCE(m.lp,
+                        CAST(round(ln(1.0 / (COALESCE(x.cf1, 0) + vv.v)) * 1000000, 0)
+                          AS BIGINT)) AS l,
+                      CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END AS u
+                    FROM dt
+                    LEFT JOIN m ON m.term = dt.term
+                    LEFT JOIN ctx x ON x.w1 = split_part(dt.term, ' ', 1), vv)
+             SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(tf * u) AS BIGINT) AS n_unseen,
+               CAST(SUM(tf * l) AS BIGINT) AS logprob_micros,
+               CAST(SUM(tf * l) AS DOUBLE) / (SUM(tf) * 1000000) AS avg_logprob
+             FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Incremental batch-vs-corpus dedup: batch = doc_id % 5 = 0 checked
+    // against the rest. The near path reuses the complete q15 pair chain
+    // (same banding, cap, Jaccard) restricted to cross pairs.
+    Q("q66_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalDedup(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", shingleN = 3, k = 8, bands = 4,
+            threshold = 0.1, maxBucketSize = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $minhashPairCtes,
+             bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             xp AS (
+               SELECT CASE WHEN p.doc_a % 5 = 0 THEN p.doc_a ELSE p.doc_b END
+                 AS doc_id
+               FROM pairs p
+               WHERE (p.doc_a % 5 = 0) <> (p.doc_b % 5 = 0)),
+             eh AS (
+               SELECT DISTINCT b.doc_id FROM bat b
+               JOIN documents c ON c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)),
+             nh AS (SELECT DISTINCT doc_id FROM xp)
+             SELECT b.doc_id,
+               (eh.doc_id IS NOT NULL) AS exact_dup,
+               (nh.doc_id IS NOT NULL) AS near_dup,
+               (eh.doc_id IS NULL AND nh.doc_id IS NULL) AS keep
+             FROM bat b
+             LEFT JOIN eh ON eh.doc_id = b.doc_id
+             LEFT JOIN nh ON nh.doc_id = b.doc_id
+             ORDER BY b.doc_id"""))
   )
 }

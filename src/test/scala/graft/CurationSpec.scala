@@ -203,4 +203,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"))).toSet
     assert(again == out.map(t => (t._1, t._4)).toSet)
   }
+
+  test("chunkDocs: overlap, tail coverage, and short-doc single chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // under one chunk
+      (3L, (1 to 5).map(i => s"v$i").mkString(" "))   // 5 tokens, stride=chunk case
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_text"))).toMap
+    // doc 1: starts 0,3,6 → w1-4, w4-7, w7-10 (overlap 1, tail exactly covered)
+    assert(out((1L, 0L)) == ((4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1L)) == ((4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((4L, "w7 w8 w9 w10")))
+    assert(!out.contains((1L, 3L)))
+    // doc 2 fits in one chunk
+    assert(out((2L, 0L)) == ((3L, "a b c")))
+    assert(!out.contains((2L, 1L)))
+    // doc 3: 5 tokens → starts 0,3: v1-4, v4-5 (partial tail)
+    assert(out((3L, 0L)) == ((4L, "v1 v2 v3 v4")))
+    assert(out((3L, 1L)) == ((2L, "v4 v5")))
+    assert(out.size == 6)
+  }
 }

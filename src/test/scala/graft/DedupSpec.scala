@@ -69,4 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashNearDups(docs, "doc_id", "text",
       bands = 4, maxHamming = 32, maxBucketSize = 1).count() == 0)
   }
+
+  test("incrementalDedup: exact, near, novel, and within-batch dups unflagged") {
+    import spark.implicits._
+    val textA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val textBvar = textB.replace("beta10", "CHANGED")
+    val textC = (1 to 20).map(i => s"gamma$i").mkString(" ")
+    val corpus = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, textA),    // exact corpus dup
+      (11L, textBvar), // near corpus dup (1 of 20 words changed)
+      (12L, (1 to 20).map(i => s"delta$i").mkString(" ")), // novel
+      (13L, textC), (14L, textC) // within-batch dups: NOT flagged here
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
+         r.getAs[Boolean]("keep"))).toMap
+    assert(out(10L) == ((true, true, false)))  // identical ⇒ both flags
+    assert(out(11L) == ((false, true, false)))
+    assert(out(12L) == ((false, false, true)))
+    assert(out(13L) == ((false, false, true)))
+    assert(out(14L) == ((false, false, true)))
+    assert(out.size == 5)
+  }
 }

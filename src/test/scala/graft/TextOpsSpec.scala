@@ -112,6 +112,27 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains("z"))
     assert(out.size == 3)
   }
+
+  test("bigramScore: seen, unseen-with-seen-context, unseen-context backoffs") {
+    import spark.implicits._
+    def lp(n: Double, d: Double): Long =
+      BigDecimal(math.log(n / d) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val train = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    // train bigrams: "a b"×2, "b c", "c a"; ctx a→2 b→1 c→1; V=3
+    val score = Seq((2L, "a b x"), (3L, "z z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramScore(score, "doc_id", "text", Some(train))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 2: "a b" seen lp(3/5); "b x" unseen, ctx b seen → lp(1/(1+3))
+    assert(out(2L).getAs[Long]("n_bigrams") == 2L)
+    assert(out(2L).getAs[Long]("n_unseen") == 1L)
+    assert(out(2L).getAs[Long]("logprob_micros") == lp(3, 5) + lp(1, 4))
+    // doc 3: "z z" unseen, ctx z unseen → lp(1/(0+3))
+    assert(out(3L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(3L).getAs[Long]("n_unseen") == 1L)
+    assert(out(3L).getAs[Long]("logprob_micros") == lp(1, 3))
+    assert(out(3L).getAs[Double]("avg_logprob") == lp(1, 3).toDouble / 1e6)
+  }
 }
 
 private object TestDocs {
