@@ -274,6 +274,74 @@ object Curation {
       .withColumn("keep", col("pick_order") <= maxPerSource)
   }
 
+  /** Exact-size uniform corpus sample: the `n` rows with the smallest
+    * md5(id) — a deterministic uniform draw (md5 order is independent of
+    * every data attribute), stable across runs/engines/partitionings,
+    * unlike `Dataset.sample` which is neither exact-size nor reproducible
+    * cross-engine. Plans as TakeOrderedAndProject (per-partition top-n
+    * heaps + driver merge of n rows — never a global sort); the rank
+    * window runs over the already-reduced n rows. */
+  def sampleExact(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be > 0: $n")
+    val top = df.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(n)
+    top.withColumn("sample_rank",
+      row_number().over(Window.orderBy(md5(col(idCol).cast("string")), col(idCol)))
+        .cast("long"))
+  }
+
+  /** Cross-source duplication matrix: how many near-dup pairs connect each
+    * (source, source) combination — the "who copies from whom" view that
+    * decides which domains to down-weight or drop. Pairs come from the
+    * full MinHash chain ([[Dedup.minhashNearDups]]); sources attach by two
+    * id joins (AQE broadcasts the small pair frame); the matrix key is
+    * order-normalized (least/greatest) so A→B and B→A accumulate together.
+    * Counts only — a cross-partition sum of per-pair Jaccard doubles would
+    * not be bit-stable cross-engine. */
+  def dupSourceMatrix(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, shingleN: Int = 3, k: Int = 8,
+                      bands: Int = 4, threshold: Double = 0.1,
+                      maxBucketSize: Int = 0): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs.select(col(idCol), col(textCol)),
+      idCol, textCol, shingleN, k, bands, threshold, maxBucketSize)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("doc_a"), col(sourceCol).as("__sa")), "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(sourceCol).as("__sb")), "doc_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Head-mass vocabulary coverage: for each requested k, the fraction of
+    * all token occurrences covered by the k most frequent terms — the
+    * Zipf-head statistic that sizes tokenizer vocabularies and stopword
+    * lists. One term aggregation; the top-max(k) reduction is
+    * TakeOrderedAndProject and the cumulative window runs over those few
+    * rows on the driver scale. coverage is an integer-division double
+    * (exact cross-engine). ks beyond the vocabulary size yield no row. */
+  def coverageAtK(docs: DataFrame, idCol: String, textCol: String,
+                  ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val cf = TextAnalysis.termRows(docs, idCol, textCol, 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = cf.agg(sum(col("cf")).as("total_cf"))
+    val w = Window.orderBy(col("cf").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = cf.orderBy(col("cf").desc, col("term")).limit(ks.max)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
+      .withColumn("top_cf_sum", sum(col("cf")).over(w))
+    val ksDf = ranked.sparkSession.range(1)
+      .select(explode(typedLit(ks.map(_.toLong).sorted)).as("k"))
+    ranked.join(ksDf, col("rk") === col("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("top_cf_sum"), col("total_cf"),
+        (col("top_cf_sum").cast("double") / col("total_cf")).as("coverage"))
+  }
+
   /** Domain/source mixture weights for training-data sampling: weight each
     * source proportionally to n_tokens^alpha (alpha < 1 upsamples small
     * high-quality sources relative to bulk crawl — the standard

@@ -415,6 +415,23 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Prefix-duplicate groups: documents sharing their first `k` tokens —
+    * the truncated-copy pattern (wire copy with a different tail, page
+    * re-render cut at a different length) that whole-document hashing
+    * misses and shingle Jaccard dilutes. One narrow map (md5 of the
+    * k-token prefix) + one hash aggregate; emits only groups with ≥ 2
+    * members, canonical = smallest id. */
+  def prefixDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    docs
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(tokens(col(textCol)), 1, k))).as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Incremental (batch-vs-corpus) dedup — the production mode: a new
     * crawl batch is checked against the already-curated corpus, and only
     * batch docs matter in the output. exact_dup = the batch text exists

@@ -327,6 +327,40 @@ object CurationQueries {
                array_to_string(list_slice(w, CAST(i * 32 + 1 AS INT),
                  CAST(i * 32 + 48 AS INT)), ' ') AS chunk_text
              FROM c, UNNEST(range(0, mx + 1)) AS t2(i)
-             ORDER BY doc_id, chunk_id"""))
+             ORDER BY doc_id, chunk_id""")),
+
+    // Exact-size deterministic uniform sample: 100 docs by md5 order.
+    Q("q69_sample_exact",
+      (s, d) => Curation.sampleExact(Tables.documents(s, d), "doc_id", n = 100)
+        .orderBy(col("sample_rank")),
+      Some("""WITH r AS (
+               SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                   doc_id) AS BIGINT) AS sample_rank
+               FROM documents)
+             SELECT doc_id, sample_rank FROM r
+             WHERE sample_rank <= 100 ORDER BY sample_rank""")),
+
+    // Zipf head-mass: coverage of the top-k terms at k = 1, 5, 10, 25.
+    Q("q71_coverage_at_k",
+      (s, d) => Curation.coverageAtK(Tables.documents(s, d), "doc_id", "text",
+          ks = Seq(1, 5, 10, 25))
+        .orderBy(col("k")),
+      Some("""WITH tr AS (
+               SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+               FROM documents),
+             cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+                    FROM tr GROUP BY term),
+             tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total_cf FROM cf),
+             rk AS (SELECT cf,
+                      row_number() OVER (ORDER BY cf DESC, term) AS rk,
+                      SUM(cf) OVER (ORDER BY cf DESC, term
+                        ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM cf)
+             SELECT CAST(v.k AS BIGINT) AS k,
+               CAST(r.cum AS BIGINT) AS top_cf_sum, t.total_cf,
+               CAST(r.cum AS DOUBLE) / t.total_cf AS coverage
+             FROM (VALUES (1), (5), (10), (25)) v(k)
+             JOIN rk r ON r.rk = v.k, tot t ORDER BY k"""))
   )
 }

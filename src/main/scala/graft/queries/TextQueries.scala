@@ -579,6 +579,37 @@ object TextQueries {
              FROM bat b
              LEFT JOIN eh ON eh.doc_id = b.doc_id
              LEFT JOIN nh ON nh.doc_id = b.doc_id
-             ORDER BY b.doc_id"""))
+             ORDER BY b.doc_id""")),
+
+    // Cross-source duplication matrix over the q15 near-dup pairs.
+    Q("q68_dup_source_matrix",
+      (s, d) => graft.operators.Curation.dupSourceMatrix(
+          Tables.documents(s, d), "doc_id", "text", "source",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100)
+        .orderBy(col("source_a"), col("source_b")),
+      Some(s"""WITH $minhashPairCtes,
+             sm AS (SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb
+                    FROM pairs p
+                    JOIN documents da ON da.doc_id = p.doc_a
+                    JOIN documents db ON db.doc_id = p.doc_b)
+             SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM sm GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
+    // Prefix-duplicate groups: docs sharing their first 3 tokens.
+    Q("q70_prefix_dups",
+      (s, d) => Dedup.prefixDupGroups(Tables.documents(s, d), "doc_id", "text",
+          k = 3)
+        .orderBy(col("prefix_hash")),
+      Some("""WITH t AS (
+               SELECT doc_id,
+                 md5(array_to_string(list_slice(
+                   string_split_regex(trim(lower(text)), '\s+'), 1, 3), ' '))
+                   AS prefix_hash
+               FROM documents)
+             SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+             FROM t GROUP BY 1 HAVING COUNT(*) >= 2
+             ORDER BY prefix_hash"""))
   )
 }

@@ -228,4 +228,29 @@ class CurationSpec extends SparkSpec {
     assert(out((3L, 1L)) == ((2L, "v4 v5")))
     assert(out.size == 6)
   }
+
+  test("sampleExact: exactly n rows, rank 1..n, stable under repartition") {
+    import spark.implicits._
+    val df = (1L to 50L).map(Tuple1(_)).toDF("doc_id")
+    val out = Curation.sampleExact(df, "doc_id", n = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_rank")))
+    assert(out.length == 10)
+    assert(out.map(_._2).sorted.toSeq == (1L to 10L))
+    val again = Curation.sampleExact(df.repartition(9), "doc_id", 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_rank"))).toSet
+    assert(again == out.toSet)
+  }
+
+  test("coverageAtK: head-mass fractions on a hand-computed corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // cf: a=3 b=2 c=1, total 6
+    val out = Curation.coverageAtK(docs, "doc_id", "text", ks = Seq(1, 2, 3, 5))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("top_cf_sum"), r.getAs[Double]("coverage"))).toMap
+    assert(out(1L) == ((3L, 0.5)))
+    assert(out(2L) == ((5L, 5.0 / 6.0)))
+    assert(out(3L) == ((6L, 1.0)))
+    assert(!out.contains(5L)) // beyond vocabulary size: no row
+  }
 }

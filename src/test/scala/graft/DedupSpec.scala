@@ -94,4 +94,37 @@ class DedupSpec extends SparkSpec {
     assert(out(14L) == ((false, false, true)))
     assert(out.size == 5)
   }
+
+  test("prefixDupGroups: truncated copies share a group; tails don't matter") {
+    import spark.implicits._
+    val head = "alpha beta gamma delta"
+    val docs = Seq(
+      (5L, s"$head tail one two three"),
+      (9L, s"$head completely different continuation here"),
+      (7L, "other words entirely distinct prefix")
+    ).toDF("doc_id", "text")
+    val out = Dedup.prefixDupGroups(docs, "doc_id", "text", k = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_docs") == 2L)
+    assert(out.head.getAs[Long]("canonical_id") == 5L)
+  }
+
+  test("dupSourceMatrix: near-dup pair counts land on order-normalized source pairs") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "srcB"),
+      (2L, base.replace("tok5", "CHANGED"), "srcA"), // near-dup of 1, cross source
+      (3L, base.replace("tok9", "ALSO"), "srcB"),    // near-dup of 1+2, same+cross
+      (4L, (1 to 30).map(i => s"other$i").mkString(" "), "srcA") // unrelated
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Curation.dupSourceMatrix(docs, "doc_id", "text",
+        "source", maxBucketSize = 100)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> r.getAs[Long]("n_pairs")).toMap
+    // pairs: (1,2) B-A, (1,3) B-B, (2,3) A-B → srcA/srcB 2, srcB/srcB 1
+    assert(out(("srcA", "srcB")) == 2L)
+    assert(out(("srcB", "srcB")) == 1L)
+    assert(out.size == 2)
+  }
 }
