@@ -114,4 +114,39 @@ object CurationStream {
         col("n_shingles"), col("n_overlap"),
         (col("n_overlap") > 0).as("contaminated"))
   }
+
+  /** Streaming incremental dedup — the ingest-time form of
+    * [[Dedup.incrementalDedup]]: each arriving document is probed against
+    * a STATIC already-curated corpus (md5 exact hash + first-k-token
+    * prefix hash, both as broadcast stream-static joins — the stream
+    * never shuffles), while re-deliveries WITHIN the stream are collapsed
+    * by `dropDuplicatesWithinWatermark` on the text hash (bounded state:
+    * one hash per text per watermark horizon). Append-mode safe; emits
+    * (id, ts, exact_dup, prefix_dup, keep) per surviving arrival. The
+    * MinHash near-dup probe deliberately stays batch-side ([[graft
+    * .operators.Dedup.incrementalDedup]]) — banding + capped buckets need
+    * corpus-wide aggregation a stream can't see. */
+  def streamingIncrementalDedup(docs: DataFrame, tsCol: String, idCol: String,
+                                textCol: String, corpus: DataFrame,
+                                prefixK: Int, watermark: String): DataFrame = {
+    def prefixHash(c: Column): Column =
+      md5(concat_ws(" ", slice(Dedup.tokens(c), 1, prefixK)))
+    val corpusHashes = broadcast(
+      corpus.select(md5(col(textCol)).as("__ch")).distinct())
+    val corpusPrefixes = broadcast(
+      corpus.select(prefixHash(col(textCol)).as("__cp")).distinct())
+    docs
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__p", prefixHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .join(corpusHashes.withColumn("__e", lit(true)),
+        col("__h") === col("__ch"), "left")
+      .join(corpusPrefixes.withColumn("__pd", lit(true)),
+        col("__p") === col("__cp"), "left")
+      .select(col(idCol), col(tsCol),
+        coalesce(col("__e"), lit(false)).as("exact_dup"),
+        coalesce(col("__pd"), lit(false)).as("prefix_dup"))
+      .withColumn("keep", !col("exact_dup") && !col("prefix_dup"))
+  }
 }

@@ -97,4 +97,39 @@ class CurationStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamingIncrementalDedup: corpus probes flag, in-stream re-delivery collapses") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(x: String) = java.sql.Timestamp.valueOf(x)
+    val textA = "alpha beta gamma delta " + doc(16, "a")
+    val textB = "epsilon zeta eta theta " + doc(16, "b")
+    val corpus = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val novel2 = doc(20, "n2")
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docsDf = input.toDF().toDF("ts", "doc_id", "text")
+    val q = CurationStream.streamingIncrementalDedup(docsDf, "ts", "doc_id",
+        "text", corpus, prefixK = 4, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sid").outputMode("append").start()
+    try {
+      input.addData(
+        (t("2024-01-01 10:00:00"), 10L, textA),                       // exact corpus dup
+        (t("2024-01-01 10:01:00"), 11L, "alpha beta gamma delta " + doc(16, "x")), // prefix dup
+        (t("2024-01-01 10:02:00"), 12L, doc(20, "novel")),            // clean
+        (t("2024-01-01 10:03:00"), 13L, novel2))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 10:10:00"), 14L, novel2))          // re-delivery, same text
+      q.processAllAvailable()
+      val out = spark.table("sid").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("prefix_dup"),
+           r.getAs[Boolean]("keep"))).toMap
+      assert(out(10L) == ((true, true, false)))   // identical ⇒ both probes hit
+      assert(out(11L) == ((false, true, false)))
+      assert(out(12L) == ((false, false, true)))
+      assert(out(13L) == ((false, false, true)))
+      assert(!out.contains(14L)) // collapsed by the within-stream text-hash dedup
+      assert(out.size == 4)
+    } finally q.stop()
+  }
 }
