@@ -94,6 +94,26 @@ object Quality {
     * JSON to persist, and a diff against a previously stored snapshot. */
   def schemaSnapshot(df: DataFrame): String = df.schema.json
 
+  /** Equi-width histogram of a 2-decimal money column, binned in exact
+    * integer cents — the distribution-profiling view of a DQ suite. The
+    * cents conversion is the q02 recipe (round(x·100) → BIGINT is exact
+    * for 2-dp values); binning is one integer division + one hash
+    * aggregate, so the histogram of a 100 TB column is a single
+    * map-side-combining pass. Bin edges are data-independent (no
+    * min/max pre-pass). Assumes non-negative values — `div` truncates
+    * toward zero, so negative values would need floor semantics. */
+  def histogramCents(df: DataFrame, valueCol: String,
+                     binWidthCents: Long): DataFrame = {
+    require(binWidthCents > 0, s"binWidthCents must be > 0: $binWidthCents")
+    df.select(
+        expr(s"CAST(round(($valueCol) * 100) AS BIGINT) div ${binWidthCents}L")
+          .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("lo", (col("bin") * binWidthCents).cast("double") / 100)
+      .withColumn("hi", ((col("bin") + 1) * binWidthCents).cast("double") / 100)
+      .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
+  }
+
   def schemaDrift(df: DataFrame, storedJson: String): Seq[String] = {
     import org.apache.spark.sql.types.{DataType, StructType}
     val stored = DataType.fromJson(storedJson).asInstanceOf[StructType]

@@ -71,6 +71,39 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Event-rate anomaly detection: each (type, day) event count z-scored
+    * against the type's own daily-count distribution — the standard
+    * "traffic spiked / pipeline went quiet" monitor over an event table.
+    * Every cross-partition sum is an integer (n days, Σc, Σc²), so
+    * mean = Σc/n and var = (n·Σc² − Σc²)/n² are exact integer-division
+    * doubles, and the z-score (c − mean)/√var is bit-stable cross-engine
+    * (IEEE sqrt is correctly rounded — unlike ln, it needs no
+    * fixed-pointing). Two hash aggregations + one broadcast join of the
+    * per-type stats frame; the daily frame is persisted because the stats
+    * aggregation and the final join consume it on different keys. */
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+                  zThreshold: Double): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be > 0: $zThreshold")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("n_events")).as("__s"),
+      sum(col("n_events") * col("n_events")).as("__s2"))
+    daily.join(broadcast(stats), Seq(typeCol))
+      .withColumn("mean_daily", col("__s").cast("double") / col("__n"))
+      .withColumn("var_daily",
+        (col("__n") * col("__s2") - col("__s") * col("__s")).cast("double") /
+          (col("__n") * col("__n")))
+      .withColumn("z", when(col("var_daily") > 0,
+        (col("n_events").cast("double") - col("mean_daily")) / sqrt(col("var_daily"))))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) >= zThreshold, lit(false)))
+      .select(col(typeCol), col("day"), col("n_events"),
+        col("mean_daily"), col("var_daily"), col("z"), col("is_anomaly"))
+  }
+
   /** Sessionization: group events into sessions separated by ≥ `gap` of
     * inactivity, via Spark's native `session_window`. Batch by default;
     * pass `watermark` to run the SAME operator under Structured Streaming

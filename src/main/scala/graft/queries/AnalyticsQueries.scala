@@ -156,6 +156,20 @@ object AnalyticsQueries {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
         .orderBy(col("l_returnflag")),
-      None)
+      None),
+
+    // Equi-width price histogram in exact integer cents ($1000 bins).
+    Q("q73_price_histogram",
+      (s, d) => graft.operators.Quality.histogramCents(Tables.lineitem(s, d),
+          "l_extendedprice", binWidthCents = 100000L)
+        .orderBy(col("bin")),
+      Some("""WITH b AS (
+               SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+                 AS bin
+               FROM lineitem)
+             SELECT bin, CAST(bin * 100000 AS DOUBLE) / 100 AS lo,
+               CAST((bin + 1) * 100000 AS DOUBLE) / 100 AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+             FROM b GROUP BY bin ORDER BY bin"""))
   )
 }

@@ -97,6 +97,36 @@ object TemporalQueries {
              SELECT o_orderkey AS order_id, k AS custkey,
                     CAST(ts AS DATE) AS order_date,
                     CAST(asof_ts AS DATE) AS asof_date
-             FROM w WHERE tag = 1 ORDER BY order_id"""))
+             FROM w WHERE tag = 1 ORDER BY order_id""")),
+
+    // Event-rate anomaly: daily counts per type z-scored against the
+    // type's own distribution — exact integer moment sums, IEEE sqrt.
+    Q("q72_rate_anomaly",
+      (s, d) => Temporal.rateAnomaly(Tables.events(s, d), "event_type", "ts",
+          zThreshold = 2.0)
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH daily AS (
+               SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2),
+             st AS (
+               SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(n_events) AS BIGINT) AS s,
+                 CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+               FROM daily GROUP BY 1),
+             j AS (
+               SELECT d.event_type, d.day, d.n_events,
+                 CAST(st.s AS DOUBLE) / st.n AS mean_daily,
+                 CAST(st.n * st.s2 - st.s * st.s AS DOUBLE) / (st.n * st.n)
+                   AS var_daily,
+                 CASE WHEN st.n * st.s2 - st.s * st.s > 0 THEN
+                   (CAST(d.n_events AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)
+                     / sqrt(CAST(st.n * st.s2 - st.s * st.s AS DOUBLE)
+                            / (st.n * st.n))
+                 END AS z
+               FROM daily d JOIN st USING (event_type))
+             SELECT event_type, day, n_events, mean_daily, var_daily, z,
+               COALESCE(abs(z) >= 2.0, false) AS is_anomaly
+             FROM j ORDER BY event_type, day"""))
   )
 }

@@ -49,4 +49,16 @@ class QualitySpec extends SparkSpec {
     assert(drift.exists(_.startsWith("retyped: id int -> bigint")))
     assert(Quality.schemaDrift(v1, snapshot).isEmpty)
   }
+
+  test("histogramCents: exact cent binning, edges, empty bins absent") {
+    import spark.implicits._
+    val df = Seq(0.00, 9.99, 10.00, 10.01, 25.50, 25.50).toDF("price")
+    val out = Quality.histogramCents(df, "price", binWidthCents = 1000L)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n_rows"))).toMap
+    assert(out(0L) == ((0.0, 10.0, 2L)))   // 0.00, 9.99; 10.00 goes to bin 1
+    assert(out(1L) == ((10.0, 20.0, 2L)))  // 10.00, 10.01
+    assert(out(2L) == ((20.0, 30.0, 2L)))  // both 25.50
+    assert(out.size == 3)
+  }
 }

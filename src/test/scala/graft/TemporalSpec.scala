@@ -94,4 +94,32 @@ class TemporalSpec extends SparkSpec {
     assert(out("c").contains("2024-01-03")) // >= semantics: equal ts matches
     assert(out("d").contains("2024-01-08"))
   }
+
+  test("rateAnomaly: hand-computed z-scores, spike flagged, flat type unflagged") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // "click": 2, 2, 8 (spike on day 3); "view": 3, 3 (flat → var 0, z null)
+    val rows =
+      (1 to 2).map(i => ("click", ts(s"2024-01-01 0$i:00:00"))) ++
+      (1 to 2).map(i => ("click", ts(s"2024-01-02 0$i:00:00"))) ++
+      (1 to 8).map(i => ("click", ts(s"2024-01-03 0$i:00:00"))) ++
+      (1 to 3).map(i => ("view", ts(s"2024-01-01 0$i:00:00"))) ++
+      (1 to 3).map(i => ("view", ts(s"2024-01-02 0$i:00:00")))
+    val out = Temporal.rateAnomaly(rows.toDF("event_type", "ts"), "event_type",
+        "ts", zThreshold = 1.2)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toString) -> r).toMap
+    // click: mean 4, var (3*72-144)/9 = 8, z(day3) = 4/sqrt(8) ≈ 1.414
+    val spike = out(("click", "2024-01-03"))
+    assert(spike.getAs[Double]("mean_daily") == 4.0)
+    assert(spike.getAs[Double]("var_daily") == 8.0)
+    assert(spike.getAs[Double]("z") == 4.0 / math.sqrt(8.0))
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    assert(!out(("click", "2024-01-01")).getAs[Boolean]("is_anomaly"))
+    // flat type: variance 0 → z is null, never flagged
+    val flat = out(("view", "2024-01-01"))
+    assert(flat.getAs[Double]("var_daily") == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("z")))
+    assert(!flat.getAs[Boolean]("is_anomaly"))
+  }
 }
