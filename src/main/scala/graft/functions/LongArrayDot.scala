@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: dot product of two `array<bigint>` columns.
   *
@@ -163,6 +163,16 @@ object GraftFunctions {
       "graft_dot64", exprs => LongArrayDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_matdot", exprs => LongMatrixDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other if other.foldable => other.eval().toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"graft_kmv k must be a literal: $other")
+        }
+        KMinValues(exprs.head, k)
+      }, "scala_udf")
   }
 
   /** Column-API form (requires [[register]] on the owning session first). */

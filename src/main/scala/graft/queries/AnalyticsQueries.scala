@@ -170,6 +170,53 @@ object AnalyticsQueries {
              SELECT bin, CAST(bin * 100000 AS DOUBLE) / 100 AS lo,
                CAST((bin + 1) * 100000 AS DOUBLE) / 100 AS hi,
                CAST(COUNT(*) AS BIGINT) AS n_rows
-             FROM b GROUP BY bin ORDER BY bin"""))
+             FROM b GROUP BY bin ORDER BY bin""")),
+
+    // KMV distinct sketch (native TypedImperativeAggregate, graft_kmv):
+    // md5-derived hashes make the approximation a pure function of the
+    // input set, so — unlike HLL — the sketch itself is oracled, estimate
+    // included, next to the exact count.
+    Q("q74_kmv_sketch",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+              .as("__h"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("graft_kmv(__h, 256)").as("__s"),
+            countDistinct(col("l_orderkey")).as("n_exact"))
+          .select(col("l_returnflag"), col("__s.kth_hash").as("kth_hash"),
+            col("__s.n_seen").as("n_seen"), col("__s.estimate").as("estimate"),
+            col("n_exact"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH hx AS (
+               SELECT l_returnflag AS g,
+                 substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS h
+               FROM lineitem),
+             dh AS (SELECT DISTINCT g, h FROM hx),
+             hv AS (SELECT g,
+                      CAST(list_sum(list_transform(range(1, 16),
+                        i -> (CAST(strpos('0123456789abcdef',
+                                substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                             << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS v
+                    FROM dh),
+             rk AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+                    FROM hv),
+             ag AS (SELECT g, MAX(CASE WHEN rk = 256 THEN v END) AS kth_hash,
+                      CAST(COUNT(*) AS BIGINT) AS n_seen
+                    FROM rk WHERE rk <= 256 GROUP BY g),
+             ex AS (SELECT l_returnflag AS g,
+                      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+                    FROM lineitem GROUP BY 1)
+             SELECT ag.g AS l_returnflag, ag.kth_hash, ag.n_seen,
+               CASE WHEN ag.n_seen < 256 THEN CAST(ag.n_seen AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE) * 1152921504606846976.0
+                         / CAST(ag.kth_hash AS DOUBLE)
+               END AS estimate,
+               ex.n_exact
+             FROM ag JOIN ex ON ex.g = ag.g ORDER BY l_returnflag"""))
   )
 }

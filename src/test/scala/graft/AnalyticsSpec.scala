@@ -37,4 +37,34 @@ class AnalyticsSpec extends SparkSpec {
     val b = oneScan.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("graft_kmv: estimate accuracy, exact small-group path, partitioning invariance") {
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = spark.range(20000)
+      .select((col("id") % 4).as("g"), col("id"))
+      // planted duplicates: each value appears twice — set semantics must dedupe
+      .unionByName(spark.range(20000).select((col("id") % 4).as("g"), col("id")))
+      .select(col("g"),
+        expr("CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(expr("graft_kmv(h, 128)").as("s"))
+        .select(col("g"), col("s.kth_hash"), col("s.n_seen"), col("s.estimate"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val out = run(hashed)
+    out.values.foreach { case (_, n, est) =>
+      assert(n == 128L)
+      // 5000 distinct per group; KMV k=128 has ~9% stddev — allow 30%
+      assert(math.abs(est - 5000.0) / 5000.0 < 0.30, s"estimate $est")
+    }
+    // bit-identical under a different partitioning (merge path re-exercised)
+    assert(run(hashed.repartition(17)) == out)
+    // below-k group: exact count, null kth
+    val small = spark.range(50).select(lit(0L).as("g"),
+      expr("CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val s = small.groupBy(col("g")).agg(expr("graft_kmv(h, 128)").as("s"))
+      .select(col("s.kth_hash"), col("s.n_seen"), col("s.estimate")).collect().head
+    assert(s.isNullAt(0) && s.getLong(1) == 50L && s.getDouble(2) == 50.0)
+  }
 }
