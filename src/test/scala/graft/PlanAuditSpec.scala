@@ -65,6 +65,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("graft_dot64(__qv, ["), "per-plane literal dots crept back")
   }
 
+  test("q69: exact sample plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q69_sample_exact")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("domainCap filtered form plans WindowGroupLimit (partial top-n per task)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, d)
+    val filtered = graft.operators.Curation.domainCap(docs, "doc_id", "source", 5)
+      .filter(col("pick_order") <= 5)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
+  test("q73: histogram is one two-phase hash aggregate over one scan") {
+    val p = plan("q73_price_histogram")
+    assert("HashAggregate".r.findAllIn(p).size == 2)
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("q74: KMV aggregate is partial-aggregated (two ObjectHashAggregate phases)") {
+    val p = plan("q74_kmv_sketch")
+    // map-side partial + final — the sketch buffer crosses the shuffle,
+    // not the raw hash rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("repo-wide: no registered query plans a CartesianProduct or a UDF") {
     // CartesianProduct = a non-broadcast all-pairs join — never acceptable;
     // the deliberate quadratic verifiers (q19/q21/q31/q34) broadcast their
