@@ -375,6 +375,40 @@ object Curation {
           .as("epochs"))
   }
 
+  /** Largest-remainder token-budget apportionment: turns [[mixtureWeights]]'
+    * proportional weights into concrete integer per-source token quotas
+    * that sum EXACTLY to `tokenBudget` — the number a shard-writer
+    * actually consumes. Floor shares first, then the budget−Σfloor
+    * leftover (< #sources tokens) goes to the largest fractional
+    * remainders (ties broken by source name). Shares are doubles but every
+    * operation is order-independent IEEE arithmetic on broadcast scalars
+    * (no cross-partition float sums), so the allocation is bit-stable
+    * cross-engine; the remainder rank window runs over the #sources-row
+    * frame (driver scale, as [[vocabulary]]). */
+  def allocateBudget(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, alpha: Double,
+                     tokenBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(tokenBudget > 0, s"tokenBudget must be > 0: $tokenBudget")
+    val t = docs.groupBy(col(sourceCol)).agg(
+      sum(size(Dedup.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val p = t.withColumn("__pw",
+      round(pow(col("n_tokens").cast("double"), lit(alpha)) * 1000, 0).cast("long"))
+    val norm = p.agg(sum(col("__pw")).as("__sp"))
+    val shared = p.crossJoin(broadcast(norm))
+      .withColumn("__share", col("__pw").cast("double") * tokenBudget / col("__sp"))
+      .withColumn("base_tokens", floor(col("__share")).cast("long"))
+      .withColumn("__frac", col("__share") - col("base_tokens"))
+    val tot = shared.agg(sum(col("base_tokens")).as("__tb"))
+    shared.crossJoin(broadcast(tot))
+      .withColumn("__rk", row_number()
+        .over(Window.orderBy(col("__frac").desc, col(sourceCol))).cast("long"))
+      .withColumn("alloc_tokens", col("base_tokens") +
+        when(col("__rk") <= lit(tokenBudget) - col("__tb"), 1L).otherwise(0L))
+      .select(col(sourceCol), col("n_tokens"), col("base_tokens"),
+        col("alloc_tokens"))
+  }
+
   /** Per-source curation scorecard: how much of each ingestion source
     * survives the [[curate]] gate, with counts per failure mode — the
     * report a pipeline operator reads to decide which crawls/feeds to

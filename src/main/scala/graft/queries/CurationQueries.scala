@@ -361,6 +361,42 @@ object CurationQueries {
                CAST(r.cum AS BIGINT) AS top_cf_sum, t.total_cf,
                CAST(r.cum AS DOUBLE) / t.total_cf AS coverage
              FROM (VALUES (1), (5), (10), (25)) v(k)
-             JOIN rk r ON r.rk = v.k, tot t ORDER BY k"""))
+             JOIN rk r ON r.rk = v.k, tot t ORDER BY k""")),
+
+    // Largest-remainder apportionment of a 1M-token budget across sources
+    // (alpha 0.5, q56's weights): per-source integer quotas summing
+    // exactly to the budget.
+    Q("q75_allocate_budget",
+      (s, d) => Curation.allocateBudget(Tables.documents(s, d), "doc_id", "text",
+          "source", alpha = 0.5, tokenBudget = 1000000L)
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+               SELECT source,
+                 CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+                   AS n_tokens
+               FROM documents GROUP BY source),
+             p AS (
+               SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000, 0)
+                 AS BIGINT) AS pw
+               FROM t),
+             sp AS (SELECT CAST(SUM(pw) AS BIGINT) AS sp FROM p),
+             sh AS (
+               SELECT source, n_tokens,
+                 CAST(pw AS DOUBLE) * 1000000 / sp AS share
+               FROM p, sp),
+             b AS (
+               SELECT source, n_tokens,
+                 CAST(floor(share) AS BIGINT) AS base_tokens,
+                 share - floor(share) AS frac
+               FROM sh),
+             tb AS (SELECT CAST(SUM(base_tokens) AS BIGINT) AS tb FROM b),
+             r AS (
+               SELECT b.*, tb.tb,
+                 row_number() OVER (ORDER BY frac DESC, source) AS rk
+               FROM b, tb)
+             SELECT source, n_tokens, base_tokens,
+               base_tokens + CASE WHEN rk <= 1000000 - tb THEN 1 ELSE 0 END
+                 AS alloc_tokens
+             FROM r ORDER BY source"""))
   )
 }

@@ -109,6 +109,25 @@ object Stress {
         nCells = 283, trainIters = 2).count()
     }
     println(s"[stress] kmeans assigned=$km")
+    // round-4 text operators at 200k docs
+    t("bigramScore 200k (self-trained)") {
+      TextAnalysis.bigramScore(docs, "doc_id", "text").count()
+    }
+    t("bpePairStats 200k (top 200)") {
+      TextAnalysis.bpePairStats(docs, "text", topK = 200).count()
+    }
+    val inc = t("incrementalDedup 40k batch vs 160k corpus") {
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", maxBucketSize = 100)
+        .filter(!col("keep")).count()
+    }
+    println(s"[stress] incremental flagged=$inc")
+    t("chunkDocs 200k (48/32)") {
+      graft.operators.Curation.chunkDocs(docs, "doc_id", "text", 48, 32).count()
+    }
+
     // semantic dedup at volume: the watch item is cell-occupancy skew —
     // one hot cell makes the within-cell pair join quadratic again
     val sem = t("semanticDedup 80k vectors (283 cells)") {

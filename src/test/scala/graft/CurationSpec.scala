@@ -253,4 +253,30 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((6L, 1.0)))
     assert(!out.contains(5L)) // beyond vocabulary size: no row
   }
+
+  test("allocateBudget: quotas sum exactly to the budget, remainders to largest fracs") {
+    import spark.implicits._
+    // three sources with 9/3/1 tokens at alpha=1 → pw 9000/3000/1000,
+    // shares of 100: 69.23.., 23.07.., 7.69.. → bases 69/23/7 (sum 99),
+    // leftover 1 goes to the largest fraction (srcC at .69)
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"t$i").mkString(" "), "srcA"),
+      (2L, "x y z", "srcB"),
+      (3L, "solo", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.allocateBudget(docs, "doc_id", "text", "source",
+        alpha = 1.0, tokenBudget = 100L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("base_tokens"), r.getAs[Long]("alloc_tokens"))).toMap
+    assert(out("srcA") == ((69L, 69L)))
+    assert(out("srcB") == ((23L, 23L)))
+    assert(out("srcC") == ((7L, 8L)))
+    assert(out.values.map(_._2).sum == 100L)
+    // exact-sum property holds on the real table too
+    val real = Curation.allocateBudget(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", "source", alpha = 0.5, tokenBudget = 999983L)
+    assert(real.agg(org.apache.spark.sql.functions.sum("alloc_tokens"))
+      .head().getLong(0) == 999983L)
+  }
 }
