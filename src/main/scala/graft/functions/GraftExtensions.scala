@@ -61,6 +61,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_matdot"),
       new ExpressionInfo(classOf[LongMatrixDot].getName, "graft_matdot"),
       (exprs: Seq[Expression]) => LongMatrixDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other if other.foldable => other.eval().toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"graft_kmv k must be a literal: $other")
+        }
+        KMinValues(exprs.head, k)
+      }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }

@@ -95,6 +95,14 @@ class SqlSurfaceSpec extends SparkSpec {
           |FROM qemb ORDER BY vec_id""".stripMargin)
       assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot64"))
       assert(hof.collect().toSeq == direct.collect().toSeq)
+
+      // the injected KMV aggregate is SQL-callable and dedupes planted copies
+      val kmv = s.sql(
+        """SELECT graft_kmv(h, 16).n_seen AS n FROM (
+          |  SELECT CAST(conv(substr(md5(CAST(id % 10 AS STRING)), 1, 15), 16, 10)
+          |    AS BIGINT) AS h
+          |  FROM range(1000))""".stripMargin).collect().head.getLong(0)
+      assert(kmv == 10L) // 1000 rows, 10 distinct hashes, set semantics
     }
   }
 }
