@@ -228,6 +228,57 @@ object TextAnalysis {
         .cast("long"))
   }
 
+  /** Iterative BPE merge training — the loop [[bpePairStats]] is one round
+    * of: symbols start as characters of each pre-token TYPE (the corpus
+    * aggregates to distinct types with frequencies first, so every round
+    * is linear in the type table, never in raw occurrences); each round
+    * counts adjacent symbol pairs weighted by type frequency, picks the
+    * argmax (count desc, pair asc — deterministic), and merges that pair
+    * in every type with a single left-to-right non-overlapping string
+    * replace (identical single-pass semantics in Spark and the oracle;
+    * remaining overlaps merge in later rounds). Emits the learned merge
+    * table (merge_rank, p1, p2, pair_count) — the artifact a tokenizer
+    * ships. Real trainings run ~50k merges over a type SAMPLE; each round
+    * here is one explode + one hash agg + one broadcast of a 1-row argmax,
+    * so rounds scale with the type table (~10⁸ rows at 100 TB), and the
+    * whole loop is exact integer arithmetic — oracle-checkable end to end.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be > 0: $nMerges")
+    val wf = docs
+      .select(explode(regexp_extract_all(col(textCol), lit(BpeishRe), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__freq"))
+    var types = wf.select(
+      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("sym"),
+      col("__freq"))
+    var merges: DataFrame = null
+    for (round <- 1 to nMerges) {
+      // the 1-row argmax feeds both the merge table and the rewrite, and
+      // types feeds the next round twice — localCheckpoint truncates the
+      // otherwise per-round-doubling logical plan (the CC-loop discipline)
+      val top = types
+        .select(col("__freq"), split(trim(col("sym")), " ").as("l"))
+        // 1-symbol types have no pairs (and sequence(0,-1) DESCENDS — an
+        // unguarded explode would index past the array under ANSI)
+        .filter(size(col("l")) >= 2)
+        .select(col("__freq"), explode(expr(
+          "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS p1, l[i+1] AS p2))"))
+          .as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("__freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("p1"), col("p2"))
+        .limit(1)
+        .localCheckpoint()
+      val ranked = top.withColumn("merge_rank", lit(round.toLong))
+      merges = if (merges == null) ranked else merges.unionByName(ranked)
+      types = types.crossJoin(broadcast(top.select(col("p1"), col("p2"))))
+        .select(expr("replace(sym, ' ' || p1 || ' ' || p2 || ' ', ' ' || p1 || p2 || ' ')")
+          .as("sym"), col("__freq"))
+        .localCheckpoint()
+    }
+    merges.select(col("merge_rank"), col("p1"), col("p2"), col("pair_count"))
+  }
+
   /** Corpus-level boilerplate detection: shingles appearing in at least
     * `minDocFrac` of all documents (site chrome, nav text, license headers
     * — content no single document owns) and, per document, the fraction of

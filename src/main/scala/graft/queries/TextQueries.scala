@@ -610,6 +610,52 @@ object TextQueries {
              SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(MIN(doc_id) AS BIGINT) AS canonical_id
              FROM t GROUP BY 1 HAVING COUNT(*) >= 2
-             ORDER BY prefix_hash"""))
+             ORDER BY prefix_hash""")),
+
+    // Iterative BPE training, 3 merge rounds — the oracle unrolls the
+    // complete loop (pair counts → argmax → single-pass merge, per round).
+    Q("q76_bpe_train",
+      (s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d), "text", nMerges = 3)
+        .orderBy(col("merge_rank")),
+      Some(s"""WITH w0 AS (
+               SELECT unnest(regexp_extract_all(text, '${TextAnalysis.BpeishRe}')) AS w
+               FROM documents),
+             wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY w),
+             t0 AS (
+               SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS sym, freq
+               FROM wf),
+             c1 AS (
+               SELECT l[i] AS p1, l[i+1] AS p2, CAST(SUM(freq) AS BIGINT) AS pair_count
+               FROM (SELECT string_split(trim(sym), ' ') AS l, freq FROM t0),
+                    UNNEST(range(1, len(l))) t(i)
+               GROUP BY 1, 2),
+             m1 AS (SELECT * FROM c1 ORDER BY pair_count DESC, p1, p2 LIMIT 1),
+             t1 AS (
+               SELECT replace(sym, ' ' || m1.p1 || ' ' || m1.p2 || ' ',
+                 ' ' || m1.p1 || m1.p2 || ' ') AS sym, freq
+               FROM t0, m1),
+             c2 AS (
+               SELECT l[i] AS p1, l[i+1] AS p2, CAST(SUM(freq) AS BIGINT) AS pair_count
+               FROM (SELECT string_split(trim(sym), ' ') AS l, freq FROM t1),
+                    UNNEST(range(1, len(l))) t(i)
+               GROUP BY 1, 2),
+             m2 AS (SELECT * FROM c2 ORDER BY pair_count DESC, p1, p2 LIMIT 1),
+             t2 AS (
+               SELECT replace(sym, ' ' || m2.p1 || ' ' || m2.p2 || ' ',
+                 ' ' || m2.p1 || m2.p2 || ' ') AS sym, freq
+               FROM t1, m2),
+             c3 AS (
+               SELECT l[i] AS p1, l[i+1] AS p2, CAST(SUM(freq) AS BIGINT) AS pair_count
+               FROM (SELECT string_split(trim(sym), ' ') AS l, freq FROM t2),
+                    UNNEST(range(1, len(l))) t(i)
+               GROUP BY 1, 2),
+             m3 AS (SELECT * FROM c3 ORDER BY pair_count DESC, p1, p2 LIMIT 1)
+             SELECT CAST(1 AS BIGINT) AS merge_rank, p1, p2, pair_count FROM m1
+             UNION ALL
+             SELECT CAST(2 AS BIGINT), p1, p2, pair_count FROM m2
+             UNION ALL
+             SELECT CAST(3 AS BIGINT), p1, p2, pair_count FROM m3
+             ORDER BY merge_rank"""))
   )
 }

@@ -133,6 +133,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("logprob_micros") == lp(1, 3))
     assert(out(3L).getAs[Double]("avg_logprob") == lp(1, 3).toDouble / 1e6)
   }
+
+  test("bpeTrain: three hand-computed merge rounds with symbol growth") {
+    import spark.implicits._
+    // types: "aaab"×2, "ab"×1
+    // r1: pairs aa=4 ab=3 → merge (a,a); "a a a b"→"aa a b" (single pass)
+    // r2: (aa,a)=2 (a,b)=3 → merge (a,b)
+    // r3: (aa,ab)=2 → merge (aa,ab)
+    val docs = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+      .collect().map(r => r.getAs[Long]("merge_rank") ->
+        (r.getAs[String]("p1"), r.getAs[String]("p2"), r.getAs[Long]("pair_count")))
+      .toMap
+    assert(out(1L) == (("a", "a", 4L)))
+    assert(out(2L) == (("a", "b", 3L)))
+    assert(out(3L) == (("aa", "ab", 2L)))
+  }
 }
 
 private object TestDocs {
