@@ -375,6 +375,30 @@ object Curation {
           .as("epochs"))
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis): each row
+    * gets key ln(u)/w — u an md5-derived uniform in (0,1], w its positive
+    * weight — and the n largest keys win, giving inclusion probability
+    * proportional to weight. Deterministic end to end: u = (h+1)/2⁶⁰ from
+    * the id's md5 (integer-division double), and the one libm call (ln)
+    * is rounded to 6 decimals BEFORE ranking (the tf-idf recipe) so the
+    * order is bit-stable cross-engine. Top-n is TakeOrderedAndProject;
+    * rows with w ≤ 0 are excluded. Use for quality-weighted corpus
+    * sampling (weight = LM score, length, source priority). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"n must be > 0: $n")
+    val h = expr(
+      s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    val u = (h + 1).cast("double") / lit(1152921504606846976.0d) // 2^60
+    val top = df.select(col(idCol), col(weightCol).cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("score", round(log(u) / col("weight"), 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(n)
+    top.withColumn("sample_rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+  }
+
   /** Largest-remainder token-budget apportionment: turns [[mixtureWeights]]'
     * proportional weights into concrete integer per-source token quotas
     * that sum EXACTLY to `tokenBudget` — the number a shard-writer

@@ -94,6 +94,30 @@ object Quality {
     * JSON to persist, and a diff against a previously stored snapshot. */
   def schemaSnapshot(df: DataFrame): String = df.schema.json
 
+  /** Robust outlier detection per group: |x − median| / MAD, the
+    * breakdown-resistant alternative to z-scores (one wild value cannot
+    * drag the threshold the way it drags a mean/stddev). Median and MAD
+    * are exact interpolated percentiles rounded to 6 decimals (the q44
+    * recipe — cross-engine stable); the score is then pure deterministic
+    * double arithmetic on broadcast per-group scalars. Two grouped
+    * percentile passes (MAD needs the median first) + one broadcast join
+    * back; a zero-MAD group (over half the values identical) yields null
+    * scores and never flags. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val med = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5D)"), 6).as("med"))
+    val withMed = df.select(col(groupCol), col(valueCol))
+      .join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5D)"), 6).as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("mad") > 0, (col(valueCol) - col("med")) / col("mad")))
+      .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
+  }
+
   /** Equi-width histogram of a 2-decimal money column, binned in exact
     * integer cents — the distribution-profiling view of a DQ suite. The
     * cents conversion is the q02 recipe (round(x·100) → BIGINT is exact

@@ -217,6 +217,32 @@ object AnalyticsQueries {
                          / CAST(ag.kth_hash AS DOUBLE)
                END AS estimate,
                ex.n_exact
-             FROM ag JOIN ex ON ex.g = ag.g ORDER BY l_returnflag"""))
+             FROM ag JOIN ex ON ex.g = ag.g ORDER BY l_returnflag""")),
+
+    // Robust outliers per return flag: |x − median| / MAD at 3.5 —
+    // medians/MADs are exact interpolated percentiles (round-6).
+    Q("q78_robust_outliers",
+      (s, d) => graft.operators.Quality.robustOutliers(
+          Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", "l_extendedprice", threshold = 3.5)
+        .orderBy(col("l_returnflag"), col("l_extendedprice")),
+      Some("""WITH med AS (
+               SELECT l_returnflag AS g,
+                 round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+               FROM lineitem GROUP BY 1),
+             wm AS (
+               SELECT l.l_returnflag AS g, l.l_extendedprice AS v, m.med
+               FROM lineitem l JOIN med m ON m.g = l.l_returnflag),
+             mad AS (
+               SELECT g, round(quantile_cont(abs(v - med), 0.5), 6) AS mad
+               FROM wm GROUP BY g)
+             SELECT wm.g AS l_returnflag, wm.v AS l_extendedprice,
+               wm.med, mad.mad,
+               CASE WHEN mad.mad > 0 THEN (wm.v - wm.med) / mad.mad END
+                 AS robust_z,
+               COALESCE(abs(CASE WHEN mad.mad > 0
+                 THEN (wm.v - wm.med) / mad.mad END) > 3.5, false) AS is_outlier
+             FROM wm JOIN mad USING (g)
+             ORDER BY l_returnflag, l_extendedprice"""))
   )
 }

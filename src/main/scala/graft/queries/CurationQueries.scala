@@ -397,6 +397,33 @@ object CurationQueries {
              SELECT source, n_tokens, base_tokens,
                base_tokens + CASE WHEN rk <= 1000000 - tb THEN 1 ELSE 0 END
                  AS alloc_tokens
-             FROM r ORDER BY source"""))
+             FROM r ORDER BY source""")),
+
+    // Weighted sample (Efraimidis-Spirakis keys, md5 uniforms, round-6 ln):
+    // 50 docs drawn with probability proportional to n_chars.
+    Q("q77_weighted_sample",
+      (s, d) => Curation.weightedSample(Tables.documents(s, d), "doc_id",
+          "n_chars", n = 50)
+        .orderBy(col("sample_rank")),
+      Some("""WITH hx AS (
+               SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hs
+               FROM documents WHERE n_chars > 0),
+             hv AS (
+               SELECT doc_id, weight,
+                 CAST(list_sum(list_transform(range(1, 16),
+                   i -> (CAST(strpos('0123456789abcdef',
+                           substr(hs, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                        << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS h
+               FROM hx),
+             sc AS (
+               SELECT doc_id, weight,
+                 round(ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0)
+                   / weight, 6) AS score
+               FROM hv),
+             r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rk FROM sc)
+             SELECT doc_id, weight, score, CAST(rk AS BIGINT) AS sample_rank
+             FROM r WHERE rk <= 50 ORDER BY sample_rank"""))
   )
 }

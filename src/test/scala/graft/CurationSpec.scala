@@ -279,4 +279,27 @@ class CurationSpec extends SparkSpec {
     assert(real.agg(org.apache.spark.sql.functions.sum("alloc_tokens"))
       .head().getLong(0) == 999983L)
   }
+
+  test("weightedSample: matches a local Efraimidis-Spirakis recomputation") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (i, i.toDouble)).toDF("doc_id", "w")
+      .unionByName(Seq((99L, 0.0)).toDF("doc_id", "w")) // w<=0 excluded
+    val out = Curation.weightedSample(df, "doc_id", "w", n = 10)
+      .collect().map(r => (r.getAs[Long]("sample_rank"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1)
+    def score(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h + 1).toDouble / 1152921504606846976.0
+      BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (1L to 30L).map(i => (i, score(i, i.toDouble)))
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    assert(out.map(_._2).toSeq == expected)
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    assert(!out.exists(_._2 == 99L))
+  }
 }

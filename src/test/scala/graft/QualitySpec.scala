@@ -61,4 +61,22 @@ class QualitySpec extends SparkSpec {
     assert(out(2L) == ((20.0, 30.0, 2L)))  // both 25.50
     assert(out.size == 3)
   }
+
+  test("robustOutliers: MAD flags the wild value a mean/stddev would absorb") {
+    import spark.implicits._
+    // group g: 1..9 plus 100 → median 5.5, MAD of |x-5.5| = 2.5
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _)).toDF("grp", "v")
+    val out = Quality.robustOutliers(df, "grp", "v", threshold = 3.5)
+      .collect().map(r => r.getAs[Double]("v") -> r).toMap
+    assert(out(100.0).getAs[Double]("med") == 5.5)
+    assert(out(100.0).getAs[Double]("mad") == 2.5)
+    assert(out(100.0).getAs[Double]("robust_z") == (100.0 - 5.5) / 2.5)
+    assert(out(100.0).getAs[Boolean]("is_outlier"))
+    assert((1 to 9).forall(i => !out(i.toDouble).getAs[Boolean]("is_outlier")))
+    // constant group: MAD 0 → null score, nothing flagged
+    val const = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("grp", "v")
+    val c = Quality.robustOutliers(const, "grp", "v", 3.5).collect()
+    assert(c.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
+    assert(c.forall(r => !r.getAs[Boolean]("is_outlier")))
+  }
 }
