@@ -106,10 +106,15 @@ object Quality {
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      threshold: Double): DataFrame = {
     require(threshold > 0, s"threshold must be > 0: $threshold")
-    val med = df.groupBy(col(groupCol))
+    // the narrow (group, value) frame feeds three consumers (median pass,
+    // MAD pass, final scoring) — persist it, and the med-joined frame,
+    // rather than re-scanning the source each time
+    val base = df.select(col(groupCol), col(valueCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = base.groupBy(col(groupCol))
       .agg(round(expr(s"percentile($valueCol, 0.5D)"), 6).as("med"))
-    val withMed = df.select(col(groupCol), col(valueCol))
-      .join(broadcast(med), Seq(groupCol))
+    val withMed = base.join(broadcast(med), Seq(groupCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = withMed.groupBy(col(groupCol))
       .agg(round(expr(s"percentile(abs($valueCol - med), 0.5D)"), 6).as("mad"))
     withMed.join(broadcast(mad), Seq(groupCol))
