@@ -415,6 +415,44 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivor selection — "keep the BEST, not the first":
+    * per near-dup cluster, the surviving document is the argmax of a
+    * quality column (longest text, highest LM score, …) with min-id as the
+    * deterministic tie-break, instead of [[dedupCorpus]]'s min-id-always
+    * rule. This is what production curation actually does: inside a
+    * duplicate cluster the members differ (truncations, boilerplate-laden
+    * re-renders), and keeping the highest-quality copy measurably beats
+    * keeping an arbitrary one.
+    *
+    * Input `clusters` is [[connectedComponents]] output (id, component);
+    * docs absent from any pair are singleton clusters of themselves.
+    * Output: every doc with its component, the cluster's survivor_id, and
+    * a kept flag.
+    *
+    * Scale: one left join of the corpus against the (small — only docs in
+    * some pair) cluster frame, one rank-1 window per component (plans as
+    * WindowGroupLimit: per-partition top-1 heaps, never a full per-group
+    * sort), one broadcast-size join back on component. */
+  def bestSurvivors(docs: DataFrame, idCol: String, qualityCol: String,
+                    clusters: DataFrame): DataFrame = {
+    val member = docs
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        col(qualityCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    val survivors = member
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col(idCol).as("survivor_id"))
+    member.join(survivors, Seq("component"))
+      .select(col(idCol), col("component"), col("survivor_id"),
+        (col(idCol) === col("survivor_id")).as("kept"))
+  }
+
   /** Prefix-duplicate groups: documents sharing their first `k` tokens —
     * the truncated-copy pattern (wire copy with a different tail, page
     * re-render cut at a different length) that whole-document hashing

@@ -424,6 +424,74 @@ object TextAnalysis {
         col("logprob_micros").cast("double") / (col("n_bigrams") * 1000000L))
   }
 
+  /** Per-document character-distribution Shannon entropy (nats) — the
+    * classic cheap gibberish detector: natural text sits near ~3 nats,
+    * while single-char runs, base64 blobs and binary-ish soup land far
+    * below/above the band, so a low-entropy flag is a standard corpus
+    * quality gate (reference's quality surface stops at null/uniqueness
+    * checks, `bronze_validation.py:87-118` — this extends it to content).
+    *
+    * Exactness: entropy = ln(n) − Σ c·ln(c)/n over per-char counts c.
+    * Each ln is fixed-pointed to integer micros BEFORE any cross-row sum
+    * (the [[unigramLm]] discipline), so the aggregation is associative
+    * integer math — partitioning- and engine-independent — and only the
+    * final division is a double, rounded to 6 decimals. One explode +
+    * two hash aggregations; the (id, char) shuffle is bounded by
+    * |alphabet|·docs after map-side combine, far below the raw char count. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+                  minEntropy: Double): DataFrame = {
+    val lnMicros: Column => Column =
+      c => round(log(c.cast("double")) * 1000000, 0).cast("long")
+    docs.select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("__c") * lnMicros(col("__c"))).as("__s"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        round((lnMicros(col("n_chars")) * col("n_chars") - col("__s")).cast("double")
+          / (col("n_chars") * 1000000L), 6).as("entropy"))
+      .withColumn("low_entropy", col("entropy") < minEntropy)
+  }
+
+  /** Zipf-law fit of the vocabulary: least-squares slope of ln(freq) vs
+    * ln(rank) over the top-K terms — the corpus-health number (natural
+    * language ≈ −1; boilerplate-heavy or deduplicated-to-death corpora
+    * drift off it) that curation dashboards track per source/snapshot.
+    *
+    * Exactness: rank is deterministic (freq desc, term asc); x = ln(rank)
+    * and y = ln(freq) are fixed-pointed to integer 10⁻⁴ units, so the
+    * regression sums (Σx, Σy, Σxy, Σx²) are exact integers — the slope
+    * (n·Σxy − Σx·Σy)/(n·Σx² − Σx²̄) is one double division, rounded to 6.
+    * 10⁻⁴ units keep n·Σxy < 2⁶³ for any topK ≤ 10⁵ at any corpus size
+    * (x ≤ ln(10⁵)·10⁴ ≈ 1.2e5, y ≤ ln(2⁶³)·10⁴ < 4.4e5).
+    *
+    * Scale: term-frequency hash agg, top-K via TakeOrderedAndProject
+    * (per-partition heaps — never a global sort), then a K-row window and
+    * one scalar aggregation. */
+  def zipfSlope(docs: DataFrame, idCol: String, textCol: String,
+                topK: Int): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2: $topK")
+    val fixp: Column => Column =
+      c => round(log(c.cast("double")) * 10000, 0).cast("long")
+    val top = termRows(docs, idCol, textCol, 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term")).limit(topK)
+    top
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col("cf").desc, col("term"))).cast("long"))
+      .select(fixp(col("__rank")).as("__x"), fixp(col("cf")).as("__y"),
+        col("cf"))
+      .agg(count(lit(1)).as("n_terms"), max(col("cf")).as("top_cf"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("n_terms"), col("top_cf"),
+        round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+          / (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"))
+  }
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

@@ -656,6 +656,107 @@ object TextQueries {
              SELECT CAST(2 AS BIGINT), p1, p2, pair_count FROM m2
              UNION ALL
              SELECT CAST(3 AS BIGINT), p1, p2, pair_count FROM m3
-             ORDER BY merge_rank"""))
+             ORDER BY merge_rank""")),
+
+    // Character-distribution entropy quality gate: every ln fixed-pointed
+    // to integer micros before any cross-row sum, so both engines aggregate
+    // exact integers and the final division is the only double.
+    Q("q79_char_entropy",
+      (s, d) => TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text",
+          minEntropy = 2.0)
+        .orderBy(col("doc_id")),
+      Some("""WITH cc AS (
+               SELECT doc_id, ch, COUNT(*) AS c
+               FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                     FROM documents)
+               GROUP BY doc_id, ch),
+             e AS (
+               SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_chars,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                 CAST(SUM(c * CAST(round(ln(c) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s
+               FROM cc GROUP BY doc_id)
+             SELECT doc_id, n_chars, n_distinct_chars, entropy,
+               entropy < 2.0 AS low_entropy
+             FROM (
+               SELECT doc_id, n_chars, n_distinct_chars,
+                 round(CAST(CAST(round(ln(n_chars) * 1000000, 0) AS BIGINT) * n_chars - s
+                   AS DOUBLE) / (n_chars * 1000000), 6) AS entropy
+               FROM e)
+             ORDER BY doc_id""")),
+
+    // Zipf-law vocabulary fit over the top-200 terms: deterministic rank,
+    // ln fixed-pointed to 1e-4 units, exact-integer regression sums.
+    Q("q80_zipf_slope",
+      (s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d), "doc_id", "text",
+          topK = 200),
+      Some("""WITH tf AS (
+               SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS cf
+               FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                     FROM documents)
+               GROUP BY 1 ORDER BY cf DESC, term LIMIT 200),
+             r AS (
+               SELECT cf,
+                 row_number() OVER (ORDER BY cf DESC, term) AS rank
+               FROM tf),
+             f AS (
+               SELECT cf,
+                 CAST(round(ln(rank) * 10000, 0) AS BIGINT) AS x,
+                 CAST(round(ln(cf) * 10000, 0) AS BIGINT) AS y
+               FROM r),
+             a AS (
+               SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(MAX(cf) AS BIGINT) AS top_cf,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+               FROM f)
+             SELECT n_terms, top_cf,
+               round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                 / (n_terms * sxx - sx * sx), 6) AS zipf_slope
+             FROM a""")),
+
+    // Quality-aware survivor selection: per q38 near-dup cluster keep the
+    // LONGEST member (min-id tie-break), singletons keep themselves. The
+    // oracle re-derives the full pair chain + recursive closure, then
+    // applies the same rank-1 window.
+    Q("q81_keep_best",
+      (s, d) => Dedup.bestSurvivors(
+          Tables.documents(s, d), "doc_id", "n_chars",
+          Dedup.connectedComponents(
+            Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+              shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100),
+            "doc_a", "doc_b"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $minhashPairCtes,
+             nodes AS (
+               SELECT DISTINCT v FROM (
+                 SELECT doc_a AS v FROM pairs
+                 UNION ALL SELECT doc_b FROM pairs)),
+             e2 AS (
+               SELECT doc_a AS src, doc_b AS dst FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+             reach(v, r) AS (
+               SELECT v, v FROM nodes
+               UNION
+               SELECT reach.v, e2.dst FROM reach JOIN e2 ON e2.src = reach.r),
+             comp AS (
+               SELECT v AS id, MIN(r) AS component FROM reach GROUP BY v),
+             member AS (
+               SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component,
+                 d.n_chars
+               FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+             surv AS (
+               SELECT component, doc_id AS survivor_id
+               FROM (
+                 SELECT component, doc_id,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM member)
+               WHERE rn = 1)
+             SELECT m.doc_id, m.component, s.survivor_id,
+               m.doc_id = s.survivor_id AS kept
+             FROM member m JOIN surv s ON s.component = m.component
+             ORDER BY m.doc_id"""))
   )
 }

@@ -127,4 +127,29 @@ class DedupSpec extends SparkSpec {
     assert(out(("srcB", "srcB")) == 1L)
     assert(out.size == 2)
   }
+
+  test("bestSurvivors: longest member wins, min-id tie-break, singletons kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // cluster A: 2 wins on quality
+      (4L, 7L), (5L, 7L),              // cluster B: tie → min id 4 wins
+      (6L, 1L)                         // singleton: survives itself
+    ).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "component")
+    val out = graft.operators.Dedup.bestSurvivors(docs, "doc_id", "n_chars", clusters)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("survivor_id"),
+          r.getAs[Boolean]("kept"))).toMap
+    assert(out.size == 6)
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(4L) == ((4L, 4L, true)))
+    assert(out(5L) == ((4L, 4L, false)))
+    assert(out(6L) == ((6L, 6L, true)))
+    // exactly one survivor per component
+    val perComp = out.values.groupBy(_._1).map { case (_, v) => v.count(_._3) }
+    assert(perComp.forall(_ == 1))
+  }
 }

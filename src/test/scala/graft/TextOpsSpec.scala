@@ -149,6 +149,55 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == (("a", "b", 3L)))
     assert(out(3L) == (("aa", "ab", 2L)))
   }
+
+  test("charEntropy: hand-computed entropy; uniform > repeated; flag applied") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),   // single symbol → entropy 0, flagged
+      (2L, "abcd"),   // 4 uniform chars → ln(4) ≈ 1.386294, flagged at 2.0
+      (3L, "abcdefgh" * 2) // 8 uniform → ln(8) ≈ 2.079442, not flagged
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text", minEntropy = 2.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("entropy") == 0.0)
+    assert(out(1L).getAs[Boolean]("low_entropy"))
+    assert(out(2L).getAs[Double]("entropy") == 1.386294)
+    assert(out(2L).getAs[Boolean]("low_entropy"))
+    assert(out(3L).getAs[Long]("n_chars") == 16L)
+    assert(out(3L).getAs[Long]("n_distinct_chars") == 8L)
+    assert(out(3L).getAs[Double]("entropy") == 2.079442)
+    assert(!out(3L).getAs[Boolean]("low_entropy"))
+  }
+
+  test("zipfSlope: exact local recomputation; perfect power law fits itself") {
+    import spark.implicits._
+    // freqs 8,4,2,1 over ranks 1..4: ln f = ln 8 − (rank−1)·ln 2 is NOT
+    // linear in ln(rank) — just recompute the regression locally and
+    // compare exactly.
+    val text = Array.fill(8)("alpha") ++ Array.fill(4)("beta") ++
+      Array.fill(2)("gamma") ++ Array("delta")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfSlope(docs, "doc_id", "text", topK = 4)
+      .collect().head
+    assert(out.getAs[Long]("n_terms") == 4L)
+    assert(out.getAs[Long]("top_cf") == 8L)
+    val xs = (1 to 4).map(r => math.round(math.log(r) * 10000))
+    val ys = Seq(8L, 4L, 2L, 1L).map(f => math.round(math.log(f.toDouble) * 10000))
+    val n = 4L
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("zipf_slope") == slope)
+    // a true Zipf corpus (f ∝ 1/r) fits slope −1 exactly: freqs 12,6,4,3
+    // = 12/r for r=1..4
+    val zt = Array.fill(12)("a") ++ Array.fill(6)("b") ++
+      Array.fill(4)("c") ++ Array.fill(3)("d")
+    val z = TextAnalysis.zipfSlope(Seq((1L, zt.mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", topK = 4).collect().head
+    assert(math.abs(z.getAs[Double]("zipf_slope") + 1.0) < 0.01)
+  }
 }
 
 private object TestDocs {
