@@ -439,6 +439,29 @@ object Curation {
     * deprioritize. One aggregation over the gate output joined to the
     * source metadata; all measures are integer counts (+ one
     * integer-division rate), so the rollup is oracle-exact. */
+  /** Corpus snapshot diff — the bookkeeping op behind incremental crawls
+    * and versioned-corpus publishes: classify every document id across two
+    * snapshots as added (new only), removed (old only), changed (both,
+    * content hash differs) or unchanged. Feeds incremental pipelines
+    * (process added ∪ changed only — see [[graft.operators.Dedup.incrementalDedup]])
+    * and publish audits (what moved between v=N and v=N+1).
+    *
+    * Scale: each side reduces to narrow (id, md5) rows at the scan (the
+    * text never crosses the shuffle), then one full-outer shuffle join on
+    * id — the minimal data movement a content diff admits. Bit-stable:
+    * md5 hex equality only, no floats. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("old_hash"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def sourceQuality(gated: DataFrame, docsMeta: DataFrame, idCol: String,
                     sourceCol: String): DataFrame =
     gated.join(docsMeta.select(col(idCol), col(sourceCol)), Seq(idCol))

@@ -424,6 +424,36 @@ object CurationQueries {
              r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
                      AS rk FROM sc)
              SELECT doc_id, weight, score, CAST(rk AS BIGINT) AS sample_rank
-             FROM r WHERE rk <= 50 ORDER BY sample_rank"""))
+             FROM r WHERE rk <= 50 ORDER BY sample_rank""")),
+
+    // Corpus snapshot diff: old = ids ≢1 (mod 10), new = ids ≢2 (mod 10)
+    // with every 7th doc's text re-rendered — classifies added / removed /
+    // changed / unchanged via narrow (id, md5) full-outer join.
+    Q("q82_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 1)
+        val newSnap = docs.filter(col("doc_id") % 10 =!= 2)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH o AS (
+               SELECT doc_id, md5(text) AS old_hash
+               FROM documents WHERE doc_id % 10 <> 1),
+             n AS (
+               SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+                   AS new_hash
+               FROM documents WHERE doc_id % 10 <> 2)
+             SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+               CASE WHEN old_hash IS NULL THEN 'added'
+                    WHEN new_hash IS NULL THEN 'removed'
+                    WHEN old_hash = new_hash THEN 'unchanged'
+                    ELSE 'changed' END AS status
+             FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+             ORDER BY doc_id"""))
   )
 }

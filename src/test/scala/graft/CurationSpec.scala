@@ -302,4 +302,23 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (1L to 10L))
     assert(!out.exists(_._2 == 99L))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified exactly") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "same"), (2L, "will change"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "did change"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // hashes present exactly on the sides that exist
+    val rows = Curation.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("old_hash") == null, r.getAs[String]("new_hash") == null))
+      .toMap
+    assert(rows(3L) == ((false, true)) && rows(4L) == ((true, false)))
+  }
 }

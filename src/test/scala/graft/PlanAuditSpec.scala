@@ -92,6 +92,26 @@ class PlanAuditSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q80: Zipf top-K is TakeOrderedAndProject; regression agg is two-phase") {
+    val p = plan("q80_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q81: survivor rank-1 window gets WindowGroupLimit pushdown") {
+    val p = plan("q81_keep_best")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
+  test("q82: snapshot diff shuffles only (id, md5) rows — text is projected out pre-join") {
+    val p = plan("q82_snapshot_diff")
+    // both scans read only (doc_id, text) and every Exchange carries hash
+    // columns, not text: the join inputs are the narrow md5 projections
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    val exchanges = "Exchange hashpartitioning[^\n]*".r.findAllIn(p).toList
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"text column crosses a shuffle:\n$p")
+  }
+
   test("repo-wide: no registered query plans a CartesianProduct or a UDF") {
     // CartesianProduct = a non-broadcast all-pairs join — never acceptable;
     // the deliberate quadratic verifiers (q19/q21/q31/q34) broadcast their
