@@ -492,6 +492,43 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  /** Per-group [[zipfSlope]] — the corpus-health dashboard rollup: one
+    * Zipf fit per source/domain/language over that group's own top-K
+    * terms, flagging sources whose vocabulary distribution drifts from
+    * the natural-language band (template farms, log dumps, deduped-flat
+    * corpora) in a single number per source.
+    *
+    * Scale: term frequencies hash-aggregate on (group, term); the
+    * per-group top-K is a rank-1..K filter over a window partitioned by
+    * group — Spark plans it as WindowGroupLimit (per-task top-K heaps
+    * before the shuffle), never a full per-group sort; the regression
+    * is one integer aggregation per group (same fixed-point exactness
+    * argument as [[zipfSlope]]). */
+  def zipfSlopeByGroup(docs: DataFrame, groupCol: String, idCol: String,
+                       textCol: String, topK: Int): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2: $topK")
+    val fixp: Column => Column =
+      c => round(log(c.cast("double")) * 10000, 0).cast("long")
+    val tf = docs
+      .select(col(groupCol), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("cf"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cf").desc, col("term"))
+    tf.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topK)
+      .select(col(groupCol), fixp(col("__rank").cast("long")).as("__x"),
+        fixp(col("cf")).as("__y"), col("cf"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_terms"), max(col("cf")).as("top_cf"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col(groupCol), col("n_terms"), col("top_cf"),
+        round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+          / (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"))
+  }
+
   /** Composite per-document profile: stats + language guess + fingerprint.
     * Two scans of the text column (stats+lang in one, shingle fingerprint in
     * the other) joined on id — both sides shuffle once on id. */

@@ -757,6 +757,41 @@ object TextQueries {
              SELECT m.doc_id, m.component, s.survivor_id,
                m.doc_id = s.survivor_id AS kept
              FROM member m JOIN surv s ON s.component = m.component
-             ORDER BY m.doc_id"""))
+             ORDER BY m.doc_id""")),
+
+    // Per-source Zipf fit (corpus-health dashboard): one slope per source
+    // over that source's own top-100 terms; rank-1..K window partitioned
+    // by source (WindowGroupLimit pushdown, plan-asserted).
+    Q("q83_source_zipf",
+      (s, d) => TextAnalysis.zipfSlopeByGroup(Tables.documents(s, d), "source",
+          "doc_id", "text", topK = 100)
+        .orderBy(col("source")),
+      Some("""WITH tf AS (
+               SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) AS cf
+               FROM (SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                     FROM documents)
+               GROUP BY 1, 2),
+             r AS (
+               SELECT source, cf,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY cf DESC, term) AS rank
+               FROM tf),
+             f AS (
+               SELECT source, cf,
+                 CAST(round(ln(rank) * 10000, 0) AS BIGINT) AS x,
+                 CAST(round(ln(cf) * 10000, 0) AS BIGINT) AS y
+               FROM r WHERE rank <= 100),
+             a AS (
+               SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(MAX(cf) AS BIGINT) AS top_cf,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+               FROM f GROUP BY source)
+             SELECT source, n_terms, top_cf,
+               round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                 / (n_terms * sxx - sx * sx), 6) AS zipf_slope
+             FROM a ORDER BY source"""))
   )
 }

@@ -102,6 +102,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
   }
 
+  test("q83: per-source top-K gets WindowGroupLimit pushdown") {
+    val p = plan("q83_source_zipf")
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
   test("q82: snapshot diff shuffles only (id, md5) rows — text is projected out pre-join") {
     val p = plan("q82_snapshot_diff")
     // both scans read only (doc_id, text) and every Exchange carries hash

@@ -198,6 +198,28 @@ class TextOpsSpec extends SparkSpec {
       "doc_id", "text", topK = 4).collect().head
     assert(math.abs(z.getAs[Double]("zipf_slope") + 1.0) < 0.01)
   }
+
+  test("zipfSlopeByGroup: per-group fits match the single-group operator") {
+    import spark.implicits._
+    val a = Array.fill(8)("alpha") ++ Array.fill(4)("beta") ++
+      Array.fill(2)("gamma") ++ Array("delta")
+    val b = Array.fill(12)("x") ++ Array.fill(6)("y") ++
+      Array.fill(4)("z") ++ Array.fill(3)("w")
+    val docs = Seq((1L, a.mkString(" "), "srcA"), (2L, b.mkString(" "), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlopeByGroup(docs, "source", "doc_id", "text", topK = 4)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("top_cf"),
+          r.getAs[Double]("zipf_slope"))).toMap
+    // each group independently equals the whole-corpus operator run on it
+    for ((src, docId, txt) <- Seq(("srcA", 1L, a), ("srcB", 2L, b))) {
+      val solo = TextAnalysis.zipfSlope(
+        Seq((docId, txt.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", topK = 4).collect().head
+      assert(out(src) == ((solo.getAs[Long]("n_terms"),
+        solo.getAs[Long]("top_cf"), solo.getAs[Double]("zipf_slope"))))
+    }
+  }
 }
 
 private object TestDocs {
