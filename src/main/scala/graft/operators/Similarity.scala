@@ -468,4 +468,72 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
   }
+
+  /** Labeled-dataset separation audit: per label, the centroid cohesion
+    * (mean squared member→own-centroid distance) and the margin to the
+    * nearest OTHER centroid, plus their Fisher-style ratio — the health
+    * check a classifier/embedding training set gets before training
+    * (labels whose ratio ≈ 1 are inseparable in this embedding space;
+    * mislabeled clusters show as low-cohesion outliers).
+    *
+    * Exactness: vectors quantize to 2^20 fixed point, per-dimension
+    * centroid sums are exact integers, and every per-member distance is
+    * reduced to an integer (each squared per-dimension term is rounded to
+    * micros BEFORE the within-vector sum), so no float is ever summed
+    * across rows or array elements — both engines aggregate identical
+    * integers and the only doubles are final divisions of exact integers.
+    *
+    * Scale: one posexplode + hash agg for centroids (shuffle carries
+    * (label, dim) partial sums — map-side combine collapses members), one
+    * broadcast join of the L-row centroid frame back onto members, one
+    * per-label agg; the L×L centroid table is driver-trivial. */
+  def labelSeparation(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val q = emb.select(col(labelCol).cast("long").as("label"),
+      quantize(col(vecCol)).as("__qv"))
+    val sums = q
+      .select(col("label"), posexplode(col("__qv")).as(Seq("__pos", "__qi")))
+      .groupBy(col("label"), col("__pos")).agg(sum(col("__qi")).as("__si"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(__pos, __si))), x -> x.__si)")
+        .as("__cs"))
+    val ns = q.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+    val cent = sums.join(ns, "label")
+    // per-member distance² in integer micros: each dim's squared term is
+    // rounded to micros independently (pure per-element function of the
+    // exact integers q_i, S_i, n), then integer-summed within the vector
+    val member = q.join(broadcast(cent), "label")
+      .withColumn("__d2m", expr(
+        """aggregate(zip_with(__qv, __cs, (x, s) ->
+             CAST(round((CAST(x AS DOUBLE)/1048576.0D
+                         - CAST(s AS DOUBLE)/(CAST(__n AS DOUBLE)*1048576.0D))
+                      * (CAST(x AS DOUBLE)/1048576.0D
+                         - CAST(s AS DOUBLE)/(CAST(__n AS DOUBLE)*1048576.0D))
+                      * 1000000.0D, 0) AS BIGINT)),
+           0L, (a, v) -> a + v)"""))
+    val intra = member.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__d2m")).as("__sm"))
+    val cd = cent.withColumn("__cd",
+      expr("transform(__cs, s -> CAST(s AS DOUBLE)/(CAST(__n AS DOUBLE)*1048576.0D))"))
+      .select(col("label"), col("__cd"))
+    val inter = cd.select(col("label").as("__la"), col("__cd").as("__ca"))
+      .crossJoin(cd.select(col("label").as("__lb"), col("__cd").as("__cb")))
+      .filter(col("__la") =!= col("__lb"))
+      .withColumn("__pm", expr(
+        """aggregate(zip_with(__ca, __cb, (x, y) ->
+             CAST(round((x - y) * (x - y) * 1000000.0D, 0) AS BIGINT)),
+           0L, (a, v) -> a + v)"""))
+      .groupBy(col("__la").as("label")).agg(min(col("__pm")).as("__im"))
+    intra.join(inter, "label")
+      .select(col("label"), col("n_vecs"),
+        (col("__sm").cast("double") / (col("n_vecs") * 1000000L)).as("intra_d2"),
+        (col("__im").cast("double") / 1000000L).as("inter_d2"),
+        // all-identical members ⇒ zero cohesion denominator: report NULL,
+        // not Infinity (a dup-collapsed label is a data bug, not "perfectly
+        // separated")
+        when(col("__sm") > 0,
+          round((col("__im").cast("double") / 1000000L)
+            / (col("__sm").cast("double") / (col("n_vecs") * 1000000L)), 6))
+          .as("separation"))
+  }
 }

@@ -217,6 +217,61 @@ object SimilarityQueries {
                SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cell,
                  (dup.vec_id IS NULL) AS keep
                FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id)
-             SELECT * FROM out ORDER BY vec_id"""))
+             SELECT * FROM out ORDER BY vec_id""")),
+
+    // Labeled-dataset separation audit: per-label cohesion vs margin to the
+    // nearest other centroid. Every cross-row/cross-element sum is over
+    // exact integers (2^20 quantization; per-dim squared terms rounded to
+    // micros before the within-vector sum).
+    Q("q84_label_separation",
+      (s, d) => graft.operators.Similarity.labelSeparation(
+          Tables.embeddings(s, d), "vec_id", "embedding", "label")
+        .orderBy(col("label")),
+      Some("""WITH q AS (
+               SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             dim AS (SELECT MAX(len(qv)) AS dm FROM q),
+             ex AS (
+               SELECT label, i, qv[i] AS qi
+               FROM q, dim, UNNEST(range(1, dm + 1)) t(i)),
+             s AS (
+               SELECT label, i, CAST(SUM(qi) AS BIGINT) AS si
+               FROM ex GROUP BY 1, 2),
+             c AS (SELECT label, list(si ORDER BY i) AS cs FROM s GROUP BY 1),
+             n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nv FROM q GROUP BY 1),
+             d AS (
+               SELECT q.vec_id, q.label,
+                 CAST(list_sum(list_transform(range(1, len(qv) + 1), i ->
+                   CAST(round((qv[i]/1048576.0 - cs[i]/(nv*1048576.0))
+                            * (qv[i]/1048576.0 - cs[i]/(nv*1048576.0))
+                            * 1000000.0, 0) AS BIGINT))) AS BIGINT) AS d2m
+               FROM q JOIN c ON c.label = q.label JOIN n ON n.label = q.label),
+             intra AS (
+               SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(d2m) AS BIGINT) AS sm
+               FROM d GROUP BY 1),
+             cent AS (
+               SELECT c.label,
+                 list_transform(range(1, len(cs) + 1),
+                   i -> cs[i]/(nv*1048576.0)) AS cd
+               FROM c JOIN n ON n.label = c.label),
+             pair AS (
+               SELECT a.label AS la,
+                 CAST(list_sum(list_transform(range(1, len(a.cd) + 1), i ->
+                   CAST(round((a.cd[i] - b.cd[i]) * (a.cd[i] - b.cd[i])
+                     * 1000000.0, 0) AS BIGINT))) AS BIGINT) AS pm
+               FROM cent a JOIN cent b ON a.label <> b.label),
+             inter AS (SELECT la AS label, MIN(pm) AS im FROM pair GROUP BY 1)
+             SELECT i1.label, i1.n_vecs,
+               CAST(sm AS DOUBLE) / (i1.n_vecs * 1000000) AS intra_d2,
+               CAST(im AS DOUBLE) / 1000000 AS inter_d2,
+               CASE WHEN sm > 0 THEN
+                 round((CAST(im AS DOUBLE) / 1000000)
+                   / (CAST(sm AS DOUBLE) / (i1.n_vecs * 1000000)), 6) END
+                 AS separation
+             FROM intra i1 JOIN inter ON inter.label = i1.label
+             ORDER BY i1.label"""))
   )
 }

@@ -243,4 +243,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cells == km)
   }
+
+  test("labelSeparation: hand-computed cohesion/margin; identical-member label gets NULL ratio") {
+    import spark.implicits._
+    // all values exactly representable in 2^20 fixed point
+    val emb = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f), 0),
+      (2L, Seq(1.0f, 0f, 0f, 0f), 0),    // label 0: identical → intra 0
+      (3L, Seq(0f, 0.75f, 0f, 0f), 1),
+      (4L, Seq(0f, 0.5f, 0f, 0f), 1)     // label 1: centroid y=0.625
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.labelSeparation(emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out(0L).getAs[Long]("n_vecs") == 2L)
+    assert(out(0L).getAs[Double]("intra_d2") == 0.0)
+    assert(out(0L).isNullAt(out(0L).fieldIndex("separation")))
+    // label 1: members differ from centroid by ±0.125 in y → d² = 0.015625
+    assert(out(1L).getAs[Double]("intra_d2") == 0.015625)
+    // centroid distance²: (1−0)² + (0−0.625)² = 1.390625 (both labels' nearest)
+    assert(out(0L).getAs[Double]("inter_d2") == 1.390625)
+    assert(out(1L).getAs[Double]("inter_d2") == 1.390625)
+    assert(out(1L).getAs[Double]("separation") == 89.0)
+  }
 }
