@@ -517,7 +517,7 @@ object Similarity {
       expr("transform(__cs, s -> CAST(s AS DOUBLE)/(CAST(__n AS DOUBLE)*1048576.0D))"))
       .select(col("label"), col("__cd"))
     val inter = cd.select(col("label").as("__la"), col("__cd").as("__ca"))
-      .crossJoin(cd.select(col("label").as("__lb"), col("__cd").as("__cb")))
+      .crossJoin(broadcast(cd.select(col("label").as("__lb"), col("__cd").as("__cb"))))
       .filter(col("__la") =!= col("__lb"))
       .withColumn("__pm", expr(
         """aggregate(zip_with(__ca, __cb, (x, y) ->
