@@ -28,6 +28,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on tmpfs: this box's virtio disk degrades to
+      // multi-second write stalls under load (measured: queries idle-wait
+      // 20-90 s in FileOutputStream.writeBytes while CPUs sit 94% idle),
+      // which times the disk, not the engine. A real cluster node has
+      // local SSDs; tmpfs is the honest local stand-in. Override with
+      // SPARK_GRAFT_LOCAL_DIR if running somewhere with working disks.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up once so per-query times measure the queries, not first-touch
@@ -63,7 +71,17 @@ object Bench {
           case e: Throwable =>
             "error: " + jsonSafe(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
-      (name, (System.nanoTime() - t0) / 1e9, status)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // progress to stderr (stdout stays the single JSON artifact line)
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s  $status")
+      // Drop THIS query's persisted frames before the next one runs (many
+      // operators persist internal frames they cannot unpersist themselves).
+      // 90+ queries' leftovers otherwise fill the storage pool, squeeze
+      // execution memory, and the tail of the registry times evictions and
+      // spills instead of queries. Cleanup is OUTSIDE the timed window:
+      // each query is measured the way a user would run it — alone.
+      spark.catalog.clearCache()
+      (name, sec, status)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

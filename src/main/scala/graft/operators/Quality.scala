@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Declarative data-quality rule engine — the Deequ-equivalent
   * (SURVEY.md §2.10, Q2–Q4).
@@ -141,6 +142,132 @@ object Quality {
       .withColumn("lo", (col("bin") * binWidthCents).cast("double") / 100)
       .withColumn("hi", ((col("bin") + 1) * binWidthCents).cast("double") / 100)
       .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
+  }
+
+  /** One-pass Pearson correlation matrix over fixed-point numeric columns —
+    * the profiling view that tells an analyst which measures move together
+    * before they model anything.
+    *
+    * `cols` maps column name → per-row fixed-point scale (100 for 2-dp money,
+    * 1 for integral). Each value quantizes to an exact BIGINT per row;
+    * all first/second moments (Σx, Σx², Σxy) accumulate as DECIMAL(38,0)
+    * (Σx² of 600M rows of 10⁷-cent values ≈ 6·10¹⁹ overflows BIGINT), so
+    * every cross-partition sum is exact integer math. The correlation is
+    * then a fixed sequence of IEEE double ops on those exact sums — both
+    * engines convert the same exact integer to the same double — rounded to
+    * 6 decimals. ONE hash aggregate produces every moment for all k(k−1)/2
+    * pairs: a 100 TB profile is a single map-side-combining scan. */
+  def correlationMatrix(df: DataFrame, cols: Seq[(String, Long)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val q = df.select(cols.map { case (c, scale) =>
+      expr(s"CAST(round(($c) * ${scale}L) AS BIGINT)").as(s"__$c")
+    }: _*)
+    val moments =
+      Seq(count(lit(1)).cast("double").as("__n")) ++
+      cols.flatMap { case (c, _) => Seq(
+        sum(col(s"__$c").cast("decimal(38,0)")).cast("double").as(s"__s_$c"),
+        sum((col(s"__$c") * col(s"__$c")).cast("decimal(38,0)")).cast("double").as(s"__ss_$c")) } ++
+      cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+        sum((col(s"__$a") * col(s"__$b")).cast("decimal(38,0)")).cast("double").as(s"__sp_${a}_$b")
+      }.toSeq
+    val m = q.agg(moments.head, moments.tail: _*)
+    val pairs = cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+      struct(
+        lit(a).as("col_x"), lit(b).as("col_y"),
+        round(
+          (col("__n") * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")) /
+            (sqrt(col("__n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")) *
+             sqrt(col("__n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b"))), 6)
+          .as("corr"))
+    }.toSeq
+    m.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.corr"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** Benford first-digit audit of a positive money column — the classic
+    * fabricated-numbers screen. Digit = first character of the exact
+    * integer cents (leading digit is invariant under the ×100 scaling).
+    * Expected shares log10(1+1/d) are engine-independent literals; the
+    * observed share is an integer-division double; deviations fix-point to
+    * integer micros so the total deviation is an exact integer sum (never
+    * a cross-row double sum). One map-side-combining aggregate over 9
+    * groups — flat at any scale. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) > 0)
+      .select(substring(expr(s"CAST(round(($valueCol) * 100) AS BIGINT)").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val expected = benfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val total = Window.partitionBy()
+    digits
+      .withColumn("obs_share",
+        col("n_obs").cast("double") / sum(col("n_obs")).over(total).cast("double"))
+      .withColumn("exp_share", expected)
+      .withColumn("dev_micros",
+        round(abs(col("obs_share") - col("exp_share")) * 1e6).cast("long"))
+      .withColumn("total_dev_micros", sum(col("dev_micros")).over(total))
+      .select(col("digit"), col("n_obs"), round(col("obs_share"), 6).as("obs_share"),
+        col("exp_share"), col("dev_micros"), col("total_dev_micros"))
+      .orderBy(col("digit"))
+  }
+
+  /** log10(1+1/d) for d=1..9 — fixed literals shared with the oracle SQL
+    * so no engine ever computes a logarithm. */
+  val benfordExpected: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995663981, 2 -> 0.176091259055681, 3 -> 0.124938736608300,
+    4 -> 0.096910013008056, 5 -> 0.079181246047625, 6 -> 0.066946789630613,
+    7 -> 0.057991946977687, 8 -> 0.051152522447381, 9 -> 0.045757490560675)
+
+  /** Population-stability-index drift between two snapshots of a numeric
+    * column — the standard "did this distribution move" monitor between
+    * corpus versions / model-feature generations.
+    *
+    * Values bin into `nBins` equi-width bins of `binWidth` (last bin open);
+    * both sides add-one smooth (c+1)/(n+nBins) so empty bins stay finite.
+    * PSI = Σ_bins (p − q)·ln(p/q). Exactness: the ln argument is a ratio of
+    * exact integers evaluated in one double division; each bin's
+    * contribution fix-points to integer micros before the cross-bin sum
+    * (the charEntropy/q55 recipe), so the total is an exact integer sum.
+    * Two aggregates over ≤ nBins rows each + a broadcast of two scalar
+    * counts — a 100 TB drift check is two map-side-combining scans. */
+  def psiDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+               binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 1, "binWidth > 0 and nBins > 1 required")
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.select(least(expr(s"CAST(($valueCol) AS BIGINT) div ${binWidth}L"),
+          lit(nBins - 1L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    val a = binned(dfA, "c_a")
+    val b = binned(dfB, "c_b")
+    val allBins = dfA.sparkSession.range(nBins).select(col("id").as("bin"))
+    val w = Window.partitionBy()
+    allBins
+      .join(a, Seq("bin"), "left").join(b, Seq("bin"), "left")
+      .withColumn("c_a", coalesce(col("c_a"), lit(0L)))
+      .withColumn("c_b", coalesce(col("c_b"), lit(0L)))
+      .withColumn("__na", sum(col("c_a")).over(w))
+      .withColumn("__nb", sum(col("c_b")).over(w))
+      // smoothed shares p, q and the ln of their exact-integer ratio:
+      // (c_a+1)·(n_b+K) / ((c_b+1)·(n_a+K)) — integer products are exact
+      // (counts ≪ 2⁶³ post-product at any real scale), one double division
+      .withColumn("__p",
+        (col("c_a") + 1).cast("double") / (col("__na") + nBins).cast("double"))
+      .withColumn("__q",
+        (col("c_b") + 1).cast("double") / (col("__nb") + nBins).cast("double"))
+      .withColumn("__lnr",
+        log(((col("c_a") + 1) * (col("__nb") + nBins)).cast("double") /
+            ((col("c_b") + 1) * (col("__na") + nBins)).cast("double")))
+      .withColumn("psi_term_micros",
+        round((col("__p") - col("__q")) * col("__lnr") * 1e6).cast("long"))
+      .withColumn("psi_total_micros", sum(col("psi_term_micros")).over(w))
+      .select(col("bin"), col("c_a"), col("c_b"),
+        round(col("__p"), 6).as("p_a"), round(col("__q"), 6).as("p_b"),
+        col("psi_term_micros"), col("psi_total_micros"))
+      .orderBy(col("bin"))
   }
 
   def schemaDrift(df: DataFrame, storedJson: String): Seq[String] = {

@@ -536,4 +536,86 @@ object Similarity {
             / (col("__sm").cast("double") / (col("n_vecs") * 1000000L)), 6))
           .as("separation"))
   }
+
+  /** Deterministic ±1 projection-matrix component for [[randomProjection]]
+    * — md5("proj:row:pos") first hex nibble ≥ 8, the same derivation rule
+    * as the LSH hyperplanes but under its own seed tag, and PUBLIC so the
+    * oracle SQL can re-derive the identical matrix with DuckDB's md5(). */
+  def projComp(row: Int, pos: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"proj:$row:$pos".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
+  }
+
+  private def projMatrixSql(outDim: Int, dim: Int): String =
+    (0 until outDim).map(r =>
+      (0 until dim).map(j => s"${projComp(r, j)}L").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** Johnson-Lindenstrauss random projection: reduce `dim`-dimensional
+    * embeddings to `outDim` integer components via a deterministic ±1
+    * matrix (Achlioptas, "Database-friendly random projections", PODS'01 —
+    * ±1 entries preserve inner products in expectation: E[⟨Rx,Ry⟩] =
+    * outDim·⟨x,y⟩). The projection of every vector is ONE native
+    * graft_matdot over the quantized fixed-point vector — a single
+    * codegen'd nested loop, zero shuffles, map-only at any corpus size.
+    * Output: (id, proj array<bigint>) in fixed-point units; downstream
+    * dots divide by outDim·2⁴⁰ to recover cosine scale. */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, outDim: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol),
+        expr(s"graft_matdot(__qv, ${projMatrixSql(outDim, dim)})").as("proj"))
+  }
+
+  /** Distortion audit of [[randomProjection]]: on a deterministic id-mod
+    * sample, every pair's original fixed-point dot next to its projected
+    * dot (scaled by outDim) and the error in integer micros. This is the
+    * measurement that tells a pipeline owner whether `outDim` is high
+    * enough BEFORE swapping the reduced vectors into ANN/dedup. The pair
+    * enumeration is quadratic in the SAMPLE only (the point of sampling);
+    * both dots are exact integer sums → round-6/micros cross-engine
+    * stable. */
+  def projectionAudit(emb: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, outDim: Int, sampleMod: Long): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    require(sampleMod > 0, s"sampleMod must be > 0: $sampleMod")
+    val sampled = emb.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol), col("__qv"),
+        expr(s"graft_matdot(__qv, ${projMatrixSql(outDim, dim)})").as("__p"))
+    val a = sampled.select(col(idCol).as("vec_a"), col("__qv").as("__qa"),
+      col("__p").as("__pa"))
+    val b = sampled.select(col(idCol).as("vec_b"), col("__qv").as("__qb"),
+      col("__p").as("__pb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (GraftFunctions.longArrayDot(col("__qa"), col("__qb"))
+          / lit(1099511627776.0d)).as("dot_orig"),
+        (GraftFunctions.longArrayDot(col("__pa"), col("__pb"))
+          / lit(outDim * 1099511627776.0d)).as("dot_proj"))
+      .withColumn("err_micros",
+        round((col("dot_proj") - col("dot_orig")) * 1e6).cast("long"))
+  }
+
+  /** Cluster-stratified diversity sample: k-means-cluster the corpus
+    * ([[kmeansAssign]]'s exact-integer pipeline) and keep at most `perCell`
+    * vectors per cell, picked by md5(id) — a spread-across-the-embedding-
+    * space subset, the standard antidote to uniform sampling's tendency to
+    * mirror the corpus's density skew. The per-cell pick is a rank-1..k
+    * window over (md5, id) — plans as WindowGroupLimit, so no cell is ever
+    * fully sorted — and the audit columns (cell, pick_order) make the
+    * sample reproducible and debuggable. */
+  def diverseSample(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, trainIters: Int, perCell: Int): DataFrame = {
+    require(perCell > 0, s"perCell must be > 0: $perCell")
+    val assigned = kmeansAssign(emb, idCol, vecCol, nCells, trainIters)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assigned
+      .withColumn("pick_order", row_number().over(w))
+      .filter(col("pick_order") <= perCell)
+      .select(col(idCol), col("cell"), col("pick_order"))
+  }
 }

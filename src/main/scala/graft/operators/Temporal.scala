@@ -104,6 +104,59 @@ object Temporal {
         col("mean_daily"), col("var_daily"), col("z"), col("is_anomaly"))
   }
 
+  /** Gap-fill + linear interpolation of a per-key daily series — the
+    * resample step every time-series consumer (dashboards, anomaly models,
+    * forecasting features) needs before a regular-grid algorithm can run.
+    *
+    * Aggregates `events` to (key, day, n_events, sum_micros) where
+    * sum_micros fix-points `valueCol` per row (round(v·10⁶) — exact
+    * integer sums, never a cross-partition double sum), scaffolds EVERY
+    * day in the global [min, max] range for EVERY key (sequence() explode —
+    * no driver loop), left-joins the observed frame, and linearly
+    * interpolates missing days between their nearest observed neighbors:
+    * interp = prev + (next−prev)·(day−prevDay)/(nextDay−prevDay), a fixed
+    * IEEE sequence on exact integers → round-6 cross-engine stable.
+    * Boundary gaps (before first / after last observation) stay null.
+    *
+    * Scale: one hash aggregate over the raw events; the scaffold is
+    * |keys|·|days| rows of three longs (tiny next to the event table);
+    * interpolation is two per-key ordered windows — a single shuffle by
+    * key. The global day bounds are a 1-row broadcast. */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"CAST(round(($valueCol) * 1000000) AS BIGINT)")).as("sum_micros"))
+    val bounds = daily.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+    val scaffold = daily.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(expr("sequence(__lo, __hi, interval 1 day)")).as("day"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    scaffold.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("__pv", last(col("sum_micros"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pd", last(when(col("sum_micros").isNotNull, col("day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("sum_micros"), ignoreNulls = true).over(wNext))
+      .withColumn("__nd", first(when(col("sum_micros").isNotNull, col("day")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("interp_micros",
+        when(col("sum_micros").isNotNull, col("sum_micros").cast("double"))
+          .otherwise(round(
+            col("__pv").cast("double") +
+              (col("__nv") - col("__pv")).cast("double") *
+                datediff(col("day"), col("__pd")).cast("double") /
+                datediff(col("__nd"), col("__pd")).cast("double"), 6)))
+      .withColumn("is_filled", col("sum_micros").isNull)
+      .select(col(keyCol), col("day"), col("n_events"), col("sum_micros"),
+        col("interp_micros"), col("is_filled"))
+  }
+
   /** Sessionization: group events into sessions separated by ≥ `gap` of
     * inactivity, via Spark's native `session_window`. Batch by default;
     * pass `watermark` to run the SAME operator under Structured Streaming

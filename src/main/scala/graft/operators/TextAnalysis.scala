@@ -310,6 +310,78 @@ object TextAnalysis {
           .as("boiler_ratio"))
   }
 
+  /** Boilerplate REMOVAL: [[boilerplate]] tells you how template-heavy a
+    * document is; this emits the cleaned text. A token is removed when any
+    * n-shingle occurrence covering it is corpus boilerplate (document
+    * frequency ≥ `minDocFrac` of all docs) — span semantics, not
+    * token-frequency semantics, so a common word inside original prose
+    * survives while the same word inside a repeated template phrase is cut.
+    *
+    * Shape: positional token explode → shingle-occurrence rows with start
+    * positions → semi-join the (small, high-df) boilerplate set → covered
+    * positions via a sequence explode + distinct → anti-join tokens →
+    * re-assemble with one per-doc sort-free aggregate (array_sort over
+    * collected (pos, tok) structs — each doc's tokens collapse map-side).
+    * Docs losing every token still emit (clean_text = ''). */
+  def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
+                       minDocFrac: Double, n: Int = 3): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1, s"minDocFrac in (0,1]: $minDocFrac")
+    val toks = docs
+      .select(col(idCol), posexplode(Dedup.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+    val idxs = (0 until n).map(j => s"__w[i + $j]").mkString(", ")
+    // the occurrence frame feeds both the df-aggregation and the covered-
+    // position join — persist it rather than re-exploding the corpus
+    val shOcc = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol),
+        posexplode(expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $idxs))"))
+          .as(Seq("pos", "shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val bp = shOcc.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df").cast("double") >= lit(minDocFrac) * col("__nd"))
+      .select(col("shingle"))
+    val covered = shOcc.join(bp, Seq("shingle"), "left_semi")
+      .select(col(idCol), explode(expr(s"sequence(pos, pos + ${n - 1})")).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("__clean"))
+    docs.select(col(idCol), size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__clean"), lit("")).as("clean_text"))
+  }
+
+  /** Batch novelty vs an existing corpus: for each incoming document, the
+    * fraction of its distinct n-shingles the corpus has never seen — the
+    * "is this crawl adding information or re-serving what we have" number
+    * that decides whether a source is worth ingesting. Inverse of
+    * [[contamination]]'s overlap: novelty 1.0 = all new content.
+    * Corpus-side set reduces to distinct shingles (its widest shuffle);
+    * the membership probe is a broadcast/AQE left join over the batch's
+    * distinct shingle frame; one per-doc aggregate. */
+  def novelty(batch: DataFrame, corpus: DataFrame, idCol: String,
+              textCol: String, n: Int = 3): DataFrame = {
+    val batchSh = Dedup.shingleRows(batch, idCol, textCol, n)
+    val corpusSh = Dedup.shingleRows(corpus, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    batchSh.join(corpusSh.withColumn("__seen", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col(idCol), col("n_shingles"), col("n_new"),
+        (col("n_new").cast("double") / col("n_shingles")).as("novelty_ratio"))
+  }
+
   /** Corpus unigram language model with add-one (Laplace) smoothing:
     * (term, cf, logp_micros) where logp_micros = round(ln((cf+1)/(T+V))·10⁶)
     * as an exact integer — T = total token occurrences, V = vocabulary size.

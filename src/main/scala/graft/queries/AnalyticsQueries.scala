@@ -243,6 +243,137 @@ object AnalyticsQueries {
                COALESCE(abs(CASE WHEN mad.mad > 0
                  THEN (wm.v - wm.med) / mad.mad END) > 3.5, false) AS is_outlier
              FROM wm JOIN mad USING (g)
-             ORDER BY l_returnflag, l_extendedprice"""))
+             ORDER BY l_returnflag, l_extendedprice""")),
+
+    // One-pass Pearson correlation matrix over the lineitem measures:
+    // every moment for all 6 pairs comes out of a single map-side-combining
+    // aggregate (exact DECIMAL(38) integer sums — Σx² overflows BIGINT at
+    // real scale); the correlations are a fixed IEEE sequence on those
+    // exact sums, round-6 stable.
+    Q("q85_correlation_matrix",
+      (s, d) => graft.operators.Quality.correlationMatrix(
+        Tables.lineitem(s, d),
+        Seq("l_quantity" -> 1L, "l_extendedprice" -> 100L,
+            "l_discount" -> 100L, "l_tax" -> 100L)),
+      Some("""WITH q AS (
+               SELECT CAST(round(l_quantity * 1) AS BIGINT) AS xq,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS xe,
+                 CAST(round(l_discount * 100) AS BIGINT) AS xd,
+                 CAST(round(l_tax * 100) AS BIGINT) AS xt
+               FROM lineitem),
+             m AS (
+               SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(xq AS HUGEINT)) AS DOUBLE) AS s_q,
+                 CAST(SUM(CAST(xe AS HUGEINT)) AS DOUBLE) AS s_e,
+                 CAST(SUM(CAST(xd AS HUGEINT)) AS DOUBLE) AS s_d,
+                 CAST(SUM(CAST(xt AS HUGEINT)) AS DOUBLE) AS s_t,
+                 CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS ss_q,
+                 CAST(SUM(CAST(xe AS HUGEINT) * xe) AS DOUBLE) AS ss_e,
+                 CAST(SUM(CAST(xd AS HUGEINT) * xd) AS DOUBLE) AS ss_d,
+                 CAST(SUM(CAST(xt AS HUGEINT) * xt) AS DOUBLE) AS ss_t,
+                 CAST(SUM(CAST(xq AS HUGEINT) * xe) AS DOUBLE) AS sp_q_e,
+                 CAST(SUM(CAST(xq AS HUGEINT) * xd) AS DOUBLE) AS sp_q_d,
+                 CAST(SUM(CAST(xq AS HUGEINT) * xt) AS DOUBLE) AS sp_q_t,
+                 CAST(SUM(CAST(xe AS HUGEINT) * xd) AS DOUBLE) AS sp_e_d,
+                 CAST(SUM(CAST(xe AS HUGEINT) * xt) AS DOUBLE) AS sp_e_t,
+                 CAST(SUM(CAST(xd AS HUGEINT) * xt) AS DOUBLE) AS sp_d_t
+               FROM q)
+             SELECT col_x, col_y, corr FROM (
+               SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                 round((n * sp_q_e - s_q * s_e) /
+                   (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_e - s_e * s_e)), 6) AS corr
+               FROM m
+               UNION ALL SELECT 'l_quantity', 'l_discount',
+                 round((n * sp_q_d - s_q * s_d) /
+                   (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d)), 6) FROM m
+               UNION ALL SELECT 'l_quantity', 'l_tax',
+                 round((n * sp_q_t - s_q * s_t) /
+                   (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_t - s_t * s_t)), 6) FROM m
+               UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                 round((n * sp_e_d - s_e * s_d) /
+                   (sqrt(n * ss_e - s_e * s_e) * sqrt(n * ss_d - s_d * s_d)), 6) FROM m
+               UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                 round((n * sp_e_t - s_e * s_t) /
+                   (sqrt(n * ss_e - s_e * s_e) * sqrt(n * ss_t - s_t * s_t)), 6) FROM m
+               UNION ALL SELECT 'l_discount', 'l_tax',
+                 round((n * sp_d_t - s_d * s_t) /
+                   (sqrt(n * ss_d - s_d * s_d) * sqrt(n * ss_t - s_t * s_t)), 6) FROM m)
+             ORDER BY col_x, col_y""")),
+
+    // Benford first-digit audit of the money column: expected shares are
+    // shared engine-independent literals; deviations fix-point to integer
+    // micros so the headline total is an exact integer sum.
+    Q("q88_benford_audit",
+      (s, d) => graft.operators.Quality.benfordAudit(
+        Tables.lineitem(s, d), "l_extendedprice"),
+      Some(s"""WITH dg AS (
+               SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INTEGER) AS digit
+               FROM lineitem WHERE l_extendedprice > 0),
+             g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+                   FROM dg GROUP BY digit),
+             e(digit, exp_share) AS (VALUES
+               ${graft.operators.Quality.benfordExpected
+                 .map { case (dd, ee) => s"($dd, CAST($ee AS DOUBLE))" }
+                 .mkString(", ")}),
+             t AS (
+               SELECT g.digit, g.n_obs,
+                 CAST(g.n_obs AS DOUBLE) / CAST(SUM(g.n_obs) OVER () AS DOUBLE)
+                   AS obs_share,
+                 e.exp_share
+               FROM g JOIN e USING (digit)),
+             t2 AS (
+               SELECT digit, n_obs, obs_share, exp_share,
+                 CAST(round(abs(obs_share - exp_share) * 1e6) AS BIGINT)
+                   AS dev_micros
+               FROM t)
+             SELECT digit, n_obs, round(obs_share, 6) AS obs_share, exp_share,
+               dev_micros,
+               CAST(SUM(dev_micros) OVER () AS BIGINT) AS total_dev_micros
+             FROM t2 ORDER BY digit""")),
+
+    // PSI distribution drift between two corpus snapshots on the
+    // token-count feature: smoothed shares, integer-micros ln terms, exact
+    // integer total (the q79/q55 fixed-pointing recipe).
+    Q("q87_psi_drift",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          size(split(trim(lower(col("text"))), "\\s+")).as("n_toks"))
+        graft.operators.Quality.psiDrift(
+          toks.filter(col("doc_id") % 2 === 0),
+          toks.filter(col("doc_id") % 2 === 1),
+          "n_toks", binWidth = 8L, nBins = 10)
+      },
+      Some("""WITH tk AS (
+               SELECT doc_id,
+                 CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                   AS n_toks
+               FROM documents),
+             a AS (SELECT LEAST(n_toks // 8, 9) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS c_a
+                   FROM tk WHERE doc_id % 2 = 0 GROUP BY 1),
+             b AS (SELECT LEAST(n_toks // 8, 9) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS c_b
+                   FROM tk WHERE doc_id % 2 = 1 GROUP BY 1),
+             bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+             j AS (SELECT bin, COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+                   FROM bins LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)),
+             w AS (SELECT bin, c_a, c_b,
+                     CAST(SUM(c_a) OVER () AS BIGINT) AS na,
+                     CAST(SUM(c_b) OVER () AS BIGINT) AS nb
+                   FROM j),
+             t AS (SELECT bin, c_a, c_b,
+                     CAST(c_a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS p,
+                     CAST(c_b + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS q,
+                     ln(CAST((c_a + 1) * (nb + 10) AS DOUBLE)
+                        / CAST((c_b + 1) * (na + 10) AS DOUBLE)) AS lnr
+                   FROM w),
+             t2 AS (SELECT bin, c_a, c_b, round(p, 6) AS p_a, round(q, 6) AS p_b,
+                      CAST(round((p - q) * lnr * 1e6) AS BIGINT)
+                        AS psi_term_micros
+                    FROM t)
+             SELECT bin, c_a, c_b, p_a, p_b, psi_term_micros,
+               CAST(SUM(psi_term_micros) OVER () AS BIGINT) AS psi_total_micros
+             FROM t2 ORDER BY bin"""))
   )
 }

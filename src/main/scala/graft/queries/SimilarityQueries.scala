@@ -272,6 +272,113 @@ object SimilarityQueries {
                    / (CAST(sm AS DOUBLE) / (i1.n_vecs * 1000000)), 6) END
                  AS separation
              FROM intra i1 JOIN inter ON inter.label = i1.label
-             ORDER BY i1.label"""))
+             ORDER BY i1.label""")),
+
+    // Johnson-Lindenstrauss random-projection distortion audit: every
+    // sampled pair's original fixed-point dot vs its projected dot (±1
+    // matrix, 64→16 dims). The matrix derives from md5 on BOTH sides
+    // (Similarity.projComp ≡ the oracle's substr(md5(...),1,1) >= '8'), so
+    // the entire reduction — projection included — is oracle-exact.
+    Q("q89_projection_audit",
+      (s, d) => Similarity.projectionAudit(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, outDim = 16, sampleMod = 8L)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some("""WITH r AS (
+               SELECT CAST(t1.range AS BIGINT) AS j, CAST(t2.range AS BIGINT) AS i,
+                 CASE WHEN substr(md5('proj:' || CAST(t1.range AS VARCHAR)
+                     || ':' || CAST(t2.range AS VARCHAR)), 1, 1) >= '8'
+                   THEN 1 ELSE -1 END AS v
+               FROM range(16) t1, range(64) t2),
+             q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings WHERE vec_id % 8 = 0),
+             u AS (
+               SELECT vec_id, CAST(t.i AS BIGINT) AS i,
+                 qv[CAST(t.i AS INT) + 1] AS qi
+               FROM q, UNNEST(range(64)) AS t(i)),
+             p AS (
+               SELECT u.vec_id, r.j, CAST(SUM(r.v * u.qi) AS BIGINT) AS pj
+               FROM u JOIN r ON r.i = u.i GROUP BY 1, 2),
+             od AS (
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(SUM(a.qv[i] * b.qv[i]) AS BIGINT) AS sd
+               FROM q a JOIN q b ON a.vec_id < b.vec_id, range(1, 65) t(i)
+               GROUP BY 1, 2),
+             pd AS (
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(SUM(a.pj * b.pj) AS BIGINT) AS sp
+               FROM p a JOIN p b ON a.vec_id < b.vec_id AND a.j = b.j
+               GROUP BY 1, 2),
+             f AS (
+               SELECT od.vec_a, od.vec_b,
+                 CAST(sd AS DOUBLE) / 1099511627776.0 AS dot_orig,
+                 CAST(sp AS DOUBLE) / 17592186044416.0 AS dot_proj
+               FROM od JOIN pd USING (vec_a, vec_b))
+             SELECT vec_a, vec_b, dot_orig, dot_proj,
+               CAST(round((dot_proj - dot_orig) * 1e6) AS BIGINT) AS err_micros
+             FROM f ORDER BY vec_a, vec_b""")),
+
+    // Cluster-stratified diversity sample: the q59 exact-integer k-means
+    // chain, then at most 8 md5-picked vectors per cell (WindowGroupLimit
+    // plan — no per-cell full sort). Training re-derived in the oracle.
+    Q("q92_diverse_sample",
+      (s, d) => Similarity.diverseSample(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCells = 16, trainIters = 1, perCell = 8)
+        .orderBy(col("vec_id")),
+      Some("""WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             seed AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             d1 AS (
+               SELECT q.vec_id, q.qv, s.cent_id,
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * s.cv[i])) AS BIGINT) AS dot
+               FROM q, seed s),
+             a1 AS (
+               SELECT vec_id, qv, cent_id AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dot DESC, cent_id) AS rn FROM d1)
+               WHERE rn = 1),
+             mexp AS (
+               SELECT cell, i AS pos, qv[i] AS v
+               FROM a1, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+             msum AS (
+               SELECT cell AS cent_id, pos,
+                 CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+               FROM mexp GROUP BY cell, pos),
+             mdiv AS (
+               SELECT cent_id, pos,
+                 CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS mv
+               FROM msum),
+             newc AS (
+               SELECT cent_id, list(mv ORDER BY pos) AS cv
+               FROM mdiv GROUP BY cent_id),
+             cents1 AS (
+               SELECT s.cent_id, COALESCE(n.cv, s.cv) AS cv
+               FROM seed s LEFT JOIN newc n ON n.cent_id = s.cent_id),
+             d2 AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot
+               FROM q, cents1 c),
+             a2 AS (
+               SELECT vec_id, CAST(cent_id AS BIGINT) AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dot DESC, cent_id) AS rn FROM d2)
+               WHERE rn = 1),
+             rk AS (
+               SELECT vec_id, cell,
+                 CAST(row_number() OVER (PARTITION BY cell
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER)
+                   AS pick_order
+               FROM a2)
+             SELECT vec_id, cell, pick_order
+             FROM rk WHERE pick_order <= 8 ORDER BY vec_id"""))
   )
 }

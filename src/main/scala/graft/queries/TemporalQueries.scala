@@ -127,6 +127,57 @@ object TemporalQueries {
                FROM daily d JOIN st USING (event_type))
              SELECT event_type, day, n_events, mean_daily, var_daily, z,
                COALESCE(abs(z) >= 2.0, false) AS is_anomaly
-             FROM j ORDER BY event_type, day"""))
+             FROM j ORDER BY event_type, day""")),
+
+    // Gap-fill + linear interpolation: high-value events are sparse (2-6
+    // of 30 days per type at sf0.01), so the scaffold genuinely fills and
+    // the interpolation paths (interior gap, boundary null) all execute.
+    // Fixed-point micros sums; interpolation is IEEE on exact integers.
+    Q("q86_gap_fill",
+      (s, d) => Temporal.gapFill(
+          Tables.events(s, d).filter(col("value") >= 300.0),
+          "event_type", "ts", "value")
+        .orderBy(col("event_type"), col("day")),
+      Some("""WITH daily AS (
+               SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS sum_micros
+               FROM events WHERE value >= 300.0 GROUP BY 1, 2),
+             b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+             ks AS (SELECT DISTINCT event_type FROM daily),
+             scaffold AS (
+               SELECT ks.event_type, CAST(u.day AS DATE) AS day
+               FROM ks, b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+                 AS u(day)),
+             j AS (
+               SELECT s.event_type, s.day,
+                 COALESCE(d.n_events, 0) AS n_events, d.sum_micros
+               FROM scaffold s LEFT JOIN daily d
+                 ON d.event_type = s.event_type AND d.day = s.day),
+             w AS (
+               SELECT event_type, day, n_events, sum_micros,
+                 last_value(sum_micros IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                 last_value(CASE WHEN sum_micros IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+                 first_value(sum_micros IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN sum_micros IS NOT NULL THEN day END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+               FROM j)
+             SELECT event_type, day, n_events, sum_micros,
+               CASE WHEN sum_micros IS NOT NULL THEN CAST(sum_micros AS DOUBLE)
+                 ELSE round(CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+                   * CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE), 6)
+                 END AS interp_micros,
+               sum_micros IS NULL AS is_filled
+             FROM w ORDER BY event_type, day"""))
   )
 }

@@ -792,6 +792,84 @@ object TextQueries {
              SELECT source, n_terms, top_cf,
                round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
                  / (n_terms * sxx - sx * sx), 6) AS zipf_slope
-             FROM a ORDER BY source"""))
+             FROM a ORDER BY source""")),
+
+    // Boilerplate REMOVAL (q58 measures; this cleans): tokens covered by a
+    // high-df shingle occurrence are cut, the survivors re-assemble in
+    // position order, and the cleaned text itself is hash-compared.
+    Q("q90_boilerplate_scrub",
+      (s, d) => TextAnalysis.boilerplateScrub(Tables.documents(s, d), "doc_id",
+          "text", minDocFrac = 0.02)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks0 AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             tok AS (
+               SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
+                 w[CAST(t.i AS INT)] AS tokn
+               FROM toks0, UNNEST(range(1, len(w) + 1)) AS t(i)),
+             socc AS (
+               SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
+                 w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1]
+                   || ' ' || w[CAST(t.i AS INT) + 2] AS s
+               FROM toks0, UNNEST(range(1, len(w) - 1)) AS t(i)
+               WHERE len(w) >= 3),
+             nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             bp AS (
+               SELECT s FROM
+                 (SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM socc GROUP BY s), nd
+               WHERE CAST(df AS DOUBLE) >= 0.02 * n),
+             cov AS (
+               SELECT DISTINCT doc_id, pos + u.d AS cpos
+               FROM socc, UNNEST([0, 1, 2]) AS u(d)
+               WHERE s IN (SELECT s FROM bp)),
+             kept AS (
+               SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 string_agg(t.tokn, ' ' ORDER BY t.pos) AS clean
+               FROM tok t LEFT JOIN cov c
+                 ON c.doc_id = t.doc_id AND c.cpos = t.pos
+               WHERE c.doc_id IS NULL GROUP BY t.doc_id)
+             SELECT t0.doc_id, CAST(len(t0.w) AS BIGINT) AS n_tokens,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               CAST(len(t0.w) AS BIGINT) - COALESCE(k.n_kept, 0) AS n_removed,
+               COALESCE(k.clean, '') AS clean_text
+             FROM toks0 t0 LEFT JOIN kept k USING (doc_id)
+             ORDER BY doc_id""")),
+
+    // Batch novelty vs corpus: share of each incoming doc's distinct
+    // shingles the corpus has never seen (the ingest-or-skip signal;
+    // contamination's inverse direction).
+    Q("q91_novelty",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.novelty(
+          docs.filter(col("doc_id") % 50 === 0),
+          docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bt AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id % 50 = 0),
+             bsh AS (
+               SELECT DISTINCT doc_id, s
+               FROM bt, UNNEST(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+               WHERE len(w) >= 3),
+             ct AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id % 50 <> 0),
+             csh AS (
+               SELECT DISTINCT s
+               FROM ct, UNNEST(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t(s)
+               WHERE len(w) >= 3)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN s IN (SELECT s FROM csh) THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN s IN (SELECT s FROM csh) THEN 0 ELSE 1 END)
+                 AS DOUBLE) / COUNT(*) AS novelty_ratio
+             FROM bsh GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -79,4 +79,68 @@ class QualitySpec extends SparkSpec {
     assert(c.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
     assert(c.forall(r => !r.getAs[Boolean]("is_outlier")))
   }
+
+  test("correlationMatrix: hand-checked corr, ±1 on linear columns, all pairs") {
+    import spark.implicits._
+    // y = 2x exactly (corr 1), z = -x (corr -1), w uncorrelated-ish
+    val df = Seq(
+      (1.0, 2.0, -1.0, 3.0), (2.0, 4.0, -2.0, 1.0),
+      (3.0, 6.0, -3.0, 4.0), (4.0, 8.0, -4.0, 1.0),
+      (5.0, 10.0, -5.0, 5.0)
+    ).toDF("x", "y", "z", "w")
+    val out = Quality.correlationMatrix(df,
+        Seq("x" -> 100L, "y" -> 100L, "z" -> 100L, "w" -> 100L))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 6)
+    assert(out(("x", "y")) == 1.0)
+    assert(out(("x", "z")) == -1.0)
+    assert(out(("y", "z")) == -1.0)
+    // Pearson corr of x=(1..5), w=(3,1,4,1,5): cov-based hand computation
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0); val ws = Seq(3.0, 1.0, 4.0, 1.0, 5.0)
+    val n = 5.0
+    val num = n * xs.zip(ws).map { case (a, b) => a * b }.sum - xs.sum * ws.sum
+    val den = math.sqrt(n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+      math.sqrt(n * ws.map(a => a * a).sum - ws.sum * ws.sum)
+    assert(math.abs(out(("x", "w")) - num / den) < 1e-6)
+  }
+
+  test("benfordAudit: digit extraction, exact shares, integer total deviation") {
+    import spark.implicits._
+    // 10 rows: first-cent-digits 1,1,1,1,2,2,3,9,1,5 (19.99 -> 1999 -> digit 1)
+    val df = Seq(1.0, 10.5, 150.0, 0.19, 2.5, 25.0, 3.99, 9.0, 19.99, 5.55)
+      .toDF("v")
+    val out = Quality.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getAs[Long]("n_obs") == 5L)
+    assert(out(2).getAs[Long]("n_obs") == 2L)
+    assert(out(3).getAs[Long]("n_obs") == 1L)
+    assert(out(5).getAs[Long]("n_obs") == 1L)
+    assert(out(9).getAs[Long]("n_obs") == 1L)
+    assert(out(1).getAs[Double]("obs_share") == 0.5)
+    // dev_micros(digit 1) = round(|0.5 - 0.301029995663981| * 1e6)
+    assert(out(1).getAs[Long]("dev_micros") == 198970L)
+    // one total over all digits, same on every row
+    val totals = out.values.map(_.getAs[Long]("total_dev_micros")).toSet
+    assert(totals.size == 1)
+    assert(totals.head == out.values.map(_.getAs[Long]("dev_micros")).sum)
+    // zero/negative values are excluded, digits 4/6/7/8 absent
+    assert(!out.contains(4) && !out.contains(6))
+  }
+
+  test("psiDrift: identical distributions give ~0, a shifted one is large") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i % 40).toDouble).toDF("v")
+    val same = Quality.psiDrift(a, a, "v", binWidth = 5L, nBins = 10)
+      .collect()
+    // identical sides: p = q in every bin → every term is exactly 0
+    assert(same.forall(_.getAs[Long]("psi_term_micros") == 0L))
+    assert(same.head.getAs[Long]("psi_total_micros") == 0L)
+    assert(same.length == 10)  // scaffold emits every bin, observed or not
+    val b = (1 to 100).map(i => (i % 40 + 30).toDouble).toDF("v")
+    val drift = Quality.psiDrift(a, b, "v", binWidth = 5L, nBins = 10)
+      .collect().head.getAs[Long]("psi_total_micros")
+    // a hard 30-unit shift: PSI far above the 0.2 "significant" rule of thumb
+    assert(drift > 200000L)
+  }
 }

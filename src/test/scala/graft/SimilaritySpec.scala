@@ -265,4 +265,63 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L).getAs[Double]("inter_d2") == 1.390625)
     assert(out(1L).getAs[Double]("separation") == 89.0)
   }
+
+  test("randomProjection/projectionAudit: exact ±1 matmul, JL dot preservation") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f)),
+      (8L, Seq(0f, 1.0f, 0f, 0f)),
+      (16L, Seq(0.5f, 0.5f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    // projection = exact matmul of the quantized vector with the md5 matrix
+    val proj = graft.operators.Similarity.randomProjection(emb, "vec_id",
+        "embedding", dim = 4, outDim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val m = Array.tabulate(2, 4)((r, j) =>
+      graft.operators.Similarity.projComp(r, j))
+    val q0 = Array(1048576L, 0L, 0L, 0L)
+    assert(proj(0L) == m.map(row => row.zip(q0).map { case (a, b) => a * b }.sum).toSeq)
+    // audit: dot_orig is the exact fixed-point dot; dot_proj scales by outDim
+    val audit = graft.operators.Similarity.projectionAudit(emb, "vec_id",
+        "embedding", dim = 4, outDim = 2, sampleMod = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("dot_orig"), r.getAs[Double]("dot_proj"),
+          r.getAs[Long]("err_micros"))).toMap
+    assert(audit.keySet == Set((0L, 8L), (0L, 16L), (8L, 16L)))
+    assert(audit((0L, 8L))._1 == 0.0)  // orthogonal originals
+    assert(audit((0L, 16L))._1 == 0.5)
+    // err_micros is exactly the scaled difference, bit-stable
+    audit.foreach { case (_, (o, p, e)) =>
+      assert(e == math.round((p - o) * 1e6))
+    }
+    // JL at realistic width: 64→16 keeps sampled-pair dot error modest on
+    // the real fixture (mean |err| below 0.25 — ±1 JL at k=16 is coarse;
+    // the audit's job is to MEASURE it, and the measurement is exact)
+    val fix = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val errs = graft.operators.Similarity.projectionAudit(fix, "vec_id",
+        "embedding", dim = 64, outDim = 16, sampleMod = 4L)
+      .collect().map(r => math.abs(r.getAs[Long]("err_micros")) / 1e6)
+    assert(errs.nonEmpty && errs.sum / errs.length < 0.25)
+  }
+
+  test("diverseSample: per-cell cap, agreement with kmeansAssign, determinism") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.operators.Similarity.diverseSample(emb, "vec_id",
+        "embedding", nCells = 8, trainIters = 1, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // ≤ 3 per cell, pick_order dense from 1
+    val byCell = out.groupBy(_._2)
+    assert(byCell.values.forall(_.length <= 3))
+    assert(byCell.values.forall(g => g.map(_._3).sorted.sameElements(1 to g.length)))
+    // sampled ids carry the SAME cell the clustering operator assigns
+    val km = graft.operators.Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        nCells = 8, trainIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, cell, _) => km(id) == cell })
+    // deterministic under repartitioning
+    val out2 = graft.operators.Similarity.diverseSample(emb.repartition(7),
+        "vec_id", "embedding", nCells = 8, trainIters = 1, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out2 == out.toSet)
+  }
 }

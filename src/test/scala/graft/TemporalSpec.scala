@@ -122,4 +122,39 @@ class TemporalSpec extends SparkSpec {
     assert(flat.isNullAt(flat.fieldIndex("z")))
     assert(!flat.getAs[Boolean]("is_anomaly"))
   }
+
+  test("gapFill: scaffold, zero-fill, linear interpolation, boundary nulls") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // type a: observed day 2 (v=10) and day 5 (v=40) → days 3,4 interpolate
+    //   to 20, 30; day 1 and 6 are boundary gaps (null interp)
+    // type b: observed days 1 and 6 → interior days interpolate
+    val rows = Seq(
+      ("a", ts("2024-01-02 10:00:00"), 10.0),
+      ("a", ts("2024-01-05 10:00:00"), 40.0),
+      ("b", ts("2024-01-01 10:00:00"), 1.0),
+      ("b", ts("2024-01-06 10:00:00"), 11.0))
+    val out = Temporal.gapFill(rows.toDF("k", "ts", "v"), "k", "ts", "v")
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[java.sql.Date]("day").toString) -> r)
+      .toMap
+    // global scaffold: both keys get all 6 days
+    assert(out.size == 12)
+    assert(out(("a", "2024-01-03")).getAs[Long]("n_events") == 0L)
+    assert(out(("a", "2024-01-03")).getAs[Boolean]("is_filled"))
+    // interp on exact micros: 10 + (40-10) * 1/3 = 20, * 2/3 = 30
+    assert(out(("a", "2024-01-03")).getAs[Double]("interp_micros") == 2.0e7)
+    assert(out(("a", "2024-01-04")).getAs[Double]("interp_micros") == 3.0e7)
+    // observed rows carry their own value and is_filled = false
+    assert(out(("a", "2024-01-02")).getAs[Long]("sum_micros") == 10000000L)
+    assert(!out(("a", "2024-01-02")).getAs[Boolean]("is_filled"))
+    assert(out(("a", "2024-01-02")).getAs[Double]("interp_micros") == 1.0e7)
+    // boundary gaps stay null (no neighbor on one side)
+    assert(out(("a", "2024-01-01")).isNullAt(
+      out(("a", "2024-01-01")).fieldIndex("interp_micros")))
+    assert(out(("a", "2024-01-06")).isNullAt(
+      out(("a", "2024-01-06")).fieldIndex("interp_micros")))
+    // key b interpolates across its own observations: 1 + 10*(d-1)/5
+    assert(out(("b", "2024-01-03")).getAs[Double]("interp_micros") == 5.0e6)
+  }
 }

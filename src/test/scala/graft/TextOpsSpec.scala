@@ -220,6 +220,66 @@ class TextOpsSpec extends SparkSpec {
         solo.getAs[Long]("top_cf"), solo.getAs[Double]("zipf_slope"))))
     }
   }
+
+  test("boilerplateScrub: span removal, prose survives, full-doc wipe, short docs") {
+    import spark.implicits._
+    // 'copy right footer' appears in 3/5 docs (df 60% ≥ 50%) → boilerplate;
+    // every token covered by one of its occurrences is cut
+    val docs = Seq(
+      (1L, "alpha beta copy right footer gamma"),
+      (2L, "copy right footer delta epsilon zeta"),
+      (3L, "unique prose here copy right footer"),
+      (4L, "original words only nothing shared"),
+      (5L, "tiny doc")  // < 3 tokens: no shingles, never scrubbed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScrub(docs, "doc_id", "text",
+        minDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((6L, 3L, 3L, "alpha beta gamma")))
+    assert(out(2L) == ((6L, 3L, 3L, "delta epsilon zeta")))
+    assert(out(3L) == ((6L, 3L, 3L, "unique prose here")))
+    assert(out(4L) == ((5L, 5L, 0L, "original words only nothing shared")))
+    assert(out(5L) == ((2L, 2L, 0L, "tiny doc")))
+    // a doc that is ONLY boilerplate empties but still emits
+    val wipe = Seq(
+      (1L, "copy right footer"), (2L, "copy right footer"),
+      (3L, "copy right footer")).toDF("doc_id", "text")
+    val w = TextAnalysis.boilerplateScrub(wipe, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(w == Map(1L -> "", 2L -> "", 3L -> ""))
+  }
+
+  test("boilerplateScrub: overlapping spans cover the union of positions") {
+    import spark.implicits._
+    // both 'a b c' and 'b c d' are boilerplate (2/2 docs) → doc tokens
+    // a b c d all covered (union, not double-removal)
+    val docs = Seq((1L, "a b c d x y z w"), (2L, "a b c d p q r s"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScrub(docs, "doc_id", "text", 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_removed"),
+        r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((4L, "x y z w")))
+    assert(out(2L) == ((4L, "p q r s")))
+  }
+
+  test("novelty: all-new, all-seen and mixed docs score exactly") {
+    import spark.implicits._
+    val corpus = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps"),   // all 3 shingles seen → 0.0
+      (2L, "completely novel content here"), // none seen → 1.0
+      (3L, "the quick brown fox sings")    // 'the quick brown','quick brown fox' seen; 'brown fox sings' new
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_new"),
+          r.getAs[Double]("novelty_ratio"))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 1.0 / 3.0)))
+  }
 }
 
 private object TestDocs {
