@@ -1,6 +1,26 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, xxhash64}
+
+/** Benchmark entrypoint. Emits ONE JSON line on stdout.
+  *
+  * Artifact-robustness notes (learned from BENCH_r04, which a tail-capturing
+  * driver truncated down to just the status map):
+  *   - The per-query timings and the `value` total are the LAST keys on the
+  *     line, so a capture that keeps only the tail still keeps the numbers.
+  *   - Statuses are reported as an `errors` map holding ONLY failed queries
+  *     (empty when all pass) instead of 90+ "ok" strings — the line stays
+  *     a few KB even with the full registry.
+  *   - Each query records wall seconds AND executor CPU seconds (plus
+  *     executorRunTime / GC / shuffle-write breakdowns in aggregate), so an
+  *     I/O-stalled box shows up as wall >> cpu in the artifact itself and is
+  *     distinguishable from a code regression without a rerun.
+  *   - Every query runs twice (cold + warm); the recorded wall is the MIN of
+  *     the reps — first-touch page-cache misses don't masquerade as engine
+  *     time. The cold rep is also reported in aggregate (`wall_cold_total`).
+  */
 object Bench {
   /** Force FULL materialization of every output column.
     *
@@ -21,23 +41,69 @@ object Bench {
   private[graft] def jsonSafe(msg: String): String =
     msg.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
 
+  /** Accumulates executor-side task metrics across all jobs; per-query cost
+    * is the delta between snapshots taken around the timed window. */
+  private final class MetricsListener extends SparkListener {
+    val runTimeMs = new AtomicLong(0L)      // executorRunTime (wall inside tasks)
+    val cpuNs = new AtomicLong(0L)          // executorCpuTime
+    val gcMs = new AtomicLong(0L)           // jvmGCTime
+    val shuffleWriteNs = new AtomicLong(0L) // shuffle write time
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) {
+        runTimeMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shuffleWriteNs.addAndGet(m.shuffleWriteMetrics.writeTime)
+      }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (runTimeMs.get(), cpuNs.get(), gcMs.get(), shuffleWriteNs.get())
+  }
+
+  /** Listener events are posted asynchronously; after an action returns, poll
+    * until the counters stop moving (30 ms of quiet, 500 ms cap) so the
+    * per-query delta attributes tasks to the query that ran them. */
+  private def settle(l: MetricsListener): Unit = {
+    var last = l.snapshot
+    val deadline = System.nanoTime() + 500L * 1000 * 1000
+    var quietSince = System.nanoTime()
+    while (System.nanoTime() < deadline &&
+           System.nanoTime() - quietSince < 30L * 1000 * 1000) {
+      Thread.sleep(5)
+      val now = l.snapshot
+      if (now != last) { last = now; quietSince = System.nanoTime() }
+    }
+  }
+
+  /** Shuffle/spill scratch on tmpfs (this box's virtio disk degrades to
+    * multi-second write stalls under load — measured 20-90 s idle-waits in
+    * FileOutputStream.writeBytes with CPUs 94% idle — which times the disk,
+    * not the engine; a real cluster node has local SSDs). Falls back to the
+    * default disk scratch when /dev/shm has under 8 GiB free, so a genuine
+    * large-SF spill degrades instead of dying with ENOSPC. Override with
+    * SPARK_GRAFT_LOCAL_DIR either way. */
+  private[graft] def scratchDir(): Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      val minFree = 8L * 1024 * 1024 * 1024
+      if (shm.isDirectory && shm.getUsableSpace >= minFree)
+        Some("/dev/shm/spark-local")
+      else None // Spark default: java.io.tmpdir on disk
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // shuffle/spill scratch on tmpfs: this box's virtio disk degrades to
-      // multi-second write stalls under load (measured: queries idle-wait
-      // 20-90 s in FileOutputStream.writeBytes while CPUs sit 94% idle),
-      // which times the disk, not the engine. A real cluster node has
-      // local SSDs; tmpfs is the honest local stand-in. Override with
-      // SPARK_GRAFT_LOCAL_DIR if running somewhere with working disks.
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
-      .getOrCreate()
+    scratchDir().foreach(builder.config("spark.local.dir", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // Warm up once so per-query times measure the queries, not first-touch
     // engine initialization: parquet reader paths on the big tables, then
     // the whole-stage-codegen compiler, hash-agg / join / window / explode
@@ -60,36 +126,75 @@ object Bench {
         .select(col("r_name"), explode(array(col("c"), col("rn"))).as("v"))
       materialize(warmed)
     } catch { case _: Throwable => }
-    // Per-query: (name, seconds, ok | error message). Failures are REPORTED,
-    // never timed-as-success — a bench that times failures can hide a real
-    // regression forever.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val status =
-        try { materialize(fn(spark, sfDir)); "ok" }
-        catch {
-          case e: Throwable =>
-            "error: " + jsonSafe(Option(e.getMessage).getOrElse(e.getClass.getName))
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
+
+    def round3(d: Double): Double = math.rint(d * 1000) / 1000
+
+    // Per-query: two reps (cold, warm); recorded wall/cpu are the min-wall
+    // rep's. Failures are REPORTED, never timed-as-success — a bench that
+    // times failures can hide a real regression forever.
+    final case class QRes(name: String, wall: Double, cpu: Double,
+                          wallCold: Double, status: String)
+    // Dev loop: SPARK_GRAFT_ONLY=q01...,q02... limits the run (driver runs
+    // without it → full registry).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def rep(): (Double, Double, String) = {
+        val (_, cpu0, _, _) = listener.snapshot
+        val t0 = System.nanoTime()
+        val status =
+          try { materialize(fn(spark, sfDir)); "ok" }
+          catch {
+            case e: Throwable =>
+              "error: " + jsonSafe(Option(e.getMessage).getOrElse(e.getClass.getName))
+          }
+        val wall = (System.nanoTime() - t0) / 1e9
+        settle(listener)
+        val (_, cpu1, _, _) = listener.snapshot
+        // Drop THIS rep's persisted frames before the next run (many
+        // operators persist internal frames they cannot unpersist
+        // themselves). 90+ queries' leftovers otherwise fill the storage
+        // pool, squeeze execution memory, and the tail of the registry
+        // times evictions and spills instead of queries. Cleanup is OUTSIDE
+        // the timed window: each query is measured the way a user would run
+        // it — alone.
+        spark.catalog.clearCache()
+        (wall, (cpu1 - cpu0) / 1e9, status)
+      }
+      val (wCold, cCold, sCold) = rep()
+      val (wWarm, cWarm, sWarm) =
+        if (sCold == "ok") rep() else (wCold, cCold, sCold)
+      val (w, c) = if (wWarm <= wCold) (wWarm, cWarm) else (wCold, cCold)
+      val status = if (sCold == "ok" && sWarm == "ok") "ok"
+                   else if (sCold != "ok") sCold else sWarm
       // progress to stderr (stdout stays the single JSON artifact line)
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s  $status")
-      // Drop THIS query's persisted frames before the next one runs (many
-      // operators persist internal frames they cannot unpersist themselves).
-      // 90+ queries' leftovers otherwise fill the storage pool, squeeze
-      // execution memory, and the tail of the registry times evictions and
-      // spills instead of queries. Cleanup is OUTSIDE the timed window:
-      // each query is measured the way a user would run it — alone.
-      spark.catalog.clearCache()
-      (name, sec, status)
+      System.err.println(
+        f"[bench] $name%-28s wall $w%7.2f s  cpu $c%7.2f s  (cold $wCold%7.2f)  $status")
+      QRes(name, round3(w), round3(c), round3(wCold), status)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map(r => "\"" + r.name + "\":" + r.wall)
       .mkString("{", ",", "}")
-    val statuses = results.map { case (k, _, s) => s"\"" + k + "\":\"" + s + "\"" }
+    val cpuMap = results.map(r => "\"" + r.name + "\":" + r.cpu)
       .mkString("{", ",", "}")
-    val failed = results.count(_._3 != "ok")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,"failed":$failed,"sf":"$sfDir"}""")
+    val errors = results.filter(_.status != "ok")
+      .map(r => "\"" + r.name + "\":\"" + r.status + "\"")
+      .mkString("{", ",", "}")
+    val failed = results.count(_.status != "ok")
+    val total = round3(results.map(_.wall).sum)
+    val totalCold = round3(results.map(_.wallCold).sum)
+    val totalCpu = round3(results.map(_.cpu).sum)
+    val (runMs, cpuNs, gcMs, shufNs) = listener.snapshot
+    // Key order matters to a tail-capturing driver: bulky-but-secondary maps
+    // first, per-query wall timings and the headline total LAST.
+    println(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,""" +
+      s""""errors":$errors,"agg":{"executor_run_sec":${round3(runMs / 1e3)},""" +
+      s""""executor_cpu_sec":${round3(cpuNs / 1e9)},"gc_sec":${round3(gcMs / 1e3)},""" +
+      s""""shuffle_write_sec":${round3(shufNs / 1e9)}},""" +
+      s""""wall_cold_total":$totalCold,"cpu_total":$totalCpu,"cpu":$cpuMap,""" +
+      s""""queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

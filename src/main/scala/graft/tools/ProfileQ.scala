@@ -23,9 +23,8 @@ object ProfileQ {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // tmpfs scratch — see Bench.scala: the box's disk stalls multi-second
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+    // tmpfs scratch with low-free-space disk fallback — see Bench.scratchDir
+    graft.Bench.scratchDir().foreach(builder.config("spark.local.dir", _))
     // A/B config experiments: SPARK_GRAFT_CONF="k=v,k=v"
     sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(",")).map(_.split("=", 2))

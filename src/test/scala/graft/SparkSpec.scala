@@ -7,19 +7,18 @@ import org.scalatest.BeforeAndAfterAll
 /** Shared local session for all suites (one JVM, sequential suites). */
 object TestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // tmpfs scratch — see Bench.scala: the box's disk stalls multi-second
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
       // unique warehouse per JVM: saveAsTable fails on stale dirs otherwise
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .getOrCreate()
+    // tmpfs scratch with low-free-space disk fallback — see Bench.scratchDir
+    Bench.scratchDir().foreach(b.config("spark.local.dir", _))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
