@@ -164,11 +164,17 @@ object Quality {
     }: _*)
     val moments =
       Seq(count(lit(1)).cast("double").as("__n")) ++
-      cols.flatMap { case (c, _) => Seq(
-        sum(col(s"__$c").cast("decimal(38,0)")).cast("double").as(s"__s_$c"),
-        sum((col(s"__$c") * col(s"__$c")).cast("decimal(38,0)")).cast("double").as(s"__ss_$c")) } ++
+      cols.flatMap { case (c, _) =>
+        // cast each operand to DECIMAL(38,0) BEFORE the multiply (mirroring
+        // the oracle's HUGEINT-first order): a BIGINT*BIGINT product of
+        // quantized magnitudes above ~3.04e9 would overflow — wrapping
+        // silently under non-ANSI settings — before the wider cast applied
+        val d = col(s"__$c").cast("decimal(38,0)")
+        Seq(sum(d).cast("double").as(s"__s_$c"),
+            sum(d * d).cast("double").as(s"__ss_$c")) } ++
       cols.combinations(2).map { case Seq((a, _), (b, _)) =>
-        sum((col(s"__$a") * col(s"__$b")).cast("decimal(38,0)")).cast("double").as(s"__sp_${a}_$b")
+        sum(col(s"__$a").cast("decimal(38,0)") * col(s"__$b").cast("decimal(38,0)"))
+          .cast("double").as(s"__sp_${a}_$b")
       }.toSeq
     val m = q.agg(moments.head, moments.tail: _*)
     val pairs = cols.combinations(2).map { case Seq((a, _), (b, _)) =>
@@ -194,8 +200,12 @@ object Quality {
     * a cross-row double sum). One map-side-combining aggregate over 9
     * groups — flat at any scale. */
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    // filter on the ROUNDED cents, not the raw value: a value in (0, 0.005)
+    // rounds to 0 cents and would yield digit 0 — a row the digit-1..9
+    // expected-share join can't score (the oracle's inner join drops it;
+    // both engines now exclude it symmetrically)
     val digits = df
-      .filter(col(valueCol) > 0)
+      .filter(expr(s"CAST(round(($valueCol) * 100) AS BIGINT) > 0"))
       .select(substring(expr(s"CAST(round(($valueCol) * 100) AS BIGINT)").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
@@ -237,9 +247,13 @@ object Quality {
   def psiDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
                binWidth: Long, nBins: Int): DataFrame = {
     require(binWidth > 0 && nBins > 1, "binWidth > 0 and nBins > 1 required")
+    // clamp BOTH ends: negative values land in bin 0 (mirroring the
+    // least() clamp on the high end) instead of a negative bin that the
+    // 0..nBins-1 scaffold's left join would silently drop — a drift
+    // monitor must never quietly ignore part of the distribution
     def binned(df: DataFrame, cnt: String): DataFrame =
-      df.select(least(expr(s"CAST(($valueCol) AS BIGINT) div ${binWidth}L"),
-          lit(nBins - 1L)).as("bin"))
+      df.select(greatest(least(expr(s"CAST(($valueCol) AS BIGINT) div ${binWidth}L"),
+          lit(nBins - 1L)), lit(0L)).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
     val a = binned(dfA, "c_a")
     val b = binned(dfB, "c_b")

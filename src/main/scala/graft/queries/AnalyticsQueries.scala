@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Analytics-surface completion beyond the reference (SURVEY.md §2.11 lists
@@ -144,19 +145,91 @@ object AnalyticsQueries {
                     CAST(COUNT(*) AS BIGINT) AS n_lines
              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
-    // Approximate sketches: HLL distinct + quantile sketch. The sketch
-    // algorithms differ between engines, so there is no value oracle — the
-    // driver records a weaker rows-only check; exactness bounds are asserted
-    // in ScalaTest instead.
+    // Approximate sketches, built from DETERMINISTIC primitives so the
+    // approximations themselves are oracled (the judge-graded alternative
+    // to Spark's approx_count_distinct / percentile_approx, whose HLL/KLL
+    // internals are implementation-defined and can never value-match
+    // another engine): distinct orders via the native graft_kmv
+    // TypedImperativeAggregate at k=128 (q74 oracles the same sketch at
+    // k=256), and p50/p99 price via an equi-width histogram sketch —
+    // exact integer $100-cent bins, cumulative counts, first bin reaching
+    // ceil(q·n), midpoint estimate. Both are one map-side-combining
+    // aggregate over the corpus; the quantile windows run on the tiny
+    // per-flag bin frame, never on rows.
     Q("q28_sketches",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
-        .orderBy(col("l_returnflag")),
-      None),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val li = Tables.lineitem(s, d)
+        val kmv = li
+          .select(col("l_returnflag"),
+            expr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+              .as("__h"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("graft_kmv(__h, 128)").as("__s"))
+          .select(col("l_returnflag"), col("__s.estimate").as("kmv_orders"))
+        val binned = li
+          .select(col("l_returnflag"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 10000L").as("__bin"))
+          .groupBy(col("l_returnflag"), col("__bin"))
+          .agg(count(lit(1)).as("__c"))
+        val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        val hist = binned
+          .withColumn("__cum", sum(col("__c")).over(wCum))
+          .withColumn("__n", sum(col("__c")).over(wAll))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(when(col("__cum") >= ceil(col("__n") * 0.5), col("__bin"))).as("__b50"),
+            min(when(col("__cum") >= ceil(col("__n") * 0.99), col("__bin"))).as("__b99"))
+          .select(col("l_returnflag"),
+            ((col("__b50") * 10000L + 5000L).cast("double") / 100).as("p50_price"),
+            ((col("__b99") * 10000L + 5000L).cast("double") / 100).as("p99_price"))
+        kmv.join(hist, "l_returnflag").orderBy(col("l_returnflag"))
+      },
+      Some("""WITH hx AS (
+               SELECT l_returnflag AS g,
+                 substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS h
+               FROM lineitem),
+             dh AS (SELECT DISTINCT g, h FROM hx),
+             hv AS (SELECT g,
+                      CAST(list_sum(list_transform(range(1, 16),
+                        i -> (CAST(strpos('0123456789abcdef',
+                                substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                             << CAST(4 * (15 - i) AS INT)))) AS BIGINT) AS v
+                    FROM dh),
+             rk AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+                    FROM hv),
+             ag AS (SELECT g, MAX(CASE WHEN rk = 128 THEN v END) AS kth_hash,
+                      CAST(COUNT(*) AS BIGINT) AS n_seen
+                    FROM rk WHERE rk <= 128 GROUP BY g),
+             km AS (SELECT g,
+                      CASE WHEN n_seen < 128 THEN CAST(n_seen AS DOUBLE)
+                           ELSE CAST(127 AS DOUBLE) * 1152921504606846976.0
+                                / CAST(kth_hash AS DOUBLE)
+                      END AS kmv_orders
+                    FROM ag),
+             b AS (SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS bin
+                   FROM lineitem),
+             bc AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM b GROUP BY 1, 2),
+             cm AS (SELECT g, bin,
+                      SUM(c) OVER (PARTITION BY g ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      SUM(c) OVER (PARTITION BY g) AS n
+                    FROM bc),
+             h2 AS (SELECT g,
+                      MIN(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+                        THEN bin END) AS b50,
+                      MIN(CASE WHEN cum >= CAST(ceil(n * 0.99) AS BIGINT)
+                        THEN bin END) AS b99
+                    FROM cm GROUP BY g)
+             SELECT km.g AS l_returnflag, km.kmv_orders,
+               CAST(h2.b50 * 10000 + 5000 AS DOUBLE) / 100 AS p50_price,
+               CAST(h2.b99 * 10000 + 5000 AS DOUBLE) / 100 AS p99_price
+             FROM km JOIN h2 ON h2.g = km.g ORDER BY l_returnflag""")),
 
     // Equi-width price histogram in exact integer cents ($1000 bins).
     Q("q73_price_histogram",
@@ -309,7 +382,8 @@ object AnalyticsQueries {
       Some(s"""WITH dg AS (
                SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                  AS VARCHAR), 1, 1) AS INTEGER) AS digit
-               FROM lineitem WHERE l_extendedprice > 0),
+               FROM lineitem
+               WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
              g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
                    FROM dg GROUP BY digit),
              e(digit, exp_share) AS (VALUES
@@ -349,10 +423,10 @@ object AnalyticsQueries {
                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
                    AS n_toks
                FROM documents),
-             a AS (SELECT LEAST(n_toks // 8, 9) AS bin,
+             a AS (SELECT GREATEST(LEAST(n_toks // 8, 9), 0) AS bin,
                      CAST(COUNT(*) AS BIGINT) AS c_a
                    FROM tk WHERE doc_id % 2 = 0 GROUP BY 1),
-             b AS (SELECT LEAST(n_toks // 8, 9) AS bin,
+             b AS (SELECT GREATEST(LEAST(n_toks // 8, 9), 0) AS bin,
                      CAST(COUNT(*) AS BIGINT) AS c_b
                    FROM tk WHERE doc_id % 2 = 1 GROUP BY 1),
              bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),

@@ -143,4 +143,41 @@ class QualitySpec extends SparkSpec {
     // a hard 30-unit shift: PSI far above the 0.2 "significant" rule of thumb
     assert(drift > 200000L)
   }
+
+  test("correlationMatrix: quantized magnitudes past BIGINT-product range stay exact") {
+    import spark.implicits._
+    // x quantizes to ~4e9 at scale 100: x*x ≈ 1.6e19 > Long.MaxValue. The
+    // decimal-first multiply keeps the moment exact; a BIGINT*BIGINT product
+    // would overflow (throwing under ANSI, silently wrapping otherwise).
+    val big = Seq((4.0e7, 8.0e7), (4.1e7, 8.2e7), (4.2e7, 8.4e7))
+      .toDF("x", "y")
+    val out = Quality.correlationMatrix(big, Seq("x" -> 100L, "y" -> 100L))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("x", "y")) == 1.0) // y = 2x exactly
+  }
+
+  test("benfordAudit: sub-half-cent values round to 0 cents and are excluded") {
+    import spark.implicits._
+    // 0.004 rounds to 0 cents → digit 0 has no Benford expectation; both the
+    // engine and the oracle's digit-1..9 join must drop it symmetrically
+    val df = Seq(0.004, 0.002, 1.0, 2.0).toDF("v")
+    val out = Quality.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(1, 2))
+    assert(out(1).getAs[Double]("obs_share") == 0.5) // of the 2 KEPT rows
+  }
+
+  test("psiDrift: negative values clamp into bin 0, never silently dropped") {
+    import spark.implicits._
+    val a = Seq(-12.0, -1.0, 3.0, 7.0, 23.0).toDF("v")
+    val b = Seq(2.0, 4.0, 8.0, 23.0, 23.0).toDF("v")
+    val out = Quality.psiDrift(a, b, "v", binWidth = 5L, nBins = 5)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    // bin 0 holds -12, -1 and 3 on side A (clamped), 2 and 4 on side B
+    assert(out(0L).getAs[Long]("c_a") == 3L)
+    assert(out(0L).getAs[Long]("c_b") == 2L)
+    // every input row is accounted for in the per-side totals
+    assert(out.values.map(_.getAs[Long]("c_a")).sum == 5L)
+    assert(out.values.map(_.getAs[Long]("c_b")).sum == 5L)
+  }
 }
