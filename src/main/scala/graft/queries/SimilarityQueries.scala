@@ -5,10 +5,13 @@ import graft.sources.Tables
 import graft.operators.Similarity
 
 /** Similarity-search coverage over `embeddings` (64-dim unit float vectors):
-  * exact brute-force k-NN and exact near-dup pairs, both computed in fixed-point
-  * integer arithmetic so the DuckDB oracle matches bit-for-bit. The approximate LSH
-  * path (Similarity.annTopK) is exercised by ScalaTest instead — an
-  * approximation has no SQL oracle.
+  * exact brute-force k-NN and exact near-dup pairs, computed in fixed-point
+  * integer arithmetic so the DuckDB oracle matches bit-for-bit — and the
+  * APPROXIMATE paths too: because the LSH hyperplanes / IVF seeds derive
+  * from md5 and every score is exact integer math, the approximations are
+  * pure functions of the input set, and each oracle re-derives the entire
+  * approximate pipeline in SQL (banding, bucket caps, multi-probe, cell
+  * probing, re-scoring). Recall properties are asserted in SimilaritySpec.
   */
 object SimilarityQueries {
 
@@ -56,15 +59,64 @@ object SimilarityQueries {
              FROM p WHERE CAST(dotx AS DOUBLE) >= 0.4
              ORDER BY dot DESC, vec_a, vec_b""")),
 
-    // LSH-bucketed approximate top-k (the corpus-scale ANN path). An
-    // approximation has no SQL oracle → rows-only check; recall/agreement
-    // properties are asserted in SimilaritySpec.
+    // LSH-bucketed approximate top-k (the corpus-scale ANN path). The
+    // approximation is md5-deterministic END TO END — ±1 hyperplanes from
+    // md5("p:j"), integer band keys, capped buckets, radius-3 multi-probe,
+    // exact fixed-point re-score — so the oracle re-derives the ENTIRE
+    // approximate pipeline in SQL (the q59 playbook applied to ANN):
+    // result rows value-match, not just count. Recall vs brute force is
+    // additionally asserted in SimilaritySpec.
     Q("q31_ann_topk",
       (s, d) => Similarity.annTopK(
           Tables.embeddings(s, d), "vec_id", "embedding",
           col("vec_id") % 40 === 0, k = 10)
         .orderBy(col("query_id"), col("rank")),
-      None),
+      Some("""WITH pl AS (
+               SELECT CAST(t1.range AS BIGINT) AS p, CAST(t2.range AS BIGINT) AS j,
+                 CASE WHEN substr(md5(CAST(t1.range AS VARCHAR) || ':'
+                     || CAST(t2.range AS VARCHAR)), 1, 1) >= '8'
+                   THEN 1 ELSE -1 END AS v
+               FROM range(64) t1, range(64) t2),
+             q AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             u AS (
+               SELECT vec_id, CAST(t.j AS BIGINT) AS j, qv[CAST(t.j AS INT) + 1] AS qj
+               FROM q, UNNEST(range(64)) AS t(j)),
+             dp AS (
+               SELECT u.vec_id, pl.p, CAST(SUM(pl.v * u.qj) AS BIGINT) AS d
+               FROM u JOIN pl ON pl.j = u.j GROUP BY 1, 2),
+             bk AS (
+               SELECT vec_id, CAST(p // 8 AS INTEGER) AS band,
+                 CAST(SUM(CASE WHEN d >= 0
+                   THEN 1 << CAST(p % 8 AS INTEGER) ELSE 0 END) AS INTEGER)
+                   AS band_key
+               FROM dp GROUP BY 1, 2),
+             ok AS (SELECT band, band_key FROM bk
+                    GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+             corpus AS (SELECT bk.vec_id AS neighbor_id, bk.band, bk.band_key
+                        FROM bk JOIN ok USING (band, band_key)),
+             mk AS (SELECT CAST(range AS INTEGER) AS mask FROM range(256)
+                    WHERE bit_count(CAST(range AS BIGINT)) <= 3),
+             pr AS (SELECT bk.vec_id AS query_id, bk.band,
+                      CAST(xor(bk.band_key, mk.mask) AS INTEGER) AS band_key
+                    FROM bk, mk WHERE bk.vec_id % 40 = 0),
+             cd AS (SELECT DISTINCT pr.query_id, corpus.neighbor_id
+                    FROM pr JOIN corpus USING (band, band_key)
+                    WHERE pr.query_id <> corpus.neighbor_id),
+             sc AS (SELECT cd.query_id, cd.neighbor_id,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> a.qv[i] * b.qv[i])) AS BIGINT) / 1099511627776.0
+                        AS dotx
+                    FROM cd JOIN q a ON a.vec_id = cd.query_id
+                            JOIN q b ON b.vec_id = cd.neighbor_id),
+             r AS (SELECT query_id, neighbor_id, dotx,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dotx DESC, neighbor_id) AS rnk FROM sc)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+               CAST(dotx AS DOUBLE) AS dot
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
 
     // LSH-bucketed approximate near-dup PAIRS — the corpus-scale path for
     // q21's exact quadratic form (candidates = bucket-mates only, exact
@@ -72,8 +124,11 @@ object SimilarityQueries {
     // (max pair dot ≈ 0.5), so the query plants deterministic
     // near-duplicates (every 20th vector, slightly perturbed, id+1e6) and
     // mines at the operator's actual regime (dot ≥ 0.9 — where hyperplane
-    // bucket collision probability is high). Approximation → rows-only;
-    // SimilaritySpec asserts recall + soundness vs the exact pair set.
+    // bucket collision probability is high). Like q31, the approximation is
+    // md5-deterministic end to end, so the oracle re-derives the full
+    // pipeline — plant, sign, band, cap, bucket-join, exact re-score — and
+    // the emitted pairs value-match. SimilaritySpec additionally asserts
+    // recall + soundness vs the exact pair set.
     Q("q46_ann_neardup_pairs",
       (s, d) => {
         val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -86,18 +141,107 @@ object SimilarityQueries {
             "vec_id", "embedding", threshold = 0.9)
           .orderBy(col("dot").desc, col("vec_a"), col("vec_b"))
       },
-      None),
+      Some("""WITH pe AS (
+               SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(embedding, (x, i) ->
+                   CAST(CAST(x AS DOUBLE)
+                     + CAST(0.001 AS DOUBLE)
+                       * (CAST((i - 1) % 5 AS DOUBLE) - 2.0) AS REAL))
+                   AS embedding
+               FROM embeddings WHERE vec_id % 20 = 0),
+             allv AS (
+               SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT vec_id, embedding FROM pe),
+             pl AS (
+               SELECT CAST(t1.range AS BIGINT) AS p, CAST(t2.range AS BIGINT) AS j,
+                 CASE WHEN substr(md5(CAST(t1.range AS VARCHAR) || ':'
+                     || CAST(t2.range AS VARCHAR)), 1, 1) >= '8'
+                   THEN 1 ELSE -1 END AS v
+               FROM range(64) t1, range(64) t2),
+             q AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM allv),
+             u AS (
+               SELECT vec_id, CAST(t.j AS BIGINT) AS j, qv[CAST(t.j AS INT) + 1] AS qj
+               FROM q, UNNEST(range(64)) AS t(j)),
+             dp AS (
+               SELECT u.vec_id, pl.p, CAST(SUM(pl.v * u.qj) AS BIGINT) AS d
+               FROM u JOIN pl ON pl.j = u.j GROUP BY 1, 2),
+             bk AS (
+               SELECT vec_id, CAST(p // 8 AS INTEGER) AS band,
+                 CAST(SUM(CASE WHEN d >= 0
+                   THEN 1 << CAST(p % 8 AS INTEGER) ELSE 0 END) AS INTEGER)
+                   AS band_key
+               FROM dp GROUP BY 1, 2),
+             ok AS (SELECT band, band_key FROM bk
+                    GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+             bnd AS (SELECT bk.vec_id, bk.band, bk.band_key
+                     FROM bk JOIN ok USING (band, band_key)),
+             cd AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                    FROM bnd a JOIN bnd b USING (band, band_key)
+                    WHERE a.vec_id < b.vec_id),
+             sc AS (SELECT cd.vec_a, cd.vec_b,
+                      CAST(list_sum(list_transform(range(1, 65),
+                        i -> a.qv[i] * b.qv[i])) AS BIGINT) / 1099511627776.0
+                        AS dotx
+                    FROM cd JOIN q a ON a.vec_id = cd.vec_a
+                            JOIN q b ON b.vec_id = cd.vec_b)
+             SELECT vec_a, vec_b, CAST(dotx AS DOUBLE) AS dot
+             FROM sc WHERE CAST(dotx AS DOUBLE) >= 0.9
+             ORDER BY dot DESC, vec_a, vec_b""")),
 
     // IVF-partitioned approximate top-k — the second ANN scale path
-    // (cell-partitioned index vs overlapping LSH buckets). Approximation →
-    // rows-only; SimilaritySpec asserts nProbe=nCells degenerates to the
-    // exact brute-force result.
+    // (cell-partitioned index vs overlapping LSH buckets). md5-sample
+    // centroids, integer-dot argmax assignment, nProbe closest cells,
+    // exact re-score: every step is deterministic integer math, so the
+    // oracle re-derives the whole index + probe pipeline (q59 playbook).
+    // SimilaritySpec additionally asserts nProbe=nCells degenerates to
+    // the exact brute-force result.
     Q("q35_ivf_topk",
       (s, d) => Similarity.ivfTopK(
           Tables.embeddings(s, d), "vec_id", "embedding",
           col("vec_id") % 40 === 0, k = 10, nCells = 32, nProbe = 8)
         .orderBy(col("query_id"), col("rank")),
-      None),
+      Some("""WITH q AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             ct AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             dall AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM q, ct c),
+             asg AS (
+               SELECT vec_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn FROM dall)
+               WHERE rn = 1),
+             pb AS (
+               SELECT vec_id AS query_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn
+                 FROM dall WHERE vec_id % 40 = 0)
+               WHERE rn <= 8),
+             cd AS (
+               SELECT pb.query_id, asg.vec_id AS neighbor_id
+               FROM pb JOIN asg USING (cell)
+               WHERE asg.vec_id <> pb.query_id),
+             sc AS (
+               SELECT cd.query_id, cd.neighbor_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) / 1099511627776.0 AS dotx
+               FROM cd JOIN q a ON a.vec_id = cd.query_id
+                       JOIN q b ON b.vec_id = cd.neighbor_id),
+             r AS (SELECT query_id, neighbor_id, dotx,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dotx DESC, neighbor_id) AS rnk FROM sc)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+               CAST(dotx AS DOUBLE) AS dot
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
 
     // K-means clustering, FULLY oracled: md5-sample seed, one exact-integer
     // Lloyd round, final assignment with the fixed-point dot. The oracle
