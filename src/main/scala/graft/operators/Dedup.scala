@@ -303,12 +303,19 @@ object Dedup {
     * component so near-dups never straddle the boundary).
     *
     * Scale notes: each iteration is one join + one groupBy on (v, label)
-    * rows, converging in graph-diameter iterations — near-dup clusters are
-    * shallow (diameter ≲ 10 even for large cliques via the min short-cut),
-    * so the loop is short; per-iteration frames are persisted and the only
-    * driver value is the scalar convergence count. For adversarial
-    * long-chain graphs the large-star/small-star variant halves diameter
-    * per round; not needed for dedup-shaped graphs.
+    * rows. Plain min-label propagation converges in graph-diameter rounds;
+    * with `pointerDoubling` (default on) each round ALSO composes the label
+    * mapping with itself (label(v) ← label(label(v)) — pointer jumping, the
+    * DataFrame form of large-star hooking from Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14), so the covered radius
+    * roughly doubles per round and an adversarial million-hop chain
+    * converges in ~log₂(diameter) rounds instead of diameter rounds
+    * (asserted in DedupPropertySpec; demonstrated at 10⁶ edges in
+    * tools/Stress). Per-iteration frames are localCheckpoint'd and the only
+    * driver value is the scalar convergence count. Labels only ever
+    * decrease and the convergence check (a propagate round that moves no
+    * label) is exact, so doubling never changes the fixpoint — it only
+    * arrives there sooner.
     *
     * Edge lists at or under `driverThreshold` (default 200k pairs ≈ 3 MB)
     * short-circuit to an exact driver-side union-find: an iterative
@@ -316,8 +323,19 @@ object Dedup {
     * The threshold bounds driver memory explicitly; the distributed path
     * is the default above it. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20,
-                          driverThreshold: Int = 200000): DataFrame = {
+                          maxIter: Int = 30,
+                          driverThreshold: Int = 200000,
+                          pointerDoubling: Boolean = true): DataFrame =
+    connectedComponentsRounds(edges, aCol, bCol, maxIter, driverThreshold,
+      pointerDoubling)._1
+
+  /** [[connectedComponents]] plus the number of distributed rounds taken
+    * (0 on the driver fast path) — the observable DedupPropertySpec uses to
+    * pin the O(log diameter) claim. */
+  private[graft] def connectedComponentsRounds(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30, driverThreshold: Int = 200000,
+      pointerDoubling: Boolean = true): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val pairs = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
@@ -351,8 +369,8 @@ object Dedup {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType)))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+      return (spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema), 0)
     }
     val sym = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -383,7 +401,23 @@ object Dedup {
         .agg(min(col("label")).as("label"), max(col("__old")).as("__old"))
         .localCheckpoint()
       val changed = next.filter(col("label") < col("__old")).limit(1).count()
-      labels = next.select(col("v"), col("label"))
+      val propagated = next.select(col("v"), col("label"))
+      // Pointer jumping: label(v) ← label(label(v)). Every label value is
+      // itself a vertex id present in the frame (labels start as v→v and
+      // only ever take other vertices' ids via min), so the self-join is
+      // total; the left join + coalesce is belt-and-braces. Labels stay
+      // monotone non-increasing (label(x) ≤ x always), so this composes
+      // with the propagate step's exact convergence test: once a propagate
+      // round moves nothing, the labeling is per-component constant and
+      // doubling is the identity.
+      labels =
+        if (pointerDoubling && !converged && changed > 0L)
+          propagated
+            .join(propagated.select(col("v").as("__pv"), col("label").as("__pl")),
+              col("label") === col("__pv"), "left")
+            .select(col("v"), coalesce(col("__pl"), col("label")).as("label"))
+            .localCheckpoint()
+        else propagated
       converged = changed == 0L
       iter += 1
     }
@@ -394,7 +428,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within maxIter=$maxIter " +
         "(graph diameter exceeds the bound; raise maxIter)")
-    labels.select(col("v").as("id"), col("label").as("component"))
+    (labels.select(col("v").as("id"), col("label").as("component")), iter)
   }
 
   /** The full corpus-dedup composition a training pipeline runs end to end:

@@ -53,6 +53,19 @@ object Stress {
     }
     println(s"[stress] survivors=$kept")
 
+    // Adversarial connected components: a 10^6-edge PATH graph (diameter
+    // 10^6 — the worst case for min-label propagation; real near-dup
+    // graphs are orders of magnitude shallower). Pointer doubling must
+    // bring the distributed loop home in ~log2(10^6) ≈ 20 rounds.
+    val (chainCC, chainRounds) = t("connectedComponents 1e6-edge chain") {
+      val chain = spark.range(1, 1000001)
+        .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b"))
+      val (cc, rounds) = Dedup.connectedComponentsRounds(
+        chain, "doc_a", "doc_b", maxIter = 30, driverThreshold = 0)
+      (cc.agg(countDistinct(col("component"))).head().getLong(0), rounds)
+    }
+    println(s"[stress] chain components=$chainCC rounds=$chainRounds")
+
     // 2k vectors -> 80k vectors: tiny deterministic per-variant perturbation
     // in fixed-point space keeps near-neighbor structure.
     val emb = Tables.embeddings(spark, d)
@@ -138,6 +151,91 @@ object Stress {
     val occ = sem.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"), expr("percentile(n, 0.99)").as("p99")).head()
     println(s"[stress] semantic kept=$semKept maxCell=${occ.get(0)} p99Cell=${occ.get(1)}")
+
+    // ================= skew robustness (Zipf-hot keys) =================
+    // A per-task duration listener: the observable that distinguishes "the
+    // stage finished" from "one straggler task did all the work".
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val durations = new scala.collection.mutable.ArrayBuffer[Long]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        durations.synchronized { durations += e.taskInfo.duration }
+    })
+    def taskStats[A](label: String)(f: => A): (A, Long, Long) = {
+      durations.synchronized(durations.clear())
+      val r = f
+      Thread.sleep(400) // listener bus drain
+      val d = durations.synchronized(durations.toVector.sorted)
+      val mx = d.last
+      val med = d(d.size / 2)
+      println(f"[stress] $label%-44s tasks=${d.size}%4d max-task ${mx}%6d ms  median ${med}%4d ms  ratio ${mx.toDouble / math.max(med, 1)}%6.1f")
+      (r, mx, med)
+    }
+
+    // Zipf-skewed fact: key 0 owns HALF of 4M rows; dim is too big to
+    // broadcast (forced), so the join must shuffle — the regime where a
+    // hot key funnels into one task.
+    val fact = spark.range(4000000).select(col("id"),
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(pmod(xxhash64(col("id")), lit(10000L))).as("k"),
+      (col("id") % 97).as("payload"))
+    val dim = spark.range(10000).select(col("id").as("k"), (col("id") % 13).as("w"))
+    def joinAgg(j: org.apache.spark.sql.DataFrame): Long =
+      j.agg(sum(col("payload") * col("w"))).head().getLong(0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (r1, mx1, md1) = taskStats("skew join: no mitigation") {
+      joinAgg(fact.join(dim, "k"))
+    }
+    // AQE skew-join split (sort-merge regime), thresholds lowered so the
+    // local-scale hot partition qualifies as skewed
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+    val (r2, mx2, _) = taskStats("skew join: AQE skew split") {
+      joinAgg(fact.join(dim, "k"))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (r3, mx3, md3) = taskStats("skew join: salted (64)") {
+      joinAgg(graft.operators.Scale.saltedJoin(fact, dim, "k", "id", 64))
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    require(r1 == r2 && r2 == r3, s"skew mitigations changed the answer: $r1 $r2 $r3")
+    // the mitigations must beat the straggler, not just tie it
+    require(mx3 < mx1 && mx2 < mx1,
+      s"expected salted ($mx3 ms) and AQE-split ($mx2 ms) max-task < unmitigated ($mx1 ms)")
+    println(f"[stress] skew-join verdict: unmitigated ratio ${mx1.toDouble / math.max(md1, 1)}%.1f -> salted ${mx3.toDouble / math.max(md3, 1)}%.1f (AQE split max ${mx2}ms)")
+
+    // Hot-shingle-bucket near-dup: 3k of 50k docs share one template text →
+    // one LSH bucket holds 3k docs. Uncapped, that single bucket emits
+    // ~4.5M candidate pairs (quadratic); capped at 100 the bucket is
+    // dropped as non-discriminative and the chain stays linear. True
+    // near-dups still surface through their OTHER, discriminative bands.
+    val hotDocs = Tables.documents(spark, d)
+      .crossJoin(spark.range(10).toDF("v"))
+      .select((col("doc_id") * 10 + col("v")).as("doc_id"),
+        when(col("doc_id") * 10 + col("v") <= 3000,
+          lit("the same boilerplate template header that every scraped page carries on this mirror"))
+          .otherwise(concat(lit("variant"), col("v"), lit(" "), col("text"))).as("text"))
+    val (candUncapped, mxU, _) = taskStats("hot-bucket candidates: uncapped") {
+      Dedup.lshCandidatePairs(
+        Dedup.lshBandRows(
+          Dedup.minhashSignatures(
+            Dedup.shingleRows(hotDocs, "doc_id", "text", 3), "doc_id", 8),
+          "doc_id", 4, 2), "doc_id", maxBucketSize = 0).count()
+    }
+    val (candCapped, mxC, _) = taskStats("hot-bucket candidates: capped(100)") {
+      Dedup.lshCandidatePairs(
+        Dedup.lshBandRows(
+          Dedup.minhashSignatures(
+            Dedup.shingleRows(hotDocs, "doc_id", "text", 3), "doc_id", 8),
+          "doc_id", 4, 2), "doc_id", maxBucketSize = 100).count()
+    }
+    println(s"[stress] hot-bucket pairs: uncapped=$candUncapped capped=$candCapped (max-task $mxU -> $mxC ms)")
+    require(candCapped < candUncapped / 10,
+      "bucket cap failed to suppress the quadratic hot-bucket blowup")
     spark.stop()
   }
 }

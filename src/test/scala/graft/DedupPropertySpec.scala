@@ -142,6 +142,35 @@ class DedupPropertySpec extends SparkSpec {
     assert(got.count() == (n + 1).toLong)
   }
 
+  test("pointer doubling: adversarial chain converges in O(log d) rounds, " +
+       "identical components; plain propagation provably cannot") {
+    import spark.implicits._
+    // A 2^16-node path graph with ids in path order is the worst case for
+    // min-label propagation: diameter 65535, so the plain loop needs one
+    // round per hop. With pointer jumping the covered radius ~doubles per
+    // round: expect ~log2(65536)=16 propagate+double rounds (+1 to confirm).
+    val n = 65536
+    val edges = (1 until n).map(i => (i.toLong, (i - 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val (got, rounds) = Dedup.connectedComponentsRounds(
+      edges, "doc_a", "doc_b", maxIter = 30, driverThreshold = 0)
+    assert(rounds <= 20, s"expected O(log diameter) rounds, took $rounds")
+    val comp = got.agg(countDistinct(col("component")),
+      min(col("component")), max(col("component")), count(lit(1))).head()
+    assert(comp.toSeq == Seq(1L, 0L, 0L, n.toLong)) // == union-find: all → 0
+    // plain propagation covers one hop per round, so even a 2^11 chain is
+    // far out of reach in 8 rounds — and the loop must refuse loudly rather
+    // than return a split labeling (small graph keeps the negative case
+    // cheap; the doubling run above carries the scale)
+    val small = (1 until 2048).map(i => (i.toLong, (i - 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsRounds(small, "doc_a", "doc_b",
+        maxIter = 8, driverThreshold = 0, pointerDoubling = false)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("jaccardForPairs equals set-computed |A∩B| / |A∪B|") {
     import spark.implicits._
     corpora.filter(_.size >= 2).foreach { corpus =>
