@@ -469,6 +469,109 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
   }
 
+  // ------------------------------------------------------ hierarchical IVF
+
+  /** Two-level IVF cell assignment: an L1 coarse quantizer over the corpus,
+    * then per-L1-cell L2 sub-centroids (md5-sampled members of that cell,
+    * optionally Lloyd-refined within the cell). Returns
+    * (cents1, cents2, index) where index = (id, __qv, cell1, cell2).
+    *
+    * This is the documented scale escape hatch of flat IVF: a flat
+    * quantizer needs ~√N centroids, and past the point where √N rows
+    * broadcast comfortably the assignment's O(N·√N) dot products dominate.
+    * Two levels make assignment O(N·(C1 + C2)) with C1 ≈ C2 ≈ N^(1/3)…√C
+    * sized frames, both broadcastable, and probing can target leaf cells
+    * C1·C2 ≈ C fine without ever scoring all C centroids per query. */
+  private[operators] def ivfIndex2(q: DataFrame, idCol: String,
+                                   nCellsL1: Int, nCellsL2: Int,
+                                   trainIters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val cents1 = ivfCentroidsTrained(q, idCol, nCellsL1, trainIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = assignCells(q, idCol, cents1)
+      .withColumnRenamed("cell", "cell1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // L2 seeds: per L1 cell, its nCellsL2 members with smallest md5(id) —
+    // rank-k window plans as WindowGroupLimit, no per-cell sort
+    val wSeed = Window.partitionBy(col("cell1"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cents2 = a1
+      .withColumn("__rn", row_number().over(wSeed))
+      .filter(col("__rn") <= nCellsL2)
+      .select(col("cell1"), col(idCol).as("cent_id"), col("__qv").as("__cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // L2 assignment: members score ONLY their own L1 cell's sub-centroids
+    // (equi-join on cell1 keeps the fan-out at nCellsL2 per row); argmax is
+    // the same max(struct) map-side aggregation as assignCells
+    val index = a1.join(broadcast(cents2), Seq("cell1"))
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"),
+        first(col("__qv")).as("__qv"), first(col("cell1")).as("cell1"))
+      .select(col(idCol), col("__qv"), col("cell1"), (-col("__m.__nc")).as("cell2"))
+    (cents1, cents2, index)
+  }
+
+  /** Hierarchical (two-level) IVF approximate top-k behind the same API as
+    * [[ivfTopK]]: queries probe their `nProbeL1` closest coarse cells, then
+    * the `nProbeL2` closest LEAF cells among those coarse cells'
+    * sub-centroids, and exact-score only the vectors in the probed leaves.
+    *
+    * Probed-vector budget ≈ N·nProbeL2/(C1·C2) — compare flat IVF's
+    * N·nProbe/C. At EQUAL budget the hierarchical index wins recall
+    * because its leaves are C1·C2/C times finer: probing 32 of 128 leaves
+    * targets the query's true neighborhood more precisely than 8 of 32
+    * coarse cells (measured in SimilaritySpec; demonstrated at the 80k
+    * stress scale in tools/Stress). Centroid scoring per query is
+    * C1 + nProbeL1·C2 dots instead of C — the term that matters when C
+    * must grow as √N. */
+  def ivfTopK2(emb: DataFrame, idCol: String, vecCol: String,
+               queryPred: Column, k: Int,
+               nCellsL1: Int, nCellsL2: Int,
+               nProbeL1: Int, nProbeL2: Int,
+               trainIters: Int = 0): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+    val (cents1, cents2, index0) = ivfIndex2(q, idCol, nCellsL1, nCellsL2, trainIters)
+    val index = index0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queryIds = emb.filter(queryPred).select(col(idCol))
+    val queries = q.join(queryIds, idCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
+    // L1 probe: top nProbeL1 coarse cells per query
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cd").desc, col("cent_id"))
+    val probed1 = queries.join(broadcast(cents1))
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qvec"), col("__cv")))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= nProbeL1)
+      .select(col("query_id"), col("cent_id").as("cell1"))
+    // L2 probe: among the probed coarse cells' sub-centroids, the best
+    // nProbeL2 LEAVES globally per query (not per coarse cell — the budget
+    // concentrates where the query actually lives)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cd").desc, col("cell1"), col("cent_id"))
+    val probed2 = probed1
+      .join(broadcast(cents2), Seq("cell1"))
+      .join(broadcast(queries), "query_id")
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qvec"), col("__cv")))
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= nProbeL2)
+      .select(col("query_id"), col("cell1"), col("cent_id").as("cell2"))
+    // candidates: vectors indexed in the probed leaves; narrow rows first,
+    // query vectors attach by broadcast last (annTopK's shuffle discipline)
+    val scored = probed2
+      .join(index.select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"),
+        col("cell1"), col("cell2")), Seq("cell1", "cell2"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
+      .withColumn("__dot",
+        GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")) / lit(1099511627776.0d))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
+  }
+
   /** Labeled-dataset separation audit: per label, the centroid cohesion
     * (mean squared member→own-centroid distance) and the margin to the
     * nearest OTHER centroid, plus their Fisher-style ratio — the health
