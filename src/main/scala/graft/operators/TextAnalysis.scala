@@ -243,19 +243,107 @@ object TextAnalysis {
     * so rounds scale with the type table (~10⁸ rows at 100 TB), and the
     * whole loop is exact integer arithmetic — oracle-checkable end to end.
     */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+               driverThreshold: Int = 200000): DataFrame = {
+    val (_, merges) = bpeLoop(docs, textCol, nMerges, driverThreshold)
+    docs.sparkSession.createDataFrame(merges)
+      .toDF("merge_rank", "p1", "p2", "pair_count")
+  }
+
+  /** The learned vocabulary after `nMerges` BPE rounds: every distinct
+    * symbol left in the type table with its total corpus occurrence count —
+    * the other artifact a tokenizer ships (the merge table says HOW to
+    * tokenize; the vocabulary is the id space). Same exact-integer loop as
+    * [[bpeTrain]], so the full 30-round training is oracle-checkable. */
+  def bpeVocab(docs: DataFrame, textCol: String, nMerges: Int,
+               driverThreshold: Int = 200000): DataFrame = {
+    val (types, _) = bpeLoop(docs, textCol, nMerges, driverThreshold)
+    types
+      .select(explode(split(trim(col("sym")), " ")).as("symbol"), col("__freq"))
+      .groupBy(col("symbol")).agg(sum(col("__freq")).as("n_occurrences"))
+  }
+
+  /** Shared BPE training loop over the distinct-TYPE table (the corpus
+    * aggregates to types first — ~10⁸ rows at 100 TB, ~10⁴–10⁵ at test
+    * SFs; the corpus itself is touched exactly once).
+    *
+    * Type tables at or under `driverThreshold` rows take a driver fast
+    * path (the union-find discipline from Dedup.connectedComponents): the
+    * merge loop is inherently serial — 30 rounds of argmax-then-rewrite —
+    * and running 30 Spark jobs over a 60k-row frame times scheduling and
+    * codegen, not work. The driver loop reproduces the distributed
+    * semantics EXACTLY: argmax by (count desc, p1, p2) with UTF-8-byte
+    * string order (Spark's binary UTF8String order, not Java's UTF-16
+    * compareTo — they diverge on supplementary characters), and the same
+    * left-to-right non-overlapping single-pass replace.
+    *
+    * Above the threshold, each round is ONE distributed job: the
+    * pair-count argmax (hash agg + TakeOrderedAndProject); the winning
+    * pair — scalar-only driver traffic, the CC loop's convergence-count
+    * discipline — then rewrites the type table lazily via a literal
+    * `replace` (lineage truncated every 8 rounds). Exhausting all pairs
+    * before `nMerges` stops early on both paths (the previous crossJoin
+    * form would have silently emptied the type table). */
+  private def bpeLoop(docs: DataFrame, textCol: String, nMerges: Int,
+                      driverThreshold: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     require(nMerges > 0, s"nMerges must be > 0: $nMerges")
+    val spark = docs.sparkSession
     val wf = docs
       .select(explode(regexp_extract_all(col(textCol), lit(BpeishRe), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("__freq"))
+    // one bounded probe: at most threshold+1 rows ever reach the driver
+    val head = wf.limit(driverThreshold + 1).collect()
+    if (head.length <= driverThreshold) {
+      var types = head.map { r =>
+        (" " + r.getString(0).split("").mkString(" ") + " ", r.getLong(1))
+      }
+      // Spark/DuckDB order strings by UTF-8 bytes; Java compareTo is UTF-16
+      // code units — match the engines, not the JVM
+      def u8Lt(a: String, b: String): Boolean =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var exhausted = false
+      for (round <- 1 to nMerges if !exhausted) {
+        val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+        types.foreach { case (sym, freq) =>
+          val l = sym.trim.split(" ")
+          var i = 0
+          while (i < l.length - 1) {
+            val k = (l(i), l(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + freq)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((p1, p2), cnt) = counts.reduceLeft { (a, b) =>
+            val ((a1, a2), ac) = a; val ((b1, b2), bc) = b
+            if (bc > ac) b
+            else if (bc < ac) a
+            else if (u8Lt(b1, a1)) b
+            else if (u8Lt(a1, b1)) a
+            else if (u8Lt(b2, a2)) b else a
+          }
+          merges += ((round.toLong, p1, p2, cnt))
+          types = types.map { case (sym, f) =>
+            (sym.replace(s" $p1 $p2 ", s" $p1$p2 "), f)
+          }
+        }
+      }
+      import spark.implicits._
+      return (types.toSeq.toDF("sym", "__freq"), merges.toSeq)
+    }
     var types = wf.select(
-      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("sym"),
-      col("__freq"))
-    var merges: DataFrame = null
-    for (round <- 1 to nMerges) {
-      // the 1-row argmax feeds both the merge table and the rewrite, and
-      // types feeds the next round twice — localCheckpoint truncates the
-      // otherwise per-round-doubling logical plan (the CC-loop discipline)
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("sym"),
+        col("__freq"))
+      .coalesce(4) // type table is small; don't pay 30 rounds of task fan-out
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
       val top = types
         .select(col("__freq"), split(trim(col("sym")), " ").as("l"))
         // 1-symbol types have no pairs (and sequence(0,-1) DESCENDS — an
@@ -268,15 +356,21 @@ object TextAnalysis {
         .agg(sum(col("__freq")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("p1"), col("p2"))
         .limit(1)
-        .localCheckpoint()
-      val ranked = top.withColumn("merge_rank", lit(round.toLong))
-      merges = if (merges == null) ranked else merges.unionByName(ranked)
-      types = types.crossJoin(broadcast(top.select(col("p1"), col("p2"))))
-        .select(expr("replace(sym, ' ' || p1 || ' ' || p2 || ' ', ' ' || p1 || p2 || ' ')")
-          .as("sym"), col("__freq"))
-        .localCheckpoint()
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        val (p1, p2, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((round.toLong, p1, p2, cnt))
+        // lit(), not an expr string: subword symbols can contain quotes or
+        // backslashes that SQL-literal parsing would mangle
+        types = types.select(
+          replace(col("sym"), lit(s" $p1 $p2 "), lit(s" $p1$p2 ")).as("sym"),
+          col("__freq"))
+        if (round % 8 == 0) types = types.localCheckpoint()
+      }
     }
-    merges.select(col("merge_rank"), col("p1"), col("p2"), col("pair_count"))
+    (types, merges.toSeq)
   }
 
   /** Corpus-level boilerplate detection: shingles appearing in at least

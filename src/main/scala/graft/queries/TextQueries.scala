@@ -870,6 +870,50 @@ object TextQueries {
                  AS BIGINT) AS n_new,
                CAST(SUM(CASE WHEN s IN (SELECT s FROM csh) THEN 0 ELSE 1 END)
                  AS DOUBLE) / COUNT(*) AS novelty_ratio
-             FROM bsh GROUP BY doc_id ORDER BY doc_id"""))
+             FROM bsh GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Deep BPE training: 30 merge rounds, final VOCABULARY emitted (the id
+    // space a tokenizer ships). Every round is exact integer arithmetic
+    // with a deterministic argmax, so the oracle re-derives the complete
+    // 30-round training as machine-generated unrolled SQL (the q76 recipe
+    // at 10× depth). Per round the engine runs ONE distributed job over
+    // the distinct-type table; the corpus is scanned exactly once.
+    Q("q93_bpe_vocab",
+      (s, d) => TextAnalysis.bpeVocab(Tables.documents(s, d), "text", nMerges = 30)
+        .orderBy(col("symbol")),
+      Some(s"""WITH w0 AS (
+               SELECT unnest(regexp_extract_all(text, '${TextAnalysis.BpeishRe}')) AS w
+               FROM documents),
+             wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY w),
+             t0 AS MATERIALIZED (
+               SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS sym, freq
+               FROM wf),
+             ${bpeRoundCtes(30)}
+             SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+             FROM (SELECT unnest(string_split(trim(sym), ' ')) AS symbol, freq
+                   FROM t30)
+             GROUP BY 1 ORDER BY symbol"""))
   )
+
+  /** One BPE round as DuckDB CTEs (count pairs → argmax → rewrite), chained
+    * `n` times — the q76 unrolled-oracle recipe, generated instead of
+    * hand-written so 30 rounds stay maintainable. Each t/m CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default and every round
+    * references the previous one twice, so an uninlined 30-round chain
+    * would expand 2^30 copies of the base scan ("too many open files"
+    * before it even runs). */
+  private def bpeRoundCtes(n: Int): String =
+    (1 to n).map { r =>
+      s"""c$r AS (
+               SELECT l[i] AS p1, l[i+1] AS p2, CAST(SUM(freq) AS BIGINT) AS pair_count
+               FROM (SELECT string_split(trim(sym), ' ') AS l, freq FROM t${r - 1}),
+                    UNNEST(range(1, len(l))) t(i)
+               GROUP BY 1, 2),
+             m$r AS MATERIALIZED (SELECT * FROM c$r ORDER BY pair_count DESC, p1, p2 LIMIT 1),
+             t$r AS MATERIALIZED (
+               SELECT replace(sym, ' ' || m$r.p1 || ' ' || m$r.p2 || ' ',
+                 ' ' || m$r.p1 || m$r.p2 || ' ') AS sym, freq
+               FROM t${r - 1}, m$r)"""
+    }.mkString(",\n             ")
 }

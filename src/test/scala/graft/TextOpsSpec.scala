@@ -150,6 +150,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == (("aa", "ab", 2L)))
   }
 
+  test("bpeVocab: hand-computed vocabulary after merges; exhaustion stops early") {
+    import spark.implicits._
+    // same corpus as the bpeTrain test; after 3 merges the types are
+    // "aa ab"×2 (r3 merged them: "aaab") and "ab"×1
+    val docs = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.bpeVocab(docs, "text", nMerges = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_occurrences")).toMap
+    assert(vocab == Map("aaab" -> 2L, "ab" -> 1L))
+    // more merges than the corpus can yield: loop stops when pairs run out
+    // (the old crossJoin form would have emptied the type table instead);
+    // the final merge fuses everything into one symbol per type
+    val deep = TextAnalysis.bpeTrain(docs, "text", nMerges = 50).collect()
+    assert(deep.length < 50)
+    val vDeep = TextAnalysis.bpeVocab(docs, "text", nMerges = 50)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_occurrences")).toMap
+    assert(vDeep == Map("aaab" -> 2L, "ab" -> 1L))
+    // the distributed loop (driverThreshold = 0 forces it) must agree with
+    // the driver fast path exactly — merges, order, counts, vocabulary
+    def trained(thr: Int) = TextAnalysis
+      .bpeTrain(docs, "text", nMerges = 3, driverThreshold = thr)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(trained(0) == trained(200000))
+    def vocab(thr: Int) = TextAnalysis
+      .bpeVocab(docs, "text", nMerges = 3, driverThreshold = thr)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_occurrences")).toMap
+    assert(vocab(0) == vocab(200000))
+  }
+
   test("charEntropy: hand-computed entropy; uniform > repeated; flag applied") {
     import spark.implicits._
     val docs = Seq(
