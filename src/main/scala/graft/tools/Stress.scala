@@ -15,9 +15,14 @@ object Stress {
     println(f"[stress] $name%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // tmpfs scratch with disk fallback — without it the stress shuffles GBs
+    // through this box's stalling virtio disk and times the disk, not the
+    // operators (see Bench.scratchDir)
+    graft.Bench.scratchDir().foreach(b.config("spark.local.dir", _))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
 
@@ -96,6 +101,29 @@ object Stress {
         trainIters = 2).count()
     }
     println(s"[stress] ivf trained rows=$ivfT")
+
+    // Hierarchical IVF recall curve at 80k, equal probed-vector budget vs
+    // flat: flat 16/283 cells ≈ N*16/283 ≈ 4.5k probed vectors per query;
+    // hier 17×34=578 leaves probing 32 ≈ N*32/578 ≈ 4.4k. Ground truth =
+    // brute force on a 200-query subset.
+    val subPred = col("vec_id") % 400 === 0
+    def recallPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSub = t("brute-force ground truth (200 queries x 80k)") {
+      recallPairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", subPred, k = 10))
+    }
+    val flatSub = t("flat IVF 283 cells / 16 probes (budget N/17.7)") {
+      recallPairs(Similarity.ivfTopK(emb, "vec_id", "embedding", subPred,
+        k = 10, nCells = 283, nProbe = 16))
+    }
+    val hierSub = t("hier IVF 17x34 leaves / 32 probes (equal budget)") {
+      recallPairs(Similarity.ivfTopK2(emb, "vec_id", "embedding", subPred,
+        k = 10, nCellsL1 = 17, nCellsL2 = 34, nProbeL1 = 5, nProbeL2 = 32))
+    }
+    val rFlat = flatSub.intersect(bruteSub).size.toDouble / bruteSub.size
+    val rHier = hierSub.intersect(bruteSub).size.toDouble / bruteSub.size
+    println(f"[stress] IVF recall @ equal budget: flat=$rFlat%.3f hier=$rHier%.3f")
 
     // ---- round-4 operators at the same inflation ----
     val cont = t("containment near-dup 200k") {
