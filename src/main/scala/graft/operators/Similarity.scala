@@ -298,19 +298,42 @@ object Similarity {
       .limit(nCells) // sort+limit → TakeOrderedAndProject: distributed top-k, no global sort
 
   /** One cell assignment pass: each (id, __qv) row keeps its best-dot
-    * centroid from the broadcast (cent_id, __cv) set (deterministic
-    * tiebreak: smaller centroid id wins a dot tie). O(N·nCells) codegen'd
-    * dot products, embarrassingly parallel; the argmax is a
-    * map-side-combining max(struct) aggregation, not a window over the
-    * N×nCells expansion. Output: (id, __qv, cell). */
-  private def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame =
-    q.join(broadcast(cents))
-      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
-      .groupBy(col(idCol))
-      .agg(
-        max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"),
-        first(col("__qv")).as("__qv")) // all rows of a group share one __qv
-      .select(col(idCol), col("__qv"), (-col("__m.__nc")).as("cell"))
+    * centroid (deterministic tiebreak: smaller centroid id wins a dot tie).
+    * Output: (id, __qv, cell, __bd) where __bd is the winning dot.
+    *
+    * MAP-ONLY, zero shuffles: the quantizer — small and bounded, like the
+    * CC union-find threshold — is collected and injected as a literal
+    * matrix into ONE codegen'd graft_matdot per vector; the argmax is
+    * array_max + array_position over the dots array (centroids ordered by
+    * cent_id, so first-max ≡ smallest-id tiebreak). The previous shape —
+    * broadcast-join fan-out (N×nCells rows) into max(struct) — planned a
+    * SortAggregate (struct buffers can't hash-aggregate) that re-evaluated
+    * the interpreted quantize transform per JOINED row and sorted the whole
+    * expansion; tools/Stress caught it as a 20-minute single-task straggler
+    * at 80k×283. */
+  private def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+    val c = cents.select(col("cent_id"), col("__cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    require(c.nonEmpty, "assignCells: empty centroid set")
+    val matSql = c.map(_._2.map(v => s"${v}L").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val idArrSql = c.map(x => s"${x._1}L").mkString("array(", ",", ")")
+    spread(q).select(col(idCol), col("__qv"),
+        expr(s"graft_matdot(__qv, $matSql)").as("__cd"))
+      .select(col(idCol), col("__qv"),
+        expr(s"element_at($idArrSql, CAST(array_position(__cd, array_max(__cd)) AS INT))")
+          .as("cell"),
+        expr("array_max(__cd)").as("__bd"))
+  }
+
+  /** Local-parallelism guard for per-row matrix work: a single-file scan or
+    * an in-memory synthesis arrives in 1-2 partitions, and a map-only
+    * N×nCells dot pass would then run on one core. No-op when the source is
+    * already partitioned (the normal cluster case — no hidden shuffle). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** Lloyd-trained coarse centroids: `iters` k-means rounds (dot-product
     * assignment ≡ cosine on unit vectors, element-wise integer-mean update)
@@ -357,11 +380,8 @@ object Similarity {
     val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = ivfCentroidsTrained(q, idCol, nCells, trainIters)
-    q.join(broadcast(cents))
-      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"))
-      .select(col(idCol), (-col("__m.__nc")).as("cell"), col("__m.__cd").as("dot_fp"))
+    assignCells(q, idCol, cents)
+      .select(col(idCol), col("cell"), col("__bd").as("dot_fp"))
   }
 
   /** Semantic dedup (SemDeDup-shaped): k-means-cluster the embeddings
@@ -384,12 +404,8 @@ object Similarity {
     val cents = ivfCentroidsTrained(q, idCol, nCells, trainIters)
     // assignment keeps the quantized vector alongside the cell so the
     // pair scoring below needs no second join back to the corpus
-    val assigned = q.join(broadcast(cents))
-      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"),
-        first(col("__qv")).as("__qv"))
-      .select(col(idCol), (-col("__m.__nc")).as("cell"), col("__qv"))
+    val assigned = assignCells(q, idCol, cents)
+      .select(col(idCol), col("cell"), col("__qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col(idCol).as("__ia"), col("cell"), col("__qv").as("__va"))
     val b = assigned.select(col(idCol).as("__ib"), col("cell"), col("__qv").as("__vb"))
@@ -499,15 +515,36 @@ object Similarity {
       .filter(col("__rn") <= nCellsL2)
       .select(col("cell1"), col(idCol).as("cent_id"), col("__qv").as("__cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // L2 assignment: members score ONLY their own L1 cell's sub-centroids
-    // (equi-join on cell1 keeps the fan-out at nCellsL2 per row); argmax is
-    // the same max(struct) map-side aggregation as assignCells
-    val index = a1.join(broadcast(cents2), Seq("cell1"))
-      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__cd"), (-col("cent_id")).as("__nc"))).as("__m"),
-        first(col("__qv")).as("__qv"), first(col("cell1")).as("cell1"))
-      .select(col(idCol), col("__qv"), col("cell1"), (-col("__m.__nc")).as("cell2"))
+    // L2 assignment, map-only like assignCells: one graft_matdot against
+    // the full leaf matrix (ordered by (cell1, cent_id)), then the argmax
+    // restricted to the member's OWN L1 cell via literal offset/length
+    // maps + slice. First-max within the slice ≡ smallest-cent_id tiebreak.
+    // The local form computes C1·C2 dots per vector instead of the
+    // hierarchical C1+C2 — codegen multiply-adds, cheap up to ~10⁵ leaves
+    // (a 50 MB literal matrix); past that, dispatch per-cell sub-matrices
+    // or add a third level (documented limit, same family as the flat-IVF
+    // √N wall this operator exists to push back).
+    val c2 = cents2.select(col("cell1"), col("cent_id"), col("__cv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(x => (x._1, x._2))
+    val matSql = c2.map(_._3.map(v => s"${v}L").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val leafIdsSql = c2.map(x => s"${x._2}L").mkString("array(", ",", ")")
+    val spans = c2.map(_._1).zipWithIndex.groupBy(_._1).toSeq
+      .map { case (cell1, xs) => (cell1, xs.map(_._2).min + 1, xs.size) } // 1-based
+    val offMapSql = spans.map { case (c, o, _) => s"${c}L, $o" }
+      .mkString("map(", ", ", ")")
+    val lenMapSql = spans.map { case (c, _, n) => s"${c}L, $n" }
+      .mkString("map(", ", ", ")")
+    val subExpr = s"slice(__d2, element_at($offMapSql, cell1), element_at($lenMapSql, cell1))"
+    val index = a1
+      .select(col(idCol), col("__qv"), col("cell1"),
+        expr(s"graft_matdot(__qv, $matSql)").as("__d2"))
+      .select(col(idCol), col("__qv"), col("cell1"),
+        expr(s"""element_at($leafIdsSql,
+             CAST(element_at($offMapSql, cell1)
+                  + array_position($subExpr, array_max($subExpr)) AS INT) - 1)""")
+          .as("cell2"))
     (cents1, cents2, index)
   }
 

@@ -243,6 +243,85 @@ object SimilarityQueries {
                CAST(dotx AS DOUBLE) AS dot
              FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
 
+    // Hierarchical (two-level) IVF top-k — the scale path past flat IVF's
+    // √N broadcast wall. md5-deterministic at both quantizer levels, so
+    // the oracle re-derives L1 seeding, L1 assignment, per-cell L2
+    // seeding (rank-by-md5 within cell), L2 assignment, two-stage
+    // probing, and the exact re-score.
+    Q("q94_ivf2_topk",
+      (s, d) => Similarity.ivfTopK2(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          col("vec_id") % 40 === 0, k = 10,
+          nCellsL1 = 8, nCellsL2 = 16, nProbeL1 = 6, nProbeL2 = 32)
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH q AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             c1 AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             d1 AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM q, c1 c),
+             a1 AS (
+               SELECT vec_id, cent_id AS cell1 FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn FROM d1)
+               WHERE rn = 1),
+             c2 AS (
+               SELECT cell1, vec_id AS cent_id, qv AS cv FROM (
+                 SELECT a1.cell1, a1.vec_id, q.qv,
+                   row_number() OVER (PARTITION BY a1.cell1
+                     ORDER BY md5(CAST(a1.vec_id AS VARCHAR)), a1.vec_id) AS rn
+                 FROM a1 JOIN q USING (vec_id))
+               WHERE rn <= 16),
+             d2 AS (
+               SELECT a1.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM a1 JOIN q USING (vec_id) JOIN c2 c ON c.cell1 = a1.cell1),
+             idx AS (
+               SELECT a1.vec_id, a1.cell1, x.cell2 FROM a1 JOIN (
+                 SELECT vec_id, cent_id AS cell2 FROM (
+                   SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d DESC, cent_id) AS rn FROM d2)
+                 WHERE rn = 1) x USING (vec_id)),
+             p1 AS (
+               SELECT vec_id AS query_id, cent_id AS cell1 FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn
+                 FROM d1 WHERE vec_id % 40 = 0)
+               WHERE rn <= 6),
+             p2 AS (
+               SELECT query_id, cell1, cell2 FROM (
+                 SELECT p1.query_id, p1.cell1, c.cent_id AS cell2,
+                   row_number() OVER (PARTITION BY p1.query_id
+                     ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                       i -> q.qv[i] * c.cv[i])) AS BIGINT) DESC,
+                       p1.cell1, c.cent_id) AS rn
+                 FROM p1 JOIN q ON q.vec_id = p1.query_id
+                         JOIN c2 c ON c.cell1 = p1.cell1)
+               WHERE rn <= 32),
+             cd AS (
+               SELECT p2.query_id, idx.vec_id AS neighbor_id
+               FROM p2 JOIN idx ON idx.cell1 = p2.cell1 AND idx.cell2 = p2.cell2
+               WHERE idx.vec_id <> p2.query_id),
+             sc AS (
+               SELECT cd.query_id, cd.neighbor_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) / 1099511627776.0 AS dotx
+               FROM cd JOIN q a ON a.vec_id = cd.query_id
+                       JOIN q b ON b.vec_id = cd.neighbor_id),
+             r AS (SELECT query_id, neighbor_id, dotx,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dotx DESC, neighbor_id) AS rnk FROM sc)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+               CAST(dotx AS DOUBLE) AS dot
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
     // K-means clustering, FULLY oracled: md5-sample seed, one exact-integer
     // Lloyd round, final assignment with the fixed-point dot. The oracle
     // re-derives the complete training loop in SQL — possible only because

@@ -14,7 +14,15 @@ object Stress {
     val t0 = System.nanoTime(); val r = f
     println(f"[stress] $name%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
+  /** Section selection: no args runs everything; otherwise name sections
+    * (dedup, cc, ann, ivf2, ops, skew, hotbucket). The 200k dedup block
+    * alone is ~an hour of real compute (4M+ true near-dup pairs by
+    * construction), so targeted runs matter. */
   def main(args: Array[String]): Unit = {
+    val sections =
+      if (args.isEmpty) Set("dedup", "cc", "ann", "ivf2", "ops", "skew", "hotbucket")
+      else args.map(_.toLowerCase).toSet
+    def want(s: String): Boolean = sections(s)
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -34,9 +42,12 @@ object Stress {
         (col("doc_id") * 40 + col("v")).as("doc_id"),
         when(col("v") === 0, col("text"))
           .otherwise(concat(lit("variant"), col("v"), lit(" "), col("text"))).as("text"))
-    val nDocs = t("docs materialize (200k)") { docs.count() }
-    println(s"[stress] n_docs=$nDocs")
+    if (want("dedup") || want("ops")) {
+      val nDocs = t("docs materialize (200k)") { docs.count() }
+      println(s"[stress] n_docs=$nDocs")
+    }
 
+    if (want("dedup")) {
     t("exact dedup 200k") {
       Dedup.exactDedup(docs, "doc_id", "text").count()
     }
@@ -57,7 +68,9 @@ object Stress {
       Dedup.dedupCorpus(docs, "doc_id", "text", 3, 8, 4, 0.1, 100).count()
     }
     println(s"[stress] survivors=$kept")
+    }
 
+    if (want("cc")) {
     // Adversarial connected components: a 10^6-edge PATH graph (diameter
     // 10^6 — the worst case for min-label propagation; real near-dup
     // graphs are orders of magnitude shallower). Pointer doubling must
@@ -70,6 +83,7 @@ object Stress {
       (cc.agg(countDistinct(col("component"))).head().getLong(0), rounds)
     }
     println(s"[stress] chain components=$chainCC rounds=$chainRounds")
+    }
 
     // 2k vectors -> 80k vectors: tiny deterministic per-variant perturbation
     // in fixed-point space keeps near-neighbor structure.
@@ -79,9 +93,12 @@ object Stress {
         (col("vec_id") * 40 + col("v")).as("vec_id"),
         expr("transform(embedding, (x, i) -> CAST(x + (CAST(v AS DOUBLE) - 20.0D) * 0.0005D * (CAST(i % 7 AS DOUBLE) - 3.0D) AS FLOAT))")
           .as("embedding"))
-    val nVec = t("embeddings materialize (80k)") { emb.count() }
-    println(s"[stress] n_vectors=$nVec")
+    if (want("ann") || want("ivf2") || want("ops")) {
+      val nVec = t("embeddings materialize (80k)") { emb.count() }
+      println(s"[stress] n_vectors=$nVec")
+    }
 
+    if (want("ann")) {
     // scale-appropriate parameterization: 16-bit band keys (65k buckets per
     // band at 80k vectors -> ~1.2/bucket), radius-2 multiprobe (137 masks)
     val ann = t("annTopK 80k corpus, 2k queries (16-bit bands, r=2)") {
@@ -101,7 +118,9 @@ object Stress {
         trainIters = 2).count()
     }
     println(s"[stress] ivf trained rows=$ivfT")
+    }
 
+    if (want("ivf2")) {
     // Hierarchical IVF recall curve at 80k, equal probed-vector budget vs
     // flat: flat 16/283 cells ≈ N*16/283 ≈ 4.5k probed vectors per query;
     // hier 17×34=578 leaves probing 32 ≈ N*32/578 ≈ 4.4k. Ground truth =
@@ -124,7 +143,9 @@ object Stress {
     val rFlat = flatSub.intersect(bruteSub).size.toDouble / bruteSub.size
     val rHier = hierSub.intersect(bruteSub).size.toDouble / bruteSub.size
     println(f"[stress] IVF recall @ equal budget: flat=$rFlat%.3f hier=$rHier%.3f")
+    }
 
+    if (want("ops")) {
     // ---- round-4 operators at the same inflation ----
     val cont = t("containment near-dup 200k") {
       Dedup.containmentNearDups(docs, "doc_id", "text",
@@ -179,6 +200,7 @@ object Stress {
     val occ = sem.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"), expr("percentile(n, 0.99)").as("p99")).head()
     println(s"[stress] semantic kept=$semKept maxCell=${occ.get(0)} p99Cell=${occ.get(1)}")
+    }
 
     // ================= skew robustness (Zipf-hot keys) =================
     // A per-task duration listener: the observable that distinguishes "the
@@ -200,6 +222,7 @@ object Stress {
       (r, mx, med)
     }
 
+    if (want("skew")) {
     // Zipf-skewed fact: key 0 owns HALF of 4M rows; dim is too big to
     // broadcast (forced), so the join must shuffle — the regime where a
     // hot key funnels into one task.
@@ -235,7 +258,9 @@ object Stress {
     require(mx3 < mx1 && mx2 < mx1,
       s"expected salted ($mx3 ms) and AQE-split ($mx2 ms) max-task < unmitigated ($mx1 ms)")
     println(f"[stress] skew-join verdict: unmitigated ratio ${mx1.toDouble / math.max(md1, 1)}%.1f -> salted ${mx3.toDouble / math.max(md3, 1)}%.1f (AQE split max ${mx2}ms)")
+    }
 
+    if (want("hotbucket")) {
     // Hot-shingle-bucket near-dup: 3k of 50k docs share one template text →
     // one LSH bucket holds 3k docs. Uncapped, that single bucket emits
     // ~4.5M candidate pairs (quadratic); capped at 100 the bucket is
@@ -264,6 +289,7 @@ object Stress {
     println(s"[stress] hot-bucket pairs: uncapped=$candUncapped capped=$candCapped (max-task $mxU -> $mxC ms)")
     require(candCapped < candUncapped / 10,
       "bucket cap failed to suppress the quadratic hot-bucket blowup")
+    }
     spark.stop()
   }
 }
