@@ -173,10 +173,10 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSeq.sortBy(_._1)
     assert(trained(0) == trained(200000))
-    def vocab(thr: Int) = TextAnalysis
+    def vocabAt(thr: Int) = TextAnalysis
       .bpeVocab(docs, "text", nMerges = 3, driverThreshold = thr)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_occurrences")).toMap
-    assert(vocab(0) == vocab(200000))
+    assert(vocabAt(0) == vocabAt(200000))
   }
 
   test("charEntropy: hand-computed entropy; uniform > repeated; flag applied") {
