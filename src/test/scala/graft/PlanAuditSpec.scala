@@ -130,4 +130,17 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a UDF")
     }
   }
+
+  test("IVF-family queries never fall back to SortAggregate") {
+    // Regression guard for the round-5 straggler: max(struct) argmax can't
+    // hash-aggregate, so the old assignment planned a SortAggregate over
+    // the N×nCells join fan-out — a 20-minute single task at 80k×283
+    // (STRESS.md). The literal-matrix matdot argmax is map-only; nothing
+    // in these pipelines should sort-aggregate.
+    Seq("q35_ivf_topk", "q59_kmeans_assign", "q62_semantic_dedup",
+        "q92_diverse_sample", "q94_ivf2_topk").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      assert(!p.contains("SortAggregate"), s"$name plans a SortAggregate:\n$p")
+    }
+  }
 }
