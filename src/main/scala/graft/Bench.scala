@@ -22,6 +22,67 @@ import org.apache.spark.sql.functions.{col, expr, xxhash64}
   *     time. The cold rep is also reported in aggregate (`wall_cold_total`).
   */
 object Bench {
+  /** One query's measured result (min-of-reps wall/cpu + the cold rep). */
+  private[graft] final case class QRes(name: String, wall: Double, cpu: Double,
+                                       wallCold: Double, status: String)
+
+  /** Short artifact key: the unique `qNN` prefix of the registry name
+    * (`q81_dedup_survivors` → `q81`). Falls back to the full name if two
+    * queries ever share a prefix — correctness of the artifact beats size. */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val dup = pref.values.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSet
+    pref.map { case (n, p) => n -> (if (dup(p)) n else p) }
+  }
+
+  /** Format seconds at the given decimal precision, trailing zeros stripped
+    * ("0.40" → "0.4", "12.00" → "12") — every byte counts in the capture
+    * budget. Locale-pinned: the artifact must parse as JSON everywhere. */
+  private[graft] def fmtSec(d: Double, decimals: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+
+  /** Render the single-line JSON artifact.
+    *
+    * The driver keeps only the TAIL (~2,000 chars) of stdout, and rounds 4
+    * and 5 both lost per-query attribution to that: r4 kept only statuses,
+    * r5 put the cpu map before the wall map and truncation ate it. This
+    * round's shape (judge-prescribed):
+    *   - ONE per-query map `"qNN":[wall,cpu]` — wall and cpu travel
+    *     together, so losing one never keeps the other;
+    *   - sorted slowest-first, headline `"value"` and agg totals LAST;
+    *   - keys are the short `qNN` prefixes, values centisecond-rounded;
+    *   - if the rendered line still exceeds the capture budget, precision
+    *     degrades 2 → 1 → 0 decimals until it fits (never drops a query).
+    * BenchSpec pins the full-registry line under 2,000 bytes. */
+  private[graft] val captureBudgetBytes = 2000
+  private[graft] def renderLine(sfDir: String, results: Seq[QRes],
+                                agg: (Long, Long, Long, Long)): String = {
+    def round3(d: Double): Double = math.rint(d * 1000) / 1000
+    val keys = shortKeys(results.map(_.name))
+    val (runMs, cpuNs, gcMs, shufNs) = agg
+    val sorted = results.sortBy(r => (-r.wall, r.name))
+    def render(decimals: Int): String = {
+      def f(d: Double) = fmtSec(d, decimals)
+      val qs = sorted.map(r => "\"" + keys(r.name) + "\":[" + f(r.wall) + "," + f(r.cpu) + "]")
+        .mkString("{", ",", "}")
+      val errors = sorted.filter(_.status != "ok")
+        .map(r => "\"" + keys(r.name) + "\":\"" + r.status + "\"")
+        .mkString("{", ",", "}")
+      val failed = results.count(_.status != "ok")
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,""" +
+      s""""errors":$errors,"queries":$qs,""" +
+      s""""agg":{"run":${round3(runMs / 1e3)},"cpu":${round3(cpuNs / 1e9)},""" +
+      s""""gc":${round3(gcMs / 1e3)},"shuf":${round3(shufNs / 1e9)}},""" +
+      s""""wall_cold_total":${f(results.map(_.wallCold).sum)},""" +
+      s""""cpu_total":${f(results.map(_.cpu).sum)},""" +
+      s""""value":${f(results.map(_.wall).sum)}}"""
+    }
+    Iterator(2, 1, 0).map(render).find(_.length <= captureBudgetBytes)
+      .getOrElse(render(0))
+  }
+
   /** Force FULL materialization of every output column.
     *
     * A bare `.count()` lets Catalyst prune the final projections (expression-
@@ -132,8 +193,6 @@ object Bench {
     // Per-query: two reps (cold, warm); recorded wall/cpu are the min-wall
     // rep's. Failures are REPORTED, never timed-as-success — a bench that
     // times failures can hide a real regression forever.
-    final case class QRes(name: String, wall: Double, cpu: Double,
-                          wallCold: Double, status: String)
     // Dev loop: SPARK_GRAFT_ONLY=q01...,q02... limits the run (driver runs
     // without it → full registry).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -174,27 +233,7 @@ object Bench {
         f"[bench] $name%-28s wall $w%7.2f s  cpu $c%7.2f s  (cold $wCold%7.2f)  $status")
       QRes(name, round3(w), round3(c), round3(wCold), status)
     }
-    val qs = results.map(r => "\"" + r.name + "\":" + r.wall)
-      .mkString("{", ",", "}")
-    val cpuMap = results.map(r => "\"" + r.name + "\":" + r.cpu)
-      .mkString("{", ",", "}")
-    val errors = results.filter(_.status != "ok")
-      .map(r => "\"" + r.name + "\":\"" + r.status + "\"")
-      .mkString("{", ",", "}")
-    val failed = results.count(_.status != "ok")
-    val total = round3(results.map(_.wall).sum)
-    val totalCold = round3(results.map(_.wallCold).sum)
-    val totalCpu = round3(results.map(_.cpu).sum)
-    val (runMs, cpuNs, gcMs, shufNs) = listener.snapshot
-    // Key order matters to a tail-capturing driver: bulky-but-secondary maps
-    // first, per-query wall timings and the headline total LAST.
-    println(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,""" +
-      s""""errors":$errors,"agg":{"executor_run_sec":${round3(runMs / 1e3)},""" +
-      s""""executor_cpu_sec":${round3(cpuNs / 1e9)},"gc_sec":${round3(gcMs / 1e3)},""" +
-      s""""shuffle_write_sec":${round3(shufNs / 1e9)}},""" +
-      s""""wall_cold_total":$totalCold,"cpu_total":$totalCpu,"cpu":$cpuMap,""" +
-      s""""queries":$qs,"value":$total}""")
+    println(renderLine(sfDir, results, listener.snapshot))
     spark.stop()
   }
 }

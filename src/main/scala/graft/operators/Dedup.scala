@@ -340,9 +340,13 @@ object Dedup {
     val pairs = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = pairs.count()
-    if (nEdges <= driverThreshold) {
-      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Bounded fast-path probe (the bpeLoop recipe): collect at most
+    // threshold+1 rows — never a full count job over a large edge list.
+    // When the probe fits, the collected rows ARE the whole edge set, so
+    // the fast path pays one bounded job total.
+    val probe = pairs.limit(driverThreshold + 1).collect()
+    if (probe.length <= driverThreshold) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       // Iterative find with path halving — a recursive find would recurse

@@ -297,6 +297,12 @@ object Similarity {
       .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
       .limit(nCells) // sort+limit → TakeOrderedAndProject: distributed top-k, no global sort
 
+  /** In-plan quantizer budget for the literal assignment path: the collected
+    * matrix rides with the task binary (one broadcast per stage), so it is
+    * capped at 4M longs (~32 MB). Above the cap [[assignCellsJoin]] takes
+    * over — a bigger quantizer must stay lazy and distributed. */
+  private[graft] val AssignLiteralLongsCap: Long = 4L << 20
+
   /** One cell assignment pass: each (id, __qv) row keeps its best-dot
     * centroid (deterministic tiebreak: smaller centroid id wins a dot tie).
     * Output: (id, __qv, cell, __bd) where __bd is the winning dot.
@@ -310,20 +316,54 @@ object Similarity {
     * SortAggregate (struct buffers can't hash-aggregate) that re-evaluated
     * the interpreted quantize transform per JOINED row and sorted the whole
     * expansion; tools/Stress caught it as a 20-minute single-task straggler
-    * at 80k×283. */
+    * at 80k×283.
+    *
+    * The matrix enters the plan as a `typedLit` (ONE Literal node; matdot's
+    * codegen references it as a static `long[][]`) — never as SQL text,
+    * whose parse alone would crawl at 10^4–10^5-cell quantizer sizes. The
+    * collects here are eager but BOUNDED: a 1-row dim probe, then at most
+    * cap/dim+1 rows; past the cap nothing big was materialized and the
+    * lazy join form is returned instead. */
   private def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
-    val c = cents.select(col("cent_id"), col("__cv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    require(c.nonEmpty, "assignCells: empty centroid set")
-    val matSql = c.map(_._2.map(v => s"${v}L").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-    val idArrSql = c.map(x => s"${x._1}L").mkString("array(", ",", ")")
-    spread(q).select(col(idCol), col("__qv"),
-        expr(s"graft_matdot(__qv, $matSql)").as("__cd"))
-      .select(col(idCol), col("__qv"),
-        expr(s"element_at($idArrSql, CAST(array_position(__cd, array_max(__cd)) AS INT))")
-          .as("cell"),
-        expr("array_max(__cd)").as("__bd"))
+    val head = cents.select(col("__cv")).limit(1).collect()
+    require(head.nonEmpty, "assignCells: empty centroid set")
+    val dim = math.max(head.head.getSeq[Long](0).length, 1)
+    val rowCap = math.max(1L, AssignLiteralLongsCap / dim).toInt
+    val probe = cents.select(col("cent_id"), col("__cv")).limit(rowCap + 1).collect()
+    if (probe.length > rowCap) assignCellsJoin(q, idCol, cents)
+    else {
+      val c = probe.map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      val mat = typedLit(c.map(_._2.toSeq).toSeq)
+      val ids = typedLit(c.map(_._1).toSeq)
+      spread(q).select(col(idCol), col("__qv"),
+          call_function("graft_matdot", col("__qv"), mat).as("__cd"))
+        .select(col(idCol), col("__qv"),
+          element_at(ids,
+            array_position(col("__cd"), array_max(col("__cd"))).cast("int")).as("cell"),
+          array_max(col("__cd")).as("__bd"))
+    }
+  }
+
+  /** Lazy distributed assignment for quantizers past [[AssignLiteralLongsCap]].
+    * BroadcastNestedLoopJoin fan-out (N×nCells rows) scored by the codegen'd
+    * graft_dot64, then a TWO-PHASE hash-aggregate argmax — max(dot) per id,
+    * join back, min(cent_id) among dot-ties — never max(struct), which would
+    * plan the SortAggregate straggler this family bans (PlanAuditSpec). Same
+    * (id, __qv, cell, __bd) contract and the same smallest-id tiebreak as the
+    * literal path; costs two shuffles and scores the fan-out twice, the right
+    * trade only where the matrix can no longer ship with the tasks. */
+  private[graft] def assignCellsJoin(q: DataFrame, idCol: String,
+                                     cents: DataFrame): DataFrame = {
+    val scored = spread(q)
+      .crossJoin(broadcast(cents.select(col("cent_id"), col("__cv"))))
+      .select(col(idCol), col("__qv"), col("cent_id"),
+        call_function("graft_dot64", col("__qv"), col("__cv")).as("__dot"))
+    val best = scored.groupBy(col(idCol)).agg(max(col("__dot")).as("__bd"))
+    scored.join(best, Seq(idCol))
+      .where(col("__dot") === col("__bd"))
+      .groupBy(col(idCol), col("__qv"), col("__bd"))
+      .agg(min(col("cent_id")).as("cell"))
+      .select(col(idCol), col("__qv"), col("cell"), col("__bd"))
   }
 
   /** Local-parallelism guard for per-row matrix work: a single-file scan or
@@ -498,9 +538,43 @@ object Similarity {
     * Two levels make assignment O(N·(C1 + C2)) with C1 ≈ C2 ≈ N^(1/3)…√C
     * sized frames, both broadcastable, and probing can target leaf cells
     * C1·C2 ≈ C fine without ever scoring all C centroids per query. */
+  /** Leaf assignment, map-only like [[assignCells]]: one graft_matdot
+    * against the full leaf matrix (ordered by (cell1, cent_id)), then the
+    * argmax restricted to the member's OWN L1 cell via literal offset/
+    * length maps + slice. First-max within the slice ≡ smallest-cent_id
+    * tiebreak. The local form computes C1·C2 dots per vector instead of
+    * the hierarchical C1+C2 — codegen multiply-adds, cheap up to ~10⁵
+    * leaves (a 50 MB in-plan matrix); past that, dispatch per-cell
+    * sub-matrices or add a third level (documented limit, same family as
+    * the flat-IVF √N wall this operator exists to push back). Literals
+    * enter as typedLit (one node each), never SQL text — assignCells'
+    * parse-size rationale. */
+  private def assignLeaves(a1: DataFrame, cents2: DataFrame,
+                           idCol: String): DataFrame = {
+    val c2 = cents2.select(col("cell1"), col("cent_id"), col("__cv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .sortBy(x => (x._1, x._2))
+    require(c2.nonEmpty, "assignLeaves: empty L2 centroid set")
+    val mat = typedLit(c2.map(_._3.toSeq).toSeq)
+    val leafIds = typedLit(c2.map(_._2).toSeq)
+    val spans = c2.map(_._1).zipWithIndex.groupBy(_._1).toSeq
+      .map { case (cell1, xs) => (cell1, xs.map(_._2).min + 1, xs.size) } // 1-based
+    val offMap = typedLit(spans.map(s => s._1 -> s._2).toMap)
+    val lenMap = typedLit(spans.map(s => s._1 -> s._3).toMap)
+    def sub = slice(col("__d2"),
+      element_at(offMap, col("cell1")), element_at(lenMap, col("cell1")))
+    a1.select(col(idCol), col("__qv"), col("cell1"),
+        call_function("graft_matdot", col("__qv"), mat).as("__d2"))
+      .select(col(idCol), col("__qv"), col("cell1"),
+        element_at(leafIds,
+          (element_at(offMap, col("cell1"))
+            + array_position(sub, array_max(sub))).cast("int") - 1).as("cell2"))
+  }
+
   private[operators] def ivfIndex2(q: DataFrame, idCol: String,
                                    nCellsL1: Int, nCellsL2: Int,
-                                   trainIters: Int): (DataFrame, DataFrame, DataFrame) = {
+                                   trainIters: Int,
+                                   trainItersL2: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     val cents1 = ivfCentroidsTrained(q, idCol, nCellsL1, trainIters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a1 = assignCells(q, idCol, cents1)
@@ -510,42 +584,36 @@ object Similarity {
     // rank-k window plans as WindowGroupLimit, no per-cell sort
     val wSeed = Window.partitionBy(col("cell1"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val cents2 = a1
+    var cents2 = a1
       .withColumn("__rn", row_number().over(wSeed))
       .filter(col("__rn") <= nCellsL2)
       .select(col("cell1"), col(idCol).as("cent_id"), col("__qv").as("__cv"))
+    // Per-cell Lloyd refinement of the leaf quantizer — the same exact-
+    // integer recipe as ivfTrainCentroids (long sums, integer division,
+    // position-sorted rebuild) grouped by (cell1, cent_id), so the trained
+    // leaves stay bit-stable across runs and partitionings. Sampled seeds
+    // put leaves where single members happen to sit; one or two Lloyd
+    // rounds move them to member MEANS, which is what raises probed-leaf
+    // recall at a fixed probe budget (measured in SimilaritySpec).
+    for (_ <- 0 until trainItersL2) {
+      val assigned = assignLeaves(a1, cents2, idCol)
+      val means = assigned
+        .select(col("cell1"), col("cell2").as("cent_id"),
+          posexplode(col("__qv")).as(Seq("__pos", "__val")))
+        .groupBy(col("cell1"), col("cent_id"), col("__pos"))
+        .agg(expr("sum(__val) div count(1)").as("__mv"))
+        .groupBy(col("cell1"), col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(__pos, __mv))), s -> s.__mv)")
+          .as("__new_cv"))
+      cents2 = cents2.join(means, Seq("cell1", "cent_id"), "left")
+        .select(col("cell1"), col("cent_id"),
+          coalesce(col("__new_cv"), col("__cv")).as("__cv"))
+        .localCheckpoint() // tiny frame; truncate per-round plan growth
+    }
+    val cents2p = cents2
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // L2 assignment, map-only like assignCells: one graft_matdot against
-    // the full leaf matrix (ordered by (cell1, cent_id)), then the argmax
-    // restricted to the member's OWN L1 cell via literal offset/length
-    // maps + slice. First-max within the slice ≡ smallest-cent_id tiebreak.
-    // The local form computes C1·C2 dots per vector instead of the
-    // hierarchical C1+C2 — codegen multiply-adds, cheap up to ~10⁵ leaves
-    // (a 50 MB literal matrix); past that, dispatch per-cell sub-matrices
-    // or add a third level (documented limit, same family as the flat-IVF
-    // √N wall this operator exists to push back).
-    val c2 = cents2.select(col("cell1"), col("cent_id"), col("__cv")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
-      .sortBy(x => (x._1, x._2))
-    val matSql = c2.map(_._3.map(v => s"${v}L").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
-    val leafIdsSql = c2.map(x => s"${x._2}L").mkString("array(", ",", ")")
-    val spans = c2.map(_._1).zipWithIndex.groupBy(_._1).toSeq
-      .map { case (cell1, xs) => (cell1, xs.map(_._2).min + 1, xs.size) } // 1-based
-    val offMapSql = spans.map { case (c, o, _) => s"${c}L, $o" }
-      .mkString("map(", ", ", ")")
-    val lenMapSql = spans.map { case (c, _, n) => s"${c}L, $n" }
-      .mkString("map(", ", ", ")")
-    val subExpr = s"slice(__d2, element_at($offMapSql, cell1), element_at($lenMapSql, cell1))"
-    val index = a1
-      .select(col(idCol), col("__qv"), col("cell1"),
-        expr(s"graft_matdot(__qv, $matSql)").as("__d2"))
-      .select(col(idCol), col("__qv"), col("cell1"),
-        expr(s"""element_at($leafIdsSql,
-             CAST(element_at($offMapSql, cell1)
-                  + array_position($subExpr, array_max($subExpr)) AS INT) - 1)""")
-          .as("cell2"))
-    (cents1, cents2, index)
+    val index = assignLeaves(a1, cents2p, idCol)
+    (cents1, cents2p, index)
   }
 
   /** Hierarchical (two-level) IVF approximate top-k behind the same API as
@@ -565,10 +633,11 @@ object Similarity {
                queryPred: Column, k: Int,
                nCellsL1: Int, nCellsL2: Int,
                nProbeL1: Int, nProbeL2: Int,
-               trainIters: Int = 0): DataFrame = {
+               trainIters: Int = 0, trainItersL2: Int = 0): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
-    val (cents1, cents2, index0) = ivfIndex2(q, idCol, nCellsL1, nCellsL2, trainIters)
+    val (cents1, cents2, index0) =
+      ivfIndex2(q, idCol, nCellsL1, nCellsL2, trainIters, trainItersL2)
     val index = index0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryIds = emb.filter(queryPred).select(col(idCol))
     val queries = q.join(queryIds, idCol)

@@ -902,7 +902,13 @@ object TextQueries {
     * MATERIALIZED: DuckDB inlines CTEs by default and every round
     * references the previous one twice, so an uninlined 30-round chain
     * would expand 2^30 copies of the base scan ("too many open files"
-    * before it even runs). */
+    * before it even runs).
+    *
+    * The rewrite LEFT-JOINs the 1-row argmax m$r: the engine's `bpeLoop`
+    * stops early when no pair remains, and the oracle must degrade the
+    * same way — the previous comma cross join emptied t$r (and every
+    * later round, and the final vocabulary) on any corpus that exhausts
+    * in fewer than `n` merges. */
   private def bpeRoundCtes(n: Int): String =
     (1 to n).map { r =>
       s"""c$r AS (
@@ -912,8 +918,9 @@ object TextQueries {
                GROUP BY 1, 2),
              m$r AS MATERIALIZED (SELECT * FROM c$r ORDER BY pair_count DESC, p1, p2 LIMIT 1),
              t$r AS MATERIALIZED (
-               SELECT replace(sym, ' ' || m$r.p1 || ' ' || m$r.p2 || ' ',
-                 ' ' || m$r.p1 || m$r.p2 || ' ') AS sym, freq
-               FROM t${r - 1}, m$r)"""
+               SELECT CASE WHEN m$r.p1 IS NULL THEN sym
+                 ELSE replace(sym, ' ' || m$r.p1 || ' ' || m$r.p2 || ' ',
+                   ' ' || m$r.p1 || m$r.p2 || ' ') END AS sym, freq
+               FROM t${r - 1} LEFT JOIN m$r ON TRUE)"""
     }.mkString(",\n             ")
 }

@@ -82,6 +82,21 @@ object StreamingMedallion {
       }
       .start()
 
+  /** Gold recompute from the full silver table: ONE row per orderId first
+    * (hash-aggregate max — a re-delivered order carries identical header
+    * values), then the per-customer rollup. The dedup is what keeps gold
+    * exactly-once beyond checkpoint replay: if completeness-join state is
+    * run with a production TTL, an order whose state expired and was then
+    * fully re-delivered emits into a NEW batch_id dir — batch-keyed
+    * overwrite can't collapse that, so the recompute must. */
+  private[graft] def goldFromSilver(silver: DataFrame): DataFrame =
+    silver.groupBy(col("orderId"))
+      .agg(max(col("customerId")).as("customerId"),
+        max(col("numProducts").cast("long")).as("numProducts"))
+      .groupBy(col("customerId"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("numProducts")).as("n_products"))
+
   /** Silver + gold: the stateful completeness join emits consolidated
     * orders; each micro-batch lands its completions idempotently in silver
     * and republishes gold (per-customer completed-order rollup) as a new
@@ -105,10 +120,8 @@ object StreamingMedallion {
         if (!batch.isEmpty) {
         writeBatchDir(batch, silverDir, batchId)
         val silver = batch.sparkSession.read.parquet(silverDir)
-        val gold = silver.groupBy(col("customerId"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("numProducts").cast("long")).as("n_products"))
-        Medallion.publishGold(batch.sparkSession, gold, goldRoot, retain = 2)
+        Medallion.publishGold(batch.sparkSession, goldFromSilver(silver),
+          goldRoot, retain = 2)
         }
         ()
       }

@@ -35,6 +35,16 @@ object IvfExp {
         k = 10, nCellsL1 = c1, nCellsL2 = c2, nProbeL1 = p1, nProbeL2 = p2)))
       println(f"[ivfexp] hier  C1=$c1%2d C2=$c2%2d p1=$p1%2d p2=$p2%2d budget=${p2.toDouble / (c1 * c2)}%.3f recall=$r%.3f")
     }
+    // trained variants: L1 Lloyd (t1), per-cell leaf Lloyd (t2)
+    for ((c1, c2, p1, p2, t1, t2) <- Seq(
+      (8, 16, 6, 32, 0, 1), (8, 16, 6, 32, 0, 2), (8, 16, 6, 32, 1, 1),
+      (8, 16, 6, 32, 1, 2), (8, 16, 6, 32, 2, 2), (8, 16, 8, 32, 1, 2),
+      (11, 11, 6, 30, 1, 2), (11, 11, 8, 30, 1, 2))) {
+      val r = rec(pairs(Similarity.ivfTopK2(emb, "vec_id", "embedding", pred,
+        k = 10, nCellsL1 = c1, nCellsL2 = c2, nProbeL1 = p1, nProbeL2 = p2,
+        trainIters = t1, trainItersL2 = t2)))
+      println(f"[ivfexp] hierT C1=$c1%2d C2=$c2%2d p1=$p1%2d p2=$p2%2d t1=$t1 t2=$t2 budget=${p2.toDouble / (c1 * c2)}%.3f recall=$r%.3f")
+    }
     spark.stop()
   }
 }

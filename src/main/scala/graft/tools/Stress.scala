@@ -226,6 +226,19 @@ object Stress {
     }
 
     if (want("skew")) {
+    // Session confs this section mutates, restored in the finally below so
+    // a combined run executes later sections (hotbucket, dedup, ...) under
+    // the same configs as a targeted run — section selection must not
+    // change what any section measures.
+    val mutatedConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val savedConfs = mutatedConfs.map(k => k -> spark.conf.getOption(k))
+    try {
     // Zipf-skewed fact: key 0 owns 7/8 of 8M rows; dim is too big to
     // broadcast (forced), so the join must shuffle — the regime where a
     // hot key funnels into one task.
@@ -267,6 +280,10 @@ object Stress {
       f"expected salting to at least halve max/median: $ratio1%.1f -> $ratio3%.1f")
     require(mx2 < mx1, s"expected AQE skew split ($mx2 ms) < unmitigated ($mx1 ms)")
     println(f"[stress] skew-join verdict: unmitigated ratio $ratio1%.1f -> salted $ratio3%.1f (AQE split max ${mx2}ms vs $mx1)")
+    } finally savedConfs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     }
 
     if (want("hotbucket")) {

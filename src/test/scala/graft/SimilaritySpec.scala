@@ -127,6 +127,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hierRun() == hier)
   }
 
+  test("assignCellsJoin fallback: identical assignment to the literal path, hash-agg plan") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("__qv"))
+    val cents = Similarity.ivfCentroids(q, "vec_id", nCells = 8)
+    val viaJoin = Similarity.assignCellsJoin(q, "vec_id", cents)
+    // untrained ivfIndex == assignCells over the same md5-sample centroids
+    val viaLit = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"), col("__bd")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(norm(viaJoin) == norm(viaLit))
+    // the fallback must keep the family's plan bans: hash aggregation only
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), "fallback planned a SortAggregate")
+    assert(!plan.contains("CartesianProduct"), "fallback planned a CartesianProduct")
+  }
+
   test("ivf index assigns near-identical vectors to the same cell; planted dup found at nProbe=1") {
     val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap

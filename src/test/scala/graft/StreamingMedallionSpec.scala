@@ -135,4 +135,21 @@ class StreamingMedallionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/bronze").count() == 3)
     assert(spark.read.parquet(s"$root/silver").count() == 2)
   }
+
+  test("gold recompute counts a TTL-expired fully-re-delivered order once") {
+    import spark.implicits._
+    // Simulate the post-TTL shape directly: completeness-join state for
+    // order 7 expired, the producer re-delivered it in full, and the join
+    // re-emitted it into a NEW batch_id dir. Silver then holds the same
+    // orderId in two batch partitions — batch-keyed overwrite cannot
+    // collapse that; the gold recompute must.
+    val root = java.nio.file.Files.createTempDirectory("gold-dedup").toString
+    val b0 = Seq((7L, 100L, 3), (8L, 100L, 2)).toDF("orderId", "customerId", "numProducts")
+    val b5 = Seq((7L, 100L, 3)).toDF("orderId", "customerId", "numProducts")
+    b0.write.parquet(s"$root/silver/batch_id=0")
+    b5.write.parquet(s"$root/silver/batch_id=5")
+    val gold = StreamingMedallion.goldFromSilver(spark.read.parquet(s"$root/silver"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gold == Map(100L -> (2L, 5L)), s"gold=$gold") // 2 orders, 3+2 products
+  }
 }

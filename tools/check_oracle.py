@@ -7,7 +7,7 @@ Reads each <outDir>/<name>/ parquet (Spark result), runs the matching SQL
 from <outDir>/oracle_sql.json in DuckDB against the sfDir parquet tables,
 sorts columns by name + rows by all columns, and compares values exactly.
 """
-import sys, json, glob, math
+import os, sys, json, glob, math
 
 import duckdb
 import pyarrow.parquet as pq
@@ -44,6 +44,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:  # dev loop: same filter the Scala Verify/Bench mains honor
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
