@@ -83,6 +83,14 @@ object MakeSf {
     writeOne(scale(rd("lineitem"), k,
       Seq("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)),
       outDir, "lineitem")
+    // events.ts is parquet TIMESTAMP(NANOS), unreadable by Spark's
+    // vectorized reader — read nanos as long (Tables.events' recipe) and
+    // write it back as a plain INT64 nanos column. Tables.events treats
+    // both identically (`ts div 1000` then timestamp_micros); only a
+    // DuckDB oracle reading ts as a native timestamp would see the
+    // difference, and the derived-SF sweep spot-checks relational
+    // queries, not events ones.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     writeOne(scale(rd("events"), k,
       Seq("event_id" -> stride("events", "event_id"),
         "user_id" -> stride("events", "user_id"))), outDir, "events")

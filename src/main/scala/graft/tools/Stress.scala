@@ -15,12 +15,13 @@ object Stress {
     println(f"[stress] $name%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   /** Section selection: no args runs everything; otherwise name sections
-    * (dedup, cc, ann, ivf2, ops, skew, hotbucket). The 200k dedup block
+    * (dedup, cc, ann, ivf2, ops, skew, hotbucket, bpe, stream). The 200k dedup block
     * alone is ~an hour of real compute (4M+ true near-dup pairs by
     * construction), so targeted runs matter. */
   def main(args: Array[String]): Unit = {
     val sections =
-      if (args.isEmpty) Set("dedup", "cc", "ann", "ivf2", "ops", "skew", "hotbucket")
+      if (args.isEmpty)
+        Set("dedup", "cc", "ann", "ivf2", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
     val b = SparkSession.builder().master("local[32]")
@@ -99,25 +100,56 @@ object Stress {
     }
 
     if (want("ann")) {
-    // scale-appropriate parameterization: 16-bit band keys (65k buckets per
-    // band at 80k vectors -> ~1.2/bucket), radius-2 multiprobe (137 masks)
-    val ann = t("annTopK 80k corpus, 2k queries (16-bit bands, r=2)") {
-      Similarity.annTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 40 === 0, k = 10,
-        planes = 128, dim = 64, bands = 8, probeRadius = 2).count()
+    // THE production-path decision table (VERDICT r5 #4): every top-k path
+    // timed on the SAME 2k-query / 80k-corpus workload, with recall scored
+    // on a 200-query subset against exact ground truth. Run `ann` and read
+    // the [stress] ann-table lines.
+    val pred2k = col("vec_id") % 40 === 0
+    val predSub = col("vec_id") % 400 === 0
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gtSub = t("ann-table ground truth (200 queries)") {
+      pairsOf(Similarity.bruteForceTopK(emb, "vec_id", "embedding", predSub, k = 10))
     }
-    println(s"[stress] ann rows=$ann")
-    val ivf = t("ivfTopK 80k corpus, 2k queries (283 cells, 16 probes)") {
-      Similarity.ivfTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 40 === 0, k = 10, nCells = 283, nProbe = 16).count()
+    def recallOf(sub: Set[(Long, Long)]): Double =
+      sub.intersect(gtSub).size.toDouble / gtSub.size
+    final case class Row(name: String, sec: Double, recall: Double)
+    def timed(name: String)(full: => org.apache.spark.sql.DataFrame)
+             (sub: => org.apache.spark.sql.DataFrame): Row = {
+      val t0 = System.nanoTime()
+      val n = full.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val r = recallOf(pairsOf(sub))
+      println(f"[stress] ann-table $name%-38s ${sec}%7.2f s  rows=$n%7d  recall=$r%.3f")
+      Row(name, sec, r)
     }
-    println(s"[stress] ivf rows=$ivf")
-    val ivfT = t("ivfTopK trained (2 Lloyd iters) 80k corpus") {
-      Similarity.ivfTopK(emb, "vec_id", "embedding",
-        col("vec_id") % 40 === 0, k = 10, nCells = 283, nProbe = 16,
-        trainIters = 2).count()
-    }
-    println(s"[stress] ivf trained rows=$ivfT")
+    val rBrute = timed("brute force (exact)") {
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", pred2k, k = 10)
+    } { Similarity.bruteForceTopK(emb, "vec_id", "embedding", predSub, k = 10) }
+    val rAnn = timed("annTopK LSH 16-bit bands r=2") {
+      Similarity.annTopK(emb, "vec_id", "embedding", pred2k, k = 10,
+        planes = 128, dim = 64, bands = 8, probeRadius = 2)
+    } { Similarity.annTopK(emb, "vec_id", "embedding", predSub, k = 10,
+        planes = 128, dim = 64, bands = 8, probeRadius = 2) }
+    val rIvf = timed("ivfTopK 283 cells / 16 probes") {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", pred2k, k = 10,
+        nCells = 283, nProbe = 16)
+    } { Similarity.ivfTopK(emb, "vec_id", "embedding", predSub, k = 10,
+        nCells = 283, nProbe = 16) }
+    val rIvfT = timed("ivfTopK trained (2 Lloyd iters)") {
+      Similarity.ivfTopK(emb, "vec_id", "embedding", pred2k, k = 10,
+        nCells = 283, nProbe = 16, trainIters = 2)
+    } { Similarity.ivfTopK(emb, "vec_id", "embedding", predSub, k = 10,
+        nCells = 283, nProbe = 16, trainIters = 2) }
+    // the recommended production top-k path must beat brute force >= 5x
+    // at this scale with recall >= 0.9 — the gate the scaladocs cite
+    val best = Seq(rIvf, rIvfT).filter(_.recall >= 0.9).minBy(_.sec)
+    println(f"[stress] ann-table verdict: recommended=${best.name} " +
+      f"speedup=${rBrute.sec / best.sec}%.1fx recall=${best.recall}%.3f " +
+      f"(lsh ${rAnn.sec}%.1f s recall=${rAnn.recall}%.3f)")
+    require(best.recall >= 0.9 && rBrute.sec / best.sec >= 5.0,
+      f"IVF top-k must beat brute >=5x at recall>=0.9: ${rBrute.sec / best.sec}%.1fx @ ${best.recall}%.3f")
     }
 
     if (want("ivf2")) {
@@ -143,9 +175,15 @@ object Stress {
       recallPairs(Similarity.ivfTopK2(emb, "vec_id", "embedding", subPred,
         k = 10, nCellsL1 = 17, nCellsL2 = 34, nProbeL1 = 5, nProbeL2 = 8))
     }
+    val hierTSub = t("hier IVF trained t1=1,t2=2 (equal budget)") {
+      recallPairs(Similarity.ivfTopK2(emb, "vec_id", "embedding", subPred,
+        k = 10, nCellsL1 = 17, nCellsL2 = 34, nProbeL1 = 5, nProbeL2 = 8,
+        trainIters = 1, trainItersL2 = 2))
+    }
     val rFlat = flatSub.intersect(bruteSub).size.toDouble / bruteSub.size
     val rHier = hierSub.intersect(bruteSub).size.toDouble / bruteSub.size
-    println(f"[stress] IVF recall @ equal budget: flat=$rFlat%.3f hier=$rHier%.3f")
+    val rHierT = hierTSub.intersect(bruteSub).size.toDouble / bruteSub.size
+    println(f"[stress] IVF recall @ equal budget: flat=$rFlat%.3f hier=$rHier%.3f hierTrained=$rHierT%.3f")
     }
 
     if (want("ops")) {
@@ -320,6 +358,124 @@ object Stress {
     println(s"[stress] hot-bucket pairs: uncapped=$candUncapped capped=$candCapped (max-task $mxU -> $mxC ms)")
     require(candCapped < candUncapped / 10,
       "bucket cap failed to suppress the quadratic hot-bucket blowup")
+    }
+
+    if (want("bpe")) {
+    // ============== distributed BPE past the driver threshold ==============
+    // bpeLoop's distributed branch never runs in the registry (every corpus
+    // stays under 200k word types) — exercise it: 300k unique types with a
+    // shared character structure so merges learn real pairs, 10 merges,
+    // and the merge table must EQUAL the driver path's on the same corpus
+    // (forced by a 2M threshold — 300k types fit driver memory fine; what
+    // is being proven is the distributed rounds compute the same argmaxes).
+    val bpeDocs = spark.range(300000)
+      .select(concat(lit("pre"), col("id"), lit("fix abra cad abra")).as("text"))
+      .repartition(64) // in-memory synthesis lands in ONE partition otherwise
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = t("bpe corpus distinct types") {
+      bpeDocs.select(explode(regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpeishRe), lit(0))).as("w")).distinct().count()
+    }
+    println(s"[stress] bpe distinct types=$nTypes (> 200k driver threshold)")
+    require(nTypes > 200000, s"corpus must exceed the driver threshold: $nTypes")
+    def mergeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val distSec0 = System.nanoTime()
+    val distM = t("bpe 10 merges DISTRIBUTED (300k types)") {
+      mergeRows(TextAnalysis.bpeTrain(bpeDocs, "text", nMerges = 10))
+    }
+    val perRound = (System.nanoTime() - distSec0) / 1e9 / 10
+    println(f"[stress] bpe distributed avg round time ${perRound}%.2f s")
+    val drvM = t("bpe 10 merges driver path (forced, same corpus)") {
+      mergeRows(TextAnalysis.bpeTrain(bpeDocs, "text", nMerges = 10,
+        driverThreshold = 2000000))
+    }
+    require(distM == drvM,
+      s"distributed and driver BPE merge tables diverged:\n$distM\n$drvM")
+    println(s"[stress] bpe merge tables identical across paths (${distM.size} merges)")
+    bpeDocs.unpersist()
+    }
+
+    if (want("stream")) {
+    // ============== streaming medallion throughput + recovery ==============
+    // ~100k CDC events (50k orders × header+line) through the continuous
+    // medallion with the RocksDB state store: events/s, state-store size,
+    // recovery time after a kill, and the exactly-once observable — a
+    // restart with nothing new to complete must publish ZERO new gold
+    // versions (a replayed already-committed batch would re-publish).
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("stress-stream").toString
+      val in = s"$root/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      def cdcLine(kind: String, oid: Long, cust: Long, n: Int, pid: Long): String = {
+        val after = kind match {
+          case "header" =>
+            s"""{"kind":"header","order_id":$oid,"customer_id":$cust,"num_products":$n}"""
+          case _ => s"""{"kind":"line","order_id":$oid,"product_id":$pid}"""
+        }
+        val envelope = s"""{"payload":{"after":$after}}"""
+        val escaped = envelope.replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"value":"$escaped"}"""
+      }
+      val nOrders = 50000
+      val nEvents = nOrders * 2
+      t("stream input files (100k events, 10 files)") {
+        (0 until 10).foreach { f =>
+          val sb = new StringBuilder
+          ((f * nOrders / 10) until ((f + 1) * nOrders / 10)).foreach { o =>
+            sb.append(cdcLine("header", o, cust = o % 100, n = 1, pid = -1)).append('\n')
+            sb.append(cdcLine("line", o, cust = -1, n = 0, pid = o)).append('\n')
+          }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(in, s"f$f.json"), sb.toString)
+        }
+      }
+      val t0 = System.nanoTime()
+      val sg = graft.streaming.StreamingMedallion.startSilverGold(spark, in,
+        s"$root/silver", s"$root/gold", s"$root/ckpt")
+      try sg.processAllAvailable() finally sg.stop()
+      val ingestSec = (System.nanoTime() - t0) / 1e9
+      val silverN = spark.read.parquet(s"$root/silver").count()
+      require(silverN == nOrders, s"expected $nOrders completed orders, got $silverN")
+      def dirSize(p: String): Long = {
+        val root = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      }
+      val stateMb = dirSize(s"$root/ckpt/state") / 1e6
+      val versionsBefore = graft.pipeline.Medallion.goldVersions(spark, s"$root/gold").size
+      println(f"[stress] stream ingest: $nEvents events in $ingestSec%.1f s = ${nEvents / ingestSec}%.0f events/s, state store ${stateMb}%.1f MB, gold versions $versionsBefore")
+      // recovery: restart from checkpoint with one incomplete order's header
+      // as the only new input — nothing completes, so gold must NOT move
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, "tail.json"),
+        cdcLine("header", 999999L, cust = 1, n = 1, pid = -1))
+      val t1 = System.nanoTime()
+      val sg2 = graft.streaming.StreamingMedallion.startSilverGold(spark, in,
+        s"$root/silver", s"$root/gold", s"$root/ckpt")
+      try sg2.processAllAvailable() finally sg2.stop()
+      val recoverSec = (System.nanoTime() - t1) / 1e9
+      val versionsAfter = graft.pipeline.Medallion.goldVersions(spark, s"$root/gold").size
+      println(f"[stress] stream recovery: $recoverSec%.1f s, gold versions $versionsBefore -> $versionsAfter")
+      require(versionsAfter == versionsBefore,
+        s"recovery republished gold: $versionsBefore -> $versionsAfter (a committed batch was replayed)")
+      val goldN = graft.pipeline.Medallion.readGold(spark, s"$root/gold")
+        .agg(sum(col("n_orders"))).head().getLong(0)
+      require(goldN == nOrders, s"gold order count $goldN != $nOrders")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     }
     spark.stop()
   }
