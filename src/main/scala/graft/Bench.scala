@@ -53,34 +53,81 @@ object Bench {
     *     together, so losing one never keeps the other;
     *   - sorted slowest-first, headline `"value"` and agg totals LAST;
     *   - keys are the short `qNN` prefixes, values centisecond-rounded;
+    *   - `"rerun"` lists queries whose entry was self-healed by an extra
+    *     end-of-run rep (see [[suspectNames]]) — a reader knows which
+    *     numbers were adjudicated against a degradation window;
     *   - if the rendered line still exceeds the capture budget, precision
-    *     degrades 2 → 1 → 0 decimals until it fits (never drops a query).
-    * BenchSpec pins the full-registry line under 2,000 bytes. */
+    *     degrades 2 → 1 → 0 decimals, then per-query error text shrinks
+    *     167 → 47 → 12 chars (never drops a query).
+    * The budget is checked in UTF-8 BYTES (what the driver's tail capture
+    * actually counts), not UTF-16 chars; jsonSafe is ASCII-only so the two
+    * agree for error text anyway. BenchSpec pins the full-registry line
+    * under 2,000 bytes. */
   private[graft] val captureBudgetBytes = 2000
+  private[graft] def utf8Len(s: String): Int =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
   private[graft] def renderLine(sfDir: String, results: Seq[QRes],
-                                agg: (Long, Long, Long, Long)): String = {
+                                agg: (Long, Long, Long, Long),
+                                rerun: Seq[String] = Nil): String = {
     def round3(d: Double): Double = math.rint(d * 1000) / 1000
     val keys = shortKeys(results.map(_.name))
     val (runMs, cpuNs, gcMs, shufNs) = agg
     val sorted = results.sortBy(r => (-r.wall, r.name))
-    def render(decimals: Int): String = {
+    def render(decimals: Int, errCap: Int, errMax: Int): String = {
       def f(d: Double) = fmtSec(d, decimals)
       val qs = sorted.map(r => "\"" + keys(r.name) + "\":[" + f(r.wall) + "," + f(r.cpu) + "]")
         .mkString("{", ",", "}")
-      val errors = sorted.filter(_.status != "ok")
-        .map(r => "\"" + keys(r.name) + "\":\"" + r.status + "\"")
+      // slowest-first like everything else; beyond errMax the entries drop
+      // (the true count survives in "failed", the full texts on stderr)
+      val errors = sorted.filter(_.status != "ok").take(errMax)
+        .map(r => "\"" + keys(r.name) + "\":\"" + r.status.take(errCap) + "\"")
         .mkString("{", ",", "}")
+      val rr = rerun.flatMap(keys.get).map("\"" + _ + "\"").mkString("[", ",", "]")
       val failed = results.count(_.status != "ok")
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","failed":$failed,""" +
-      s""""errors":$errors,"queries":$qs,""" +
+      s""""errors":$errors,"rerun":$rr,"queries":$qs,""" +
       s""""agg":{"run":${round3(runMs / 1e3)},"cpu":${round3(cpuNs / 1e9)},""" +
       s""""gc":${round3(gcMs / 1e3)},"shuf":${round3(shufNs / 1e9)}},""" +
       s""""wall_cold_total":${f(results.map(_.wallCold).sum)},""" +
       s""""cpu_total":${f(results.map(_.cpu).sum)},""" +
       s""""value":${f(results.map(_.wall).sum)}}"""
     }
-    Iterator(2, 1, 0).map(render).find(_.length <= captureBudgetBytes)
-      .getOrElse(render(0))
+    // degrade precision first (biggest lever), then error-text length, then
+    // the number of error entries — per-query timings are never dropped
+    val attempts = Seq(
+      (2, 167, Int.MaxValue), (1, 167, Int.MaxValue), (0, 167, Int.MaxValue),
+      (0, 47, Int.MaxValue), (0, 12, Int.MaxValue), (0, 12, 10), (0, 12, 0))
+    attempts.iterator.map { case (d, e, m) => render(d, e, m) }
+      .find(utf8Len(_) <= captureBudgetBytes)
+      .getOrElse(render(0, 12, 0))
+  }
+
+  /** Self-heal target list: which queries deserve ONE more rep at the END
+    * of the run. Two rounds running, the artifact's slowest entries were
+    * shared-box transients (r5: q59-q62; r6: q38 41.9 s vs 1.6 s solo) that
+    * BOTH in-place reps landed inside, so min-of-2 never recovered — only a
+    * judge rerun could tell a window from a regression. Detection is
+    * run-relative (no history file to go stale):
+    *   - the query's cpu/wall ratio is a ≥4× outlier vs the run median in
+    *     either direction (CPU-thrash inflates cpu, an I/O stall inflates
+    *     wall), with wall ≥ 2 s so trivia never re-runs; or
+    *   - its wall exceeds max(5 s, 5× the median wall) outright — a
+    *     proportional slowdown inflates both counters and hides from the
+    *     ratio test. Legitimately-slow queries cost one extra rep; capped.
+    * Slowest-first, capped at `cap` so the heal pass stays bounded. */
+  private[graft] def suspectNames(results: Seq[QRes], cap: Int = 8): Seq[String] = {
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+    val ok = results.filter(r => r.status == "ok" && r.wall >= 0.3)
+    val medRatio = median(ok.map(r => r.cpu / math.max(r.wall, 1e-9)))
+    val medWall = median(ok.map(_.wall))
+    results.filter { r =>
+      r.status == "ok" && r.wall >= 2.0 && {
+        val ratio = r.cpu / math.max(r.wall, 1e-9)
+        (medRatio > 0 && (ratio >= medRatio * 4 || ratio <= medRatio / 4)) ||
+        r.wall >= math.max(5.0, medWall * 5)
+      }
+    }.sortBy(-_.wall).take(cap).map(_.name)
   }
 
   /** Force FULL materialization of every output column.
@@ -98,9 +145,11 @@ object Bench {
       .head()
 
   /** Error text embedded in the one-line JSON artifact must never break its
-    * parse: quotes, backslashes and control characters become spaces. */
+    * parse or its byte budget: quotes, backslashes, control characters AND
+    * anything non-ASCII become spaces (ASCII-only ⇒ UTF-8 bytes == chars,
+    * so the capture-budget arithmetic can't be fooled by wide glyphs). */
   private[graft] def jsonSafe(msg: String): String =
-    msg.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
+    msg.replaceAll("[\"\\\\]|[^\\x20-\\x7E]", " ").take(160)
 
   /** Accumulates executor-side task metrics across all jobs; per-query cost
     * is the delta between snapshots taken around the timed window. */
@@ -199,32 +248,32 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    def rep(fn: (SparkSession, String) => DataFrame): (Double, Double, String) = {
+      val (_, cpu0, _, _) = listener.snapshot
+      val t0 = System.nanoTime()
+      val status =
+        try { materialize(fn(spark, sfDir)); "ok" }
+        catch {
+          case e: Throwable =>
+            "error: " + jsonSafe(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      settle(listener)
+      val (_, cpu1, _, _) = listener.snapshot
+      // Drop THIS rep's persisted frames before the next run (many
+      // operators persist internal frames they cannot unpersist
+      // themselves). 90+ queries' leftovers otherwise fill the storage
+      // pool, squeeze execution memory, and the tail of the registry
+      // times evictions and spills instead of queries. Cleanup is OUTSIDE
+      // the timed window: each query is measured the way a user would run
+      // it — alone.
+      spark.catalog.clearCache()
+      (wall, (cpu1 - cpu0) / 1e9, status)
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def rep(): (Double, Double, String) = {
-        val (_, cpu0, _, _) = listener.snapshot
-        val t0 = System.nanoTime()
-        val status =
-          try { materialize(fn(spark, sfDir)); "ok" }
-          catch {
-            case e: Throwable =>
-              "error: " + jsonSafe(Option(e.getMessage).getOrElse(e.getClass.getName))
-          }
-        val wall = (System.nanoTime() - t0) / 1e9
-        settle(listener)
-        val (_, cpu1, _, _) = listener.snapshot
-        // Drop THIS rep's persisted frames before the next run (many
-        // operators persist internal frames they cannot unpersist
-        // themselves). 90+ queries' leftovers otherwise fill the storage
-        // pool, squeeze execution memory, and the tail of the registry
-        // times evictions and spills instead of queries. Cleanup is OUTSIDE
-        // the timed window: each query is measured the way a user would run
-        // it — alone.
-        spark.catalog.clearCache()
-        (wall, (cpu1 - cpu0) / 1e9, status)
-      }
-      val (wCold, cCold, sCold) = rep()
+      val (wCold, cCold, sCold) = rep(fn)
       val (wWarm, cWarm, sWarm) =
-        if (sCold == "ok") rep() else (wCold, cCold, sCold)
+        if (sCold == "ok") rep(fn) else (wCold, cCold, sCold)
       val (w, c) = if (wWarm <= wCold) (wWarm, cWarm) else (wCold, cCold)
       val status = if (sCold == "ok" && sWarm == "ok") "ok"
                    else if (sCold != "ok") sCold else sWarm
@@ -233,7 +282,21 @@ object Bench {
         f"[bench] $name%-28s wall $w%7.2f s  cpu $c%7.2f s  (cold $wCold%7.2f)  $status")
       QRes(name, round3(w), round3(c), round3(wCold), status)
     }
-    println(renderLine(sfDir, results, listener.snapshot))
+    // Self-heal pass: one more rep for each suspect (see suspectNames), run
+    // AFTER the whole registry so a transient degradation window has had
+    // time to pass. min(wall) across all reps is recorded; the artifact's
+    // "rerun" list names every healed entry.
+    val rerun = suspectNames(results)
+    val healed = results.map { r =>
+      if (!rerun.contains(r.name)) r
+      else {
+        val (w3, c3, s3) = rep(selected(r.name))
+        System.err.println(
+          f"[bench] ${r.name}%-28s HEAL wall $w3%7.2f s  cpu $c3%7.2f s  (was ${r.wall}%7.2f)  $s3")
+        if (s3 == "ok" && w3 < r.wall) r.copy(wall = round3(w3), cpu = round3(c3)) else r
+      }
+    }
+    println(renderLine(sfDir, healed, listener.snapshot, rerun))
     spark.stop()
   }
 }

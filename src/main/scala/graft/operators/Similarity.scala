@@ -200,7 +200,20 @@ object Similarity {
     * at larger corpora raise planes (e.g. 16-bit bands) rather than
     * lowering the cap. probeRadius trades query-side fan-out (Σ C(bits,i))
     * for recall; radius 2–3 recovers ≥0.9 top-10 recall even on
-    * near-uniform corpora (asserted against brute force in SimilaritySpec). */
+    * near-uniform corpora (asserted against brute force in SimilaritySpec).
+    *
+    * POSITIONING (STRESS.md ann decision table, 80k corpus × 2k queries):
+    * the probe fan-out needed for ≥0.9 top-10 recall on a near-uniform
+    * corpus (radius 2–3 ⇒ each query touches 14–37% of every band's key
+    * space) makes this path barely faster than brute force — 29–63 s vs
+    * [[ivfTopK]] ~9 s at equal recall. That is a property of hyperplane
+    * LSH on high-dim near-uniform data, not a tuning miss: recall lives in
+    * the probe expansion, and the expansion IS the cost. Production top-k
+    * therefore goes through [[ivfTopK]] / [[ivfTopK2]] (q35/q94); LSH
+    * banding earns its keep where no probe expansion is needed — the
+    * near-dup PAIRS path ([[annNearDupPairs]], q46), where true neighbors
+    * collide in-bucket at radius 0. annTopK stays as the zero-training
+    * baseline and recall cross-check. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
               planes: Int = 64, dim: Int = 64,

@@ -59,7 +59,12 @@ object SimilarityQueries {
              FROM p WHERE CAST(dotx AS DOUBLE) >= 0.4
              ORDER BY dot DESC, vec_a, vec_b""")),
 
-    // LSH-bucketed approximate top-k (the corpus-scale ANN path). The
+    // LSH-bucketed approximate top-k — the zero-training LSH BASELINE,
+    // not the production top-k path: at stress scale (80k×2k, STRESS.md
+    // ann table) the multi-probe fan-out that buys recall makes it barely
+    // faster than brute force; production top-k is IVF (q35 flat / q94
+    // hierarchical), and LSH banding's production role is the near-dup-
+    // pairs path (q46) where radius-0 collisions suffice. The
     // approximation is md5-deterministic END TO END — ±1 hyperplanes from
     // md5("p:j"), integer band keys, capped buckets, radius-3 multi-probe,
     // exact fixed-point re-score — so the oracle re-derives the ENTIRE

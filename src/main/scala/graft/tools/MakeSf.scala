@@ -99,6 +99,16 @@ object MakeSf {
     writeOne(scale(rd("embeddings"), k,
       Seq("vec_id" -> stride("embeddings", "vec_id"))), outDir, "embeddings")
 
+    // Marker so oracle tooling knows events.ts semantics changed on this
+    // dir (tools/check_oracle.py skips events-family checks when present).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/_DERIVED_SF"),
+      (s"derived from $inDir x$k; events.ts is INT64 nanos (not " +
+        "TIMESTAMP(NANOS)): events-family DuckDB oracle checks are invalid " +
+        "on this dir\n").getBytes("UTF-8"))
+    println("[makesf] WARNING: events.ts written as INT64 nanos — " +
+      "events-family oracle checks are invalid on derived dirs " +
+      "(_DERIVED_SF marker written; check_oracle.py skips them)")
     val li = spark.read.parquet(s"$outDir/lineitem.parquet").count()
     println(s"[makesf] $outDir written, lineitem rows = $li")
     spark.stop()

@@ -144,7 +144,10 @@ object Stress {
         nCells = 283, nProbe = 16, trainIters = 2) }
     // the recommended production top-k path must beat brute force >= 5x
     // at this scale with recall >= 0.9 — the gate the scaladocs cite
-    val best = Seq(rIvf, rIvfT).filter(_.recall >= 0.9).minBy(_.sec)
+    val best = Seq(rIvf, rIvfT).filter(_.recall >= 0.9).minByOption(_.sec)
+      .getOrElse(sys.error(
+        f"no IVF path reached recall 0.9: ivf=${rIvf.recall}%.3f " +
+        f"trained=${rIvfT.recall}%.3f (brute=${rBrute.sec}%.1f s)"))
     println(f"[stress] ann-table verdict: recommended=${best.name} " +
       f"speedup=${rBrute.sec / best.sec}%.1fx recall=${best.recall}%.3f " +
       f"(lsh ${rAnn.sec}%.1f s recall=${rAnn.recall}%.3f)")

@@ -21,6 +21,13 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.jsonSafe("x" * 10000).length == 160)
   }
 
+  test("jsonSafe is ASCII-only so byte budget == char budget") {
+    val wide = "schéma mismatch → colonne «l_qté» 中文 😱"
+    val safe = Bench.jsonSafe(wide)
+    assert(safe.forall(c => c >= 0x20 && c <= 0x7e))
+    assert(Bench.utf8Len(safe) == safe.length)
+  }
+
   private def parse(line: String) =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
 
@@ -34,11 +41,12 @@ class BenchSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.size >= 95, s"registry shrank to ${names.size}")
     // pessimistic magnitudes: multi-second walls, hundred-second cpus
-    val line = Bench.renderLine("/root/testdata/sf0.1",
-      fullRegistryResults(wall = 9.87, cpu = 98.76),
-      (1234567L, 987654321000000L, 45678L, 9876543210L))
-    assert(line.length <= Bench.captureBudgetBytes,
-      s"artifact line is ${line.length} bytes")
+    val rs = fullRegistryResults(wall = 9.87, cpu = 98.76)
+    val line = Bench.renderLine("/root/testdata/sf0.1", rs,
+      (1234567L, 987654321000000L, 45678L, 9876543210L),
+      rerun = rs.map(_.name).take(8)) // pessimistic: full heal list present
+    assert(Bench.utf8Len(line) <= Bench.captureBudgetBytes,
+      s"artifact line is ${Bench.utf8Len(line)} bytes")
     assert(!line.contains("\n"))
     val node = parse(line) // must be valid JSON end to end
     assert(node.get("queries").size() == names.size)
@@ -89,6 +97,53 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.fmtSec(2.31, 2) == "2.31")
     assert(Bench.fmtSec(123.456, 1) == "123.5")
     assert(Bench.fmtSec(123.456, 0) == "123")
+  }
+
+  test("renderLine: rerun list rendered with short keys") {
+    val rs = Seq(
+      Bench.QRes("q38_dup_clusters", 41.88, 300.0, 42.0, "ok"),
+      Bench.QRes("q01_scan_filter_project", 0.4, 1.5, 0.9, "ok"))
+    val line = Bench.renderLine("/x", rs, (0L, 0L, 0L, 0L),
+      rerun = Seq("q38_dup_clusters"))
+    val node = parse(line)
+    assert(node.get("rerun").size() == 1)
+    assert(node.get("rerun").get(0).asText() == "q38")
+  }
+
+  test("renderLine: many failed queries shrink error text rather than bust the budget") {
+    // every registry query failing with a maximal 160-char message cannot
+    // fit at full error length; the render must degrade error text and
+    // still emit valid JSON under budget with zero queries dropped
+    val err = "error: " + Bench.jsonSafe("x" * 500)
+    val rs = SparkEntry.queries.keys.toSeq.sorted.map(n =>
+      Bench.QRes(n, 1.23, 4.56, 2.0, err))
+    val line = Bench.renderLine("/root/testdata/sf0.1", rs, (0L, 0L, 0L, 0L))
+    assert(Bench.utf8Len(line) <= Bench.captureBudgetBytes,
+      s"line is ${Bench.utf8Len(line)} bytes")
+    val node = parse(line)
+    assert(node.get("queries").size() == rs.size)
+    assert(node.get("failed").asInt() == rs.size)
+  }
+
+  test("suspectNames flags ratio outliers and runaway walls, capped and slowest-first") {
+    // a healthy run: 20 queries around 1 s wall, cpu/wall ≈ 8
+    val healthy = (1 to 20).map(i =>
+      Bench.QRes(f"q$i%02d_x", 1.0 + i * 0.01, 8.0, 1.5, "ok"))
+    assert(Bench.suspectNames(healthy).isEmpty)
+    // r6-shaped pathology: wall inflated 25x with cpu thrash (high ratio),
+    // an I/O stall (wall >> cpu), and a proportional blowup
+    val thrash = Bench.QRes("q38_cc", 41.9, 1600.0, 42.0, "ok")   // ratio 38 vs med 8
+    val stall = Bench.QRes("q57_io", 12.0, 3.0, 12.0, "ok")       // ratio 0.25
+    val blowup = Bench.QRes("q66_prop", 30.0, 240.0, 30.0, "ok")  // ratio 8 but wall 30x med
+    val tiny = Bench.QRes("q07_fast", 0.4, 50.0, 0.5, "ok")       // weird ratio, sub-floor wall
+    val names = Bench.suspectNames(healthy ++ Seq(thrash, stall, blowup, tiny))
+    assert(names == Seq("q38_cc", "q66_prop", "q57_io"))
+    // failed queries never re-run (their status already tells the story)
+    val failed = Bench.QRes("q99_bad", 50.0, 400.0, 50.0, "error: boom")
+    assert(!Bench.suspectNames(healthy :+ failed).contains("q99_bad"))
+    // cap respected
+    val storm = (1 to 12).map(i => Bench.QRes(s"s$i", 100.0 + i, 5000.0, 100.0, "ok"))
+    assert(Bench.suspectNames(healthy ++ storm, cap = 8).size == 8)
   }
 
   test("shortKeys: unique qNN prefixes for the whole registry") {
