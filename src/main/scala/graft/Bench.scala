@@ -208,6 +208,13 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The testdata tables are single parquet files well under the 128 MB
+      // default split size, so without this every scan stage is ONE task
+      // regardless of core count — 4 MB splits give the local session the
+      // scan parallelism a many-file production layout gets for free
+      // (effective only where the file has multiple row groups; MakeSf
+      // writes 1 MB groups for exactly that reason).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     scratchDir().foreach(builder.config("spark.local.dir", _))
     val spark = builder.getOrCreate()

@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // single-file testdata needs small splits for scan parallelism — see
+      // the matching Bench config for the full rationale
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     // tmpfs scratch with low-free-space disk fallback — see Bench.scratchDir
     Bench.scratchDir().foreach(builder.config("spark.local.dir", _))

@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Local-parallelism guard for per-row-heavy pipelines (matdot chains,
+    * regex tokenization, all-pairs fan-outs): when the input has fewer
+    * partitions than the session's parallelism — a single-split small-file
+    * scan, an in-memory synthesis — the expensive per-row stage would run
+    * on one core, so repartition up front (the shuffle moves the narrow
+    * input once and is trivia next to the per-row work it unlocks). No-op
+    * when the source is already partitioned, which is the normal cluster
+    * case: at 100 TB the file count provides scan parallelism and this
+    * must NOT inject a shuffle. The round-7 sf1 sweep measured the failure
+    * mode directly: single-row-group single-file tables ran every scan
+    * stage as one task (exact embedding near-dup q21: 17.9 s wall ≈ cpu,
+    * i.e. one core of an idle 32-core box). */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Deterministic salt in [0, salts) for the skewed (large) side. */
   private def saltOf(c: Column, salts: Int): Column =
     pmod(xxhash64(c), lit(salts))

@@ -68,7 +68,11 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
-    val cands = emb.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cv"))
+    // spread: the streamed side of the broadcast join carries O(N·Q) dot
+    // work; inheriting a single-split scan's partitioning would run it on
+    // one core (the round-7 sf1 sweep measured exactly that — cpu ≈ wall)
+    val cands = spread(emb.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("__cv")))
     val scored = cands.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__dot",
@@ -88,7 +92,9 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val a = emb.select(col(idCol).as("vec_a"), quantize(col(vecCol)).as("__va"))
+    // spread the left side: the cartesian's task count is pA×pB, and a
+    // single-split scan would make that 1 — all N²/2 dots on one core
+    val a = spread(emb.select(col(idCol).as("vec_a"), quantize(col(vecCol)).as("__va")))
     val b = emb.select(col(idCol).as("vec_b"), quantize(col(vecCol)).as("__vb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
@@ -126,7 +132,9 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     val bits = (0 until planes).map(p =>
       when(expr(s"__dots[$p]") >= 0, lit("1")).otherwise(lit("0")))
-    emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+    // spread: the P-dot matdot per row is the cost; a single-split scan
+    // must not serialize it (see Scale.spread)
+    spread(emb.select(col(idCol), quantize(col(vecCol)).as("__qv")))
       .select(col(idCol),
         expr(s"graft_matdot(__qv, ${planeMatrixSql(planes, dim)})").as("__dots"))
       .select(col(idCol), concat(bits: _*).as("signature"))
@@ -168,7 +176,9 @@ object Similarity {
         when(expr(s"__dots[$p]") >= 0, lit(1 << j)).otherwise(lit(0)): Column
       }.reduce(_ + _).cast("int").as(s"__band$b")
     }
-    emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+    // spread: one matdot per row feeds every ANN consumer of this frame;
+    // a single-split scan must not serialize it (see Scale.spread)
+    spread(emb.select(col(idCol), quantize(col(vecCol)).as("__qv")))
       .select(col(idCol), col("__qv"),
         expr(s"graft_matdot(__qv, ${planeMatrixSql(planes, dim)})").as("__dots"))
       .select(col(idCol) +: col("__qv") +: keyCols: _*)
@@ -383,10 +393,7 @@ object Similarity {
     * an in-memory synthesis arrives in 1-2 partitions, and a map-only
     * N×nCells dot pass would then run on one core. No-op when the source is
     * already partitioned (the normal cluster case — no hidden shuffle). */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Scale.spread(df)
 
   /** Lloyd-trained coarse centroids: `iters` k-means rounds (dot-product
     * assignment ≡ cosine on unit vectors, element-wise integer-mean update)
@@ -803,10 +810,12 @@ object Similarity {
                       dim: Int, outDim: Int, sampleMod: Long): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     require(sampleMod > 0, s"sampleMod must be > 0: $sampleMod")
-    val sampled = emb.filter(col(idCol) % sampleMod === 0)
+    // spread: the streamed side of the pair self-join does O(S²) dot work
+    // and must not inherit a single-split scan's one-partition layout
+    val sampled = spread(emb.filter(col(idCol) % sampleMod === 0)
       .select(col(idCol), quantize(col(vecCol)).as("__qv"))
       .select(col(idCol), col("__qv"),
-        expr(s"graft_matdot(__qv, ${projMatrixSql(outDim, dim)})").as("__p"))
+        expr(s"graft_matdot(__qv, ${projMatrixSql(outDim, dim)})").as("__p")))
     val a = sampled.select(col(idCol).as("vec_a"), col("__qv").as("__qa"),
       col("__p").as("__pa"))
     val b = sampled.select(col(idCol).as("vec_b"), col("__qv").as("__qb"),

@@ -29,6 +29,16 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+  /** documents/embeddings feed per-row-HEAVY pipelines (regex tokenization,
+    * shingle md5 chains, matdot fan-outs), and both ship as single small
+    * files here — a single-split scan would serialize all of that map-side
+    * work on one core no matter the session's parallelism (measured in the
+    * round-7 sf1 sweep: cpu ≈ wall on an idle 32-core box). Scale.spread
+    * repartitions only when the scan has fewer partitions than the session
+    * — on a production many-file layout it is a no-op, and filters/pruning
+    * still push through the Repartition node into the scan. */
+  def documents(s: SparkSession, d: String): DataFrame  =
+    graft.operators.Scale.spread(read(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scale.spread(read(s, d, "embeddings"))
 }

@@ -37,10 +37,24 @@ object MakeSf {
     }.drop("__r")
   }
 
-  /** Write as exactly one parquet file at `<outDir>/<name>.parquet`. */
+  /** Write as exactly one parquet file at `<outDir>/<name>.parquet`.
+    *
+    * Small row groups (1 MB vs the 128 MB default): the oracle harness
+    * needs ONE file per table, but a single-file table with a single row
+    * group is unsplittable — every scan stage runs as one task no matter
+    * how many cores the session has, which serializes scan-bound work and
+    * misrepresents a production layout (at 100 TB data arrives in
+    * thousands of files; scan parallelism is free). 1 MB groups make the
+    * one file behave like that many-file layout under a matching
+    * `spark.sql.files.maxPartitionBytes` (row groups land in the byte-range
+    * split containing their midpoint). The round-7 sf1 sweep measured the
+    * difference directly: 6M-row lineitem aggregations (KMV sketch q74)
+    * ran 1-core without this. */
   private def writeOne(df: DataFrame, outDir: String, name: String): Unit = {
     val tmp = s"$outDir/__tmp_$name"
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (1024 * 1024).toString)
+      .parquet(tmp)
     val dir = new java.io.File(tmp)
     val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
     val dest = new java.io.File(s"$outDir/$name.parquet")

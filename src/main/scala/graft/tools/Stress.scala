@@ -15,17 +15,20 @@ object Stress {
     println(f"[stress] $name%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   /** Section selection: no args runs everything; otherwise name sections
-    * (dedup, cc, ann, ivf2, ops, skew, hotbucket, bpe, stream). The 200k dedup block
-    * alone is ~an hour of real compute (4M+ true near-dup pairs by
-    * construction), so targeted runs matter. */
+    * (dedup, cc, ccprobe, ann, ivf2, ops, skew, hotbucket, bpe, stream). The
+    * 200k dedup block alone is ~an hour of real compute (4M+ true near-dup
+    * pairs by construction), so targeted runs matter. */
   def main(args: Array[String]): Unit = {
     val sections =
       if (args.isEmpty)
-        Set("dedup", "cc", "ann", "ivf2", "ops", "skew", "hotbucket", "bpe", "stream")
+        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      // single-file testdata needs small splits for scan parallelism — see
+      // the matching Bench config for the full rationale
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     // tmpfs scratch with disk fallback — without it the stress shuffles GBs
     // through this box's stalling virtio disk and times the disk, not the
@@ -361,6 +364,42 @@ object Stress {
     println(s"[stress] hot-bucket pairs: uncapped=$candUncapped capped=$candCapped (max-task $mxU -> $mxC ms)")
     require(candCapped < candUncapped / 10,
       "bucket cap failed to suppress the quadratic hot-bucket blowup")
+    }
+
+    if (want("ccprobe")) {
+    // ========= connectedComponents probe double-compute audit =========
+    // The bounded fast-path probe (`pairs.limit(threshold+1).collect()`,
+    // Dedup.scala) runs on the PERSISTED pairs frame; when the probe
+    // overflows and the distributed path takes over, `sym`'s first job
+    // re-reads `pairs`. The worry (VERDICT r6 #6): does that re-read
+    // recompute the upstream pair pipeline for partitions the probe
+    // already touched? Measure it directly: an accumulator inside a
+    // mapPartitions upstream of `pairs` counts every ROW-COMPUTE of the
+    // edge pipeline. Spark's RDD.getOrCompute materializes a caching
+    // partition FULLY into the block store on first compute (even under a
+    // limit that stops consuming early), so each of the 1M edges must be
+    // computed exactly once — any probe-induced recompute shows up as
+    // acc > 1M. Star graph (i, i%1000), not a chain: diameter is the cc
+    // section's concern; this section isolates the probe.
+    import spark.implicits._
+    val accEdges = spark.sparkContext.longAccumulator("edgeRowComputes")
+    val nEdges = 1000000L
+    val probeEdges = spark.range(1000, 1000 + nEdges).repartition(64)
+      .as[Long]
+      .mapPartitions(it => it.map { i => accEdges.add(1); (i, i % 1000) })
+      .toDF("doc_a", "doc_b")
+    val ((ccN, ccRounds), _, _) = taskStats("ccprobe: 1e6-edge star, distributed path") {
+      val (cc, rounds) = Dedup.connectedComponentsRounds(
+        probeEdges, "doc_a", "doc_b", maxIter = 30) // default 200k threshold < 1M
+      (cc.agg(countDistinct(col("component"))).head().getLong(0), rounds)
+    }
+    println(s"[stress] ccprobe components=$ccN rounds=$ccRounds " +
+      s"edge-row-computes=${accEdges.value} (edges=$nEdges)")
+    require(ccRounds > 0, "expected the distributed path (probe must overflow)")
+    require(ccN == 1000L, s"expected 1000 star components, got $ccN")
+    require(accEdges.value == nEdges,
+      s"pair pipeline computed ${accEdges.value} edge rows for $nEdges edges — " +
+        "the probe's partial materialization double-computed upstream work")
     }
 
     if (want("bpe")) {
