@@ -410,8 +410,14 @@ object Stress {
     // and the merge table must EQUAL the driver path's on the same corpus
     // (forced by a 2M threshold — 300k types fit driver memory fine; what
     // is being proven is the distributed rounds compute the same argmaxes).
+    // the id must be letter-encoded: BpeishRe tokenizes digit runs as
+    // SINGLE digits (GPT-style), so "pre<id>fix" would collapse to 14
+    // types; translate(id, digits->letters) makes each doc's first word a
+    // unique letter token ("preabjcfix") and the type count ~300k
     val bpeDocs = spark.range(300000)
-      .select(concat(lit("pre"), col("id"), lit("fix abra cad abra")).as("text"))
+      .select(concat(lit("pre"),
+        translate(col("id").cast("string"), "0123456789", "abcdefghij"),
+        lit("fix abra cad abra")).as("text"))
       .repartition(64) // in-memory synthesis lands in ONE partition otherwise
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTypes = t("bpe corpus distinct types") {
