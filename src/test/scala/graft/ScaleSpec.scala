@@ -28,6 +28,27 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("spread widens an under-partitioned frame and is identity otherwise") {
+    val narrow = spark.range(100).toDF("id").coalesce(1)
+    val p = spark.sparkContext.defaultParallelism
+    val widened = Scale.spread(narrow)
+    assert(widened.rdd.getNumPartitions == p)
+    assert(widened.agg(sum(col("id"))).head().getLong(0) == 4950L)
+    val wide = spark.range(100).toDF("id").repartition(p)
+    // already at session parallelism: no Repartition injected (same object)
+    assert(Scale.spread(wide) eq wide)
+  }
+
+  test("spread: filters and column pruning push through the Repartition") {
+    val docs = Scale.spread(
+      spark.read.parquet(s"/root/testdata/sf0.001/documents.parquet"))
+    val q = docs.filter(col("doc_id") < 10).select(col("doc_id"), col("lang"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)"),
+      s"filter did not reach the scan:\n$plan")
+    assert(!plan.contains("text"), "pruned column still read through spread")
+  }
+
   test("bucketed join on the bucket key plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
