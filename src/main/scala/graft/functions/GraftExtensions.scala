@@ -73,6 +73,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KMinValues(exprs.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_mg"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_mg"),
+      (exprs: Seq[Expression]) => {
+        val cap = exprs(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other if other.foldable => other.eval().toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"graft_mg capacity must be a literal: $other")
+        }
+        MisraGries(exprs.head, cap)
+      }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }
 }

@@ -173,6 +173,16 @@ object GraftFunctions {
         }
         KMinValues(exprs.head, k)
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mg", exprs => {
+        val cap = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other if other.foldable => other.eval().toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"graft_mg capacity must be a literal: $other")
+        }
+        MisraGries(exprs.head, cap)
+      }, "scala_udf")
   }
 
   /** Column-API form (requires [[register]] on the owning session first). */

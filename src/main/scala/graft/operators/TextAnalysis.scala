@@ -706,4 +706,64 @@ object TextAnalysis {
       .join(withLang, idCol)
       .join(fingerprints(docs, idCol, textCol), idCol)
   }
+
+  /** EXACT global top-k most frequent items with sketch-bounded shuffle —
+    * the scale answer to `groupBy(item).count().orderBy().limit(k)`, whose
+    * pass over 100 TB of tokens shuffles every distinct item (billions of
+    * keys, most seen once).
+    *
+    * Two passes over `rows`:
+    *   1. One `graft_mg` Misra–Gries aggregate (capacity-bounded buffer,
+    *      map-side partials; see [[graft.functions.MisraGries]]) plus a
+    *      `count(*)` in the same job → ≤ `capacity` candidate items and the
+    *      total item count n. The only driver materialization is that
+    *      bounded candidate array (≤ capacity short strings — same budgeted
+    *      pattern as the connected-components probe).
+    *   2. Exact counts for candidates only: broadcast semi-probe of the
+    *      candidate set, hash aggregate over ≤ capacity keys, top-k.
+    *
+    * Exactness proof carried at runtime: any NON-candidate's true frequency
+    * is ≤ n/(capacity+1) (the MG guarantee). If the k-th candidate's EXACT
+    * count strictly exceeds that bound, no non-candidate can displace it
+    * (strict inequality also kills boundary ties), so the top-k is provably
+    * the true top-k. When the check fails — adversarially flat data or an
+    * undersized capacity — the operator falls back to the exact global
+    * aggregate and logs it: the result is ALWAYS exact; the sketch only
+    * decides how much is shuffled.
+    *
+    * Output: (itemCol, cnt) ordered by cnt desc, item asc.
+    */
+  def heavyHitters(rows: DataFrame, itemCol: String, k: Int,
+                   capacity: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(capacity > k, s"capacity must exceed k: capacity=$capacity k=$k")
+    val spark = rows.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // NULL items are no-ops in the sketch; the exact paths must agree.
+    val exactTopK = (src: DataFrame) =>
+      src.where(col(itemCol).isNotNull)
+        .groupBy(col(itemCol)).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col(itemCol))
+        .limit(k)
+    val sk = rows
+      .agg(expr(s"graft_mg($itemCol, $capacity)").as("__cand"),
+        count(col(itemCol)).as("__n"))
+      .head()
+    val cands = sk.getSeq[String](0)
+    val n = sk.getLong(1)
+    if (cands.isEmpty) return exactTopK(rows)
+    import spark.implicits._
+    val candDf = cands.toDF(itemCol)
+    val top = exactTopK(rows.join(broadcast(candDf), itemCol, "left_semi"))
+    val topRows = top.collect() // ≤ k rows
+    // Strict: kth·(capacity+1) > n ⟺ kth > n/(capacity+1). Long math is
+    // safe to n ≈ 2^63/(capacity+1) ≈ 2.2e15 items at the default capacity.
+    // (A small candidate set does NOT mean the sketch saw everything — a
+    // decrement wave shrinks the map below capacity AFTER dropping items —
+    // so fewer-than-k candidates also routes through the exact fallback.)
+    val guaranteed = topRows.length >= k &&
+      topRows.last.getLong(1) * (capacity + 1L) > n
+    if (guaranteed) top
+    else exactTopK(rows) // exact on any data; only the shuffle got wider
+  }
 }

@@ -893,7 +893,26 @@ object TextQueries {
              SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n_occurrences
              FROM (SELECT unnest(string_split(trim(sym), ' ')) AS symbol, freq
                    FROM t30)
-             GROUP BY 1 ORDER BY symbol"""))
+             GROUP BY 1 ORDER BY symbol""")),
+
+    // Exact global top-25 tokens via the Misra–Gries two-pass operator:
+    // sketch-bounded candidate pass + exact verify pass. The oracle is the
+    // plain exact aggregate — the operator's runtime exactness proof (k-th
+    // exact count strictly above the n/(capacity+1) MG bound, else exact
+    // fallback) means the sketch can never change the answer, only the
+    // amount shuffled.
+    Q("q95_heavy_hitters",
+      (s, d) => TextAnalysis.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(Dedup.tokens(col("text"))).as("token")),
+        "token", k = 25, capacity = 512),
+      Some("""WITH toks AS (
+               SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             tr AS (SELECT unnest(w) AS token FROM toks)
+             SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tr GROUP BY token
+             ORDER BY cnt DESC, token LIMIT 25"""))
   )
 
   /** One BPE round as DuckDB CTEs (count pairs → argmax → rewrite), chained
