@@ -529,11 +529,20 @@ object Similarity {
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("cent_id").as("cell"))
-    // candidates first (narrow rows through the cell join), then the query
-    // vector attaches by broadcast — see annTopK for the same discipline
-    val scored = probedCells
-      .join(index.select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"),
-        col("cell")), "cell")
+    // Candidate fan-out: STREAM the big index at its natural (row-uniform)
+    // partitioning and BROADCAST the probe list — never an exchange keyed
+    // by `cell`. A cell-keyed join hashes the corpus into only nCells
+    // distinct keys, so at scale the whole N·nProbe/nCells-per-query
+    // fan-out (and the rank window's partial sort above it) collapses onto
+    // however many reducers those few keys land on — BENCH_r07_sf10 caught
+    // exactly that as a single-task 184 s straggler (cpu/wall ≈ 1.0 on 32
+    // cores; AQE had coalesced the small-by-bytes cell exchange to one
+    // partition). probedCells is queries×nProbe rows of two longs —
+    // broadcastable by contract (the probe set is the small side of an IVF
+    // lookup). The query vector then attaches by broadcast as before.
+    val scored = index
+      .select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"), col("cell"))
+      .join(broadcast(probedCells), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(queries), "query_id")
       .withColumn("__dot",
@@ -682,11 +691,15 @@ object Similarity {
       .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") <= nProbeL2)
       .select(col("query_id"), col("cell1"), col("cent_id").as("cell2"))
-    // candidates: vectors indexed in the probed leaves; narrow rows first,
-    // query vectors attach by broadcast last (annTopK's shuffle discipline)
-    val scored = probed2
-      .join(index.select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"),
-        col("cell1"), col("cell2")), Seq("cell1", "cell2"))
+    // candidates: vectors indexed in the probed leaves. As in [[ivfTopK]],
+    // the big index STREAMS at row-uniform partitioning and the probe list
+    // BROADCASTS — a leaf-keyed exchange would hash the corpus into only
+    // C1·C2 distinct keys (the q35 single-task straggler class, just with
+    // more keys); query vectors still attach by broadcast last.
+    val scored = index
+      .select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"),
+        col("cell1"), col("cell2"))
+      .join(broadcast(probed2), Seq("cell1", "cell2"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(queries), "query_id")
       .withColumn("__dot",
