@@ -20,14 +20,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and rebuild a microsecond timestamp
-    * (truncation matches DuckDB's internal ns→µs behavior). */
+  /** `events.ts` has shipped under three parquet encodings across driver
+    * testdata generations — TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader surfaces only as INT64 via `nanosAsLong`), TIMESTAMP_MICROS
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ), and plain TIMESTAMP. Branch on
+    * the dtype the scan actually produced and normalize every shape to
+    * session-zoned `TimestampType` so downstream `window`/`session_window`/
+    * `unix_timestamp` queries and the DuckDB oracle see identical values
+    * (sessions pin spark.sql.session.timeZone=UTC, so the NTZ→TZ cast is
+    * value-preserving). Covered by SchemaRobustnessSpec against all three
+    * encodings. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Harmless on µs/tz files; required to read nanos-era files at all.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => // nanos-as-long: truncate to µs like DuckDB does
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   /** documents/embeddings feed per-row-HEAVY pipelines (regex tokenization,
     * shingle md5 chains, matdot fan-outs), and both ship as single small
