@@ -71,6 +71,8 @@ object MakeSf {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pins the TimestampType→NTZ cast on events.ts to value identity
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     graft.Bench.scratchDir().foreach(builder.config("spark.local.dir", _))
     val spark = builder.getOrCreate()
@@ -97,15 +99,16 @@ object MakeSf {
     writeOne(scale(rd("lineitem"), k,
       Seq("l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS)),
       outDir, "lineitem")
-    // events.ts is parquet TIMESTAMP(NANOS), unreadable by Spark's
-    // vectorized reader — read nanos as long (Tables.events' recipe) and
-    // write it back as a plain INT64 nanos column. Tables.events treats
-    // both identically (`ts div 1000` then timestamp_micros); only a
-    // DuckDB oracle reading ts as a native timestamp would see the
-    // difference, and the derived-SF sweep spot-checks relational
-    // queries, not events ones.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    writeOne(scale(rd("events"), k,
+    // events.ts: normalize whatever encoding the source dir uses through
+    // Tables.events (→ TimestampType), then write back as TIMESTAMP_MICROS
+    // with isAdjustedToUTC=false (TIMESTAMP_NTZ) — byte-for-byte the
+    // encoding the driver's generator emits — so DuckDB oracles read a
+    // derived dir identically to a canonical one and the events family
+    // needs no skip (the old INT64-nanos rewrite forced a _DERIVED_SF
+    // marker + check_oracle.py skip; both are gone).
+    val ev = graft.sources.Tables.events(spark, inDir).withColumn("ts",
+      col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    writeOne(scale(ev, k,
       Seq("event_id" -> stride("events", "event_id"),
         "user_id" -> stride("events", "user_id"))), outDir, "events")
     writeOne(scale(rd("documents"), k,
@@ -113,16 +116,6 @@ object MakeSf {
     writeOne(scale(rd("embeddings"), k,
       Seq("vec_id" -> stride("embeddings", "vec_id"))), outDir, "embeddings")
 
-    // Marker so oracle tooling knows events.ts semantics changed on this
-    // dir (tools/check_oracle.py skips events-family checks when present).
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$outDir/_DERIVED_SF"),
-      (s"derived from $inDir x$k; events.ts is INT64 nanos (not " +
-        "TIMESTAMP(NANOS)): events-family DuckDB oracle checks are invalid " +
-        "on this dir\n").getBytes("UTF-8"))
-    println("[makesf] WARNING: events.ts written as INT64 nanos — " +
-      "events-family oracle checks are invalid on derived dirs " +
-      "(_DERIVED_SF marker written; check_oracle.py skips them)")
     val li = spark.read.parquet(s"$outDir/lineitem.parquet").count()
     println(s"[makesf] $outDir written, lineitem rows = $li")
     spark.stop()

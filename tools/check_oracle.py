@@ -39,11 +39,6 @@ def cell_eq(a, b):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
-    # MakeSf-derived dirs rewrite events.ts as plain INT64 nanos (Spark's
-    # vectorized reader can't write TIMESTAMP(NANOS)); DuckDB would read it
-    # with different semantics than the original, so events-family checks
-    # are not valid there. MakeSf drops a _DERIVED_SF marker to say so.
-    derived = os.path.exists(f"{sfdir}/_DERIVED_SF")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -53,12 +48,8 @@ def main():
     if only:  # dev loop: same filter the Scala Verify/Bench mains honor
         keep = {n.strip() for n in only.split(",") if n.strip()}
         oracle = {k: v for k, v in oracle.items() if k in keep}
-    n_pass = n_fail = n_skip = 0
+    n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        if derived and re.search(r"\bevents\b", sql):
-            print(f"SKIP {name}: events.ts is INT64 nanos on derived dir (_DERIVED_SF)")
-            n_skip += 1
-            continue
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -99,8 +90,7 @@ def main():
             note = "" if dt_d == dt_s else f"  [dtypes duck={dt_d} spark={dt_s}]"
             print(f"PASS {name} ({len(duck)} rows){note}")
             n_pass += 1
-    skip_note = f", {n_skip} skip" if n_skip else ""
-    print(f"== {n_pass} pass, {n_fail} fail{skip_note} ==")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
 
