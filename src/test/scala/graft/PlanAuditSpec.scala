@@ -143,4 +143,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SortAggregate"), s"$name plans a SortAggregate:\n$p")
     }
   }
+
+  test("q35/q94: candidate fan-out joins on cell keys only by broadcast") {
+    // Regression guard for the round-7 sf10 straggler: a JOIN keyed by
+    // `cell` hashes the whole corpus into only nCells distinct keys, and
+    // AQE then coalesces the small-by-bytes exchange to ONE partition —
+    // 184 s single-task wall at 200k vectors (BENCH_r07_sf10). The probe
+    // list must be the BROADCAST side; any shuffled join on cell columns
+    // reintroduces the collapse. (q94's L2-seed WINDOW does exchange on
+    // cell1 — acceptable: WindowGroupLimit prunes to nCellsL2 rows per
+    // cell map-side, so that exchange carries ~tasks·C1·C2 rows, not N.)
+    for (name <- Seq("q35_ivf_topk", "q94_ivf2_topk")) {
+      val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      val shuffledCellJoins = "(?:SortMergeJoin|ShuffledHashJoin) [^\n]*cell[^\n]*"
+        .r.findAllIn(p).toList
+      assert(shuffledCellJoins.isEmpty,
+        s"$name shuffles the index into a cell-keyed join:\n${shuffledCellJoins.mkString("\n")}")
+      if (name == "q94_ivf2_topk")
+        assert(p.contains("WindowGroupLimit"), "L2 seed rank lost its pushdown")
+    }
+  }
 }
