@@ -43,6 +43,17 @@ object Bench {
     if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
   }
 
+  /** Adaptive precision: `decimals` places below 10, one fewer per decade
+    * above (floor 0) — ≈1% relative error at every magnitude. The
+    * regression signal a reader needs is RELATIVE (a 184 s wall moving
+    * 0.01 s is noise; a 0.4 s wall moving 0.05 s is not), so fixed decimals
+    * spend artifact bytes exactly where they carry no information. */
+  private[graft] def fmtAdaptive(d: Double, decimals: Int): String = {
+    val mag = math.abs(d)
+    val eff = if (mag >= 100) decimals - 2 else if (mag >= 10) decimals - 1 else decimals
+    fmtSec(d, math.max(eff, 0))
+  }
+
   /** Render the single-line JSON artifact.
     *
     * The driver keeps only the TAIL (~2,000 chars) of stdout, and rounds 4
@@ -56,9 +67,12 @@ object Bench {
     *   - `"rerun"` lists queries whose entry was self-healed by an extra
     *     end-of-run rep (see [[suspectNames]]) — a reader knows which
     *     numbers were adjudicated against a degradation window;
-    *   - if the rendered line still exceeds the capture budget, precision
-    *     degrades 2 → 1 → 0 decimals, then per-query error text shrinks
-    *     167 → 47 → 12 chars (never drops a query).
+    *   - values render at ADAPTIVE precision ([[fmtAdaptive]]): centisecond
+    *     below 10 s, ≈1% relative above;
+    *   - if the rendered line still exceeds the capture budget, error text
+    *     shrinks FIRST (167 → 47 → 12 chars, then entry count), and only
+    *     then does precision degrade — an errored round must not cost the
+    *     surviving walls their comparability (never drops a query).
     * The budget is checked in UTF-8 BYTES (what the driver's tail capture
     * actually counts), not UTF-16 chars; jsonSafe is ASCII-only so the two
     * agree for error text anyway. BenchSpec pins the full-registry line
@@ -74,7 +88,7 @@ object Bench {
     val (runMs, cpuNs, gcMs, shufNs) = agg
     val sorted = results.sortBy(r => (-r.wall, r.name))
     def render(decimals: Int, errCap: Int, errMax: Int): String = {
-      def f(d: Double) = fmtSec(d, decimals)
+      def f(d: Double) = fmtAdaptive(d, decimals)
       val qs = sorted.map(r => "\"" + keys(r.name) + "\":[" + f(r.wall) + "," + f(r.cpu) + "]")
         .mkString("{", ",", "}")
       // slowest-first like everything else; beyond errMax the entries drop
@@ -92,11 +106,15 @@ object Bench {
       s""""cpu_total":${f(results.map(_.cpu).sum)},""" +
       s""""value":${f(results.map(_.wall).sum)}}"""
     }
-    // degrade precision first (biggest lever), then error-text length, then
-    // the number of error entries — per-query timings are never dropped
+    // degrade error text FIRST, timing precision LAST: an errored run is
+    // exactly when the surviving walls must stay comparable to last round
+    // (BENCH_r07's six error strings ate the decimals and hid sub-second
+    // regressions for the whole registry). Error class is recognizable at
+    // 47 and still at 12 chars; a 0-decimal wall is not. Per-query timings
+    // are never dropped.
     val attempts = Seq(
-      (2, 167, Int.MaxValue), (1, 167, Int.MaxValue), (0, 167, Int.MaxValue),
-      (0, 47, Int.MaxValue), (0, 12, Int.MaxValue), (0, 12, 10), (0, 12, 0))
+      (2, 167, Int.MaxValue), (2, 47, Int.MaxValue), (2, 12, Int.MaxValue),
+      (2, 12, 10), (2, 12, 0), (1, 12, 0), (0, 12, 0))
     attempts.iterator.map { case (d, e, m) => render(d, e, m) }
       .find(utf8Len(_) <= captureBudgetBytes)
       .getOrElse(render(0, 12, 0))
@@ -305,5 +323,10 @@ object Bench {
     }
     println(renderLine(sfDir, healed, listener.snapshot, rerun))
     spark.stop()
+    // A run with query failures must be machine-visible without parsing the
+    // artifact tail: exit nonzero so the driver's recorded rc flags it
+    // (ADVICE r7: BENCH_r07 carried rc:0 alongside failed:6). The artifact
+    // line is already printed — nothing is lost on this path.
+    if (healed.exists(_.status != "ok")) sys.exit(3)
   }
 }

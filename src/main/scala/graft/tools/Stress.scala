@@ -15,7 +15,9 @@ object Stress {
     println(f"[stress] $name%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   /** Section selection: no args runs everything; otherwise name sections
-    * (dedup, cc, ccprobe, ann, ivf2, ops, skew, hotbucket, bpe, stream). The
+    * (dedup, cc, ccprobe, ann, ivf2, ops, skew, hotbucket, bpe, stream;
+    * ccprobe10 is opt-in only — it needs a derived sf10 dir, see
+    * SPARK_GRAFT_SF10_DIR). The
     * 200k dedup block alone is ~an hour of real compute (4M+ true near-dup
     * pairs by construction), so targeted runs matter. */
   def main(args: Array[String]): Unit = {
@@ -399,6 +401,45 @@ object Stress {
     require(ccN == 1000L, s"expected 1000 star components, got $ccN")
     require(accEdges.value == nEdges,
       s"pair pipeline computed ${accEdges.value} edge rows for $nEdges edges — " +
+        "the probe's partial materialization double-computed upstream work")
+    }
+
+    if (want("ccprobe10")) {
+    // ===== the same probe audit at REAL q38 depth (sf10 documents) =====
+    // The synthetic star above proves one-compute-per-edge at 10⁶ edges and
+    // depth 1; VERDICT r7 #6 asked for the assertion once at sf10's actual
+    // q38 — the full LSH pair pipeline over 500k real documents, whatever
+    // depth and pair multiplicity the corpus produces. The accumulator
+    // wraps the PAIR rows (the frame connectedComponents persists and the
+    // probe partially consumes); the expected count comes from an
+    // accumulator-free twin of the pipeline. acc == expected ⇒ the
+    // overflow probe cost zero recomputes of the (expensive) LSH chain at
+    // real scale too.
+    import spark.implicits._
+    val d10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/dev/shm/sf10")
+    def q38pairs = Dedup.minhashNearDups(Tables.documents(spark, d10),
+      "doc_id", "text", shingleN = 3, k = 8, bands = 4,
+      threshold = 0.1, maxBucketSize = 100)
+    val expected = t("ccprobe10: accumulator-free pair count") {
+      q38pairs.count()
+    }
+    val accPairs = spark.sparkContext.longAccumulator("pairRowComputes")
+    val pairs10 = q38pairs.select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)]
+      .mapPartitions(it => it.map { p => accPairs.add(1); p })
+      .toDF("doc_a", "doc_b")
+    val ((ccN10, ccRounds10), _, _) =
+      taskStats("ccprobe10: q38 pipeline at sf10, distributed path") {
+        val (cc, rounds) = Dedup.connectedComponentsRounds(
+          pairs10, "doc_a", "doc_b", maxIter = 30,
+          driverThreshold = math.min(200000, expected.toInt - 1).max(1))
+        (cc.agg(countDistinct(col("component"))).head().getLong(0), rounds)
+      }
+    println(s"[stress] ccprobe10 components=$ccN10 rounds=$ccRounds10 " +
+      s"pair-row-computes=${accPairs.value} (pairs=$expected)")
+    require(ccRounds10 > 0, "expected the distributed path (probe must overflow)")
+    require(accPairs.value == expected,
+      s"pair pipeline computed ${accPairs.value} rows for $expected pairs — " +
         "the probe's partial materialization double-computed upstream work")
     }
 

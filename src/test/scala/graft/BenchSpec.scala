@@ -125,6 +125,36 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("failed").asInt() == rs.size)
   }
 
+  test("renderLine: error load shrinks error text BEFORE timing precision") {
+    // the round-7 shape: full registry, six realistic analysis errors —
+    // the walls must keep centisecond precision (errors degrade instead)
+    val err = "error: " + Bench.jsonSafe(
+      "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve \"(ts div 1000)\" " +
+        "due to data type mismatch: the left and right operands of the binary " +
+        "operator have incompatible types (\"TIMESTAMP_NTZ\" and \"BIGINT\").")
+    // round-7-shaped magnitudes: mostly sub-second walls, a heavy tail
+    val rs = fullRegistryResults(wall = 0.31, cpu = 1.17).zipWithIndex.map {
+      case (r, i) =>
+        val tailed = if (i % 12 == 0) r.copy(wall = 20.0 + i, cpu = 80.0 + i) else r
+        if (Seq("q10", "q23", "q24", "q29", "q72", "q86")
+            .exists(p => tailed.name.startsWith(p + "_"))) tailed.copy(status = err)
+        else tailed
+    }
+    val line = Bench.renderLine("/root/testdata/sf0.1", rs,
+      (1234567L, 987654321000000L, 45678L, 9876543210L),
+      rerun = rs.map(_.name).take(8))
+    assert(Bench.utf8Len(line) <= Bench.captureBudgetBytes,
+      s"line is ${Bench.utf8Len(line)} bytes")
+    val node = parse(line)
+    assert(node.get("failed").asInt() == 6)
+    assert(node.get("queries").size() == rs.size)
+    // a 0.57 s wall must survive with BOTH decimals intact despite 6 errors
+    val q03 = node.get("queries").get("q03")
+    assert(q03.get(0).asText().matches("""0\.\d{1,2}""") &&
+      math.abs(q03.get(0).asDouble() - 0.57) < 0.005,
+      s"wall lost precision: ${q03.get(0).asText()}")
+  }
+
   test("suspectNames flags ratio outliers and runaway walls, capped and slowest-first") {
     // a healthy run: 20 queries around 1 s wall, cpu/wall ≈ 8
     val healthy = (1 to 20).map(i =>
