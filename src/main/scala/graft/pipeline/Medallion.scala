@@ -257,14 +257,27 @@ object Medallion {
     spark.read.parquet(s"$root/v=${goldVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"gold table never published: $root"))}")
 
-  /** Versions still on disk (current + retained), ascending — the
-    * time-travel surface the versioned layout gives for free. */
-  def goldVersions(spark: SparkSession, root: String): Seq[Int] =
-    hadoopFs(spark, root).listStatus(new org.apache.hadoop.fs.Path(root))
+  /** Raw v=N directories on disk, committed or not (see [[goldVersions]]
+    * for the reader-facing committed view). */
+  private def versionDirsOnDisk(fs: org.apache.hadoop.fs.FileSystem,
+                                root: String): Seq[Int] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName)
       .filter(_.startsWith("v="))
       .flatMap(_.stripPrefix("v=").toIntOption)
-      .toSeq.sorted
+      .toSeq
+
+  /** Versions still on disk (current + retained), ascending — the
+    * time-travel surface the versioned layout gives for free. On a table
+    * with a `_commits` log (OCC writers), only COMMITTED versions are
+    * listed: an in-flight writer's reserved-but-unmarked directory is not
+    * readable data. */
+  def goldVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = hadoopFs(spark, root)
+    val onDisk = versionDirsOnDisk(fs, root)
+    val marks = listNumbered(fs, new org.apache.hadoop.fs.Path(root, "_commits"))
+    (if (marks.nonEmpty) onDisk.filter(marks.toSet) else onDisk).sorted
+  }
 
   /** Time travel: read a specific retained version (Delta `versionAsOf`
     * stand-in; retention is publishGold's keep-previous policy). */
@@ -308,7 +321,10 @@ object Medallion {
       .getName.getBytes("UTF-8"))
     finally claimOut.close()
     try {
-      val next = goldVersion(spark, root).getOrElse(0) + 1
+      // max over pointer AND on-disk dirs: a table previously touched by an
+      // OCC writer may retain versions above the pointer; never clobber one
+      val next = (goldVersion(spark, root).toSeq ++ versionDirsOnDisk(fs, root))
+        .foldLeft(0)(math.max) + 1
       df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$next")
       val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.$next.tmp")
       val out = fs.create(tmp, true)
@@ -321,12 +337,220 @@ object Medallion {
       if (!committed.contains(next)) throw new IllegalStateException(
         s"lost publish race at $root: committed pointer is $committed, " +
           s"this writer published v=$next — a concurrent writer bypassed the claim")
+      // record the publish in the _commits log so OCC writers and the
+      // committed-version reader see claim-path versions too (idempotent:
+      // ignore an already-present marker on a re-published version number)
+      atomicCreate(fs, new org.apache.hadoop.fs.Path(root, s"_commits/$next"), "claim")
       fs.listStatus(new org.apache.hadoop.fs.Path(root)).map(_.getPath)
         .filter(p => p.getName.startsWith("v=") &&
           p.getName.stripPrefix("v=").toIntOption.exists(_ < next - retain))
-        .foreach(p => fs.delete(p, true))
+        .foreach { p =>
+          fs.delete(p, true)
+          val v = p.getName.stripPrefix("v=")
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"_commits/$v"), false)
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"_reserve/$v"), false)
+        }
       next
     } finally fs.delete(claim, false)
+  }
+
+  // ---- Multi-writer optimistic commit (Delta-log-shaped, filesystem CAS) --
+  //
+  // publishGold's `_claim` lease serializes writers by EXCLUSION: the loser
+  // fails. Delta's log (the reference's gold MERGE transactionality,
+  // `gold_dim_payment.py:108-122`) lets concurrent writers all make
+  // progress and serializes only the COMMIT. This section reproduces that
+  // protocol with filesystem primitives:
+  //
+  //   _reserve/N   exclusive create = version-number allocation (no two
+  //                writers ever write the same v=N directory)
+  //   v=N/         the reserving writer's complete data, written unshared
+  //   _commits/N   exclusive create = the commit point (Delta's log entry);
+  //                a version without a marker is invisible to readers
+  //   _CURRENT     convenience pointer, repaired to max(committed) after
+  //                every commit — readers keep their existing fast path and
+  //                always see SOME committed version (possibly one behind
+  //                for an instant, exactly a stale-snapshot read)
+  //
+  // Exclusive create is the one primitive the protocol needs: O_EXCL via
+  // java.nio on local filesystems (atomic per POSIX), `fs.create(path,
+  // overwrite=false)` elsewhere (atomic on HDFS; on S3-class stores this
+  // maps to conditional PUT — the same primitive Delta/Iceberg use there).
+  //
+  // Semantics: versions are allocated in reservation order but COMMIT in
+  // any order; the table converges to max(committed marker). A writer that
+  // passes `expectedBase` gets read-modify-write protection — its commit
+  // fails loudly if any other writer committed after its snapshot — while
+  // blind publishers (full-table overwrites, the reference's daily DAG
+  // shape) simply last-version-wins. A writer that crashes after reserving
+  // leaves an invisible v=N + _reserve/N; vacuumGold removes them.
+
+  private def isLocalFs(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    fs.getScheme == "file"
+
+  /** Exclusive create: true iff this call created the path. The OCC
+    * protocol's only synchronization primitive. */
+  private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path,
+                           body: String): Boolean = {
+    if (isLocalFs(fs)) {
+      try {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local, body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW) // O_EXCL
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def listNumbered(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName.toIntOption)
+
+  /** Highest committed version: max `_commits/N` marker. Falls back to the
+    * `_CURRENT` pointer for tables only ever published by the claim path
+    * (which predates markers). */
+  def goldCommittedVersion(spark: SparkSession, root: String): Option[Int] = {
+    val fs = hadoopFs(spark, root)
+    val marked = listNumbered(fs, new org.apache.hadoop.fs.Path(root, "_commits"))
+    if (marked.nonEmpty) Some(marked.max) else goldVersion(spark, root)
+  }
+
+  /** Concurrent-writer publish: every caller makes progress; commits
+    * serialize through the `_commits` log. Returns the committed version.
+    *
+    * @param expectedBase pass the version this writer's input was computed
+    *   FROM to get optimistic-concurrency conflict detection: the commit
+    *   throws [[java.util.ConcurrentModificationException]] (and removes
+    *   its own data) if any other writer committed after that snapshot —
+    *   the lost-update a blind overwrite would silently accept. Omit for
+    *   last-writer-wins full-table publishes. */
+  def publishGoldOcc(spark: SparkSession, df: DataFrame, root: String,
+                     retain: Int = 1, expectedBase: Option[Int] = None): Int = {
+    require(retain >= 1, s"retain must keep at least the previous version, got $retain")
+    val fs = hadoopFs(spark, root)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    fs.mkdirs(rootP)
+    val reserveDir = new org.apache.hadoop.fs.Path(root, "_reserve")
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    val me = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "/" + Thread.currentThread().getId
+    // 1. allocate a version number nobody else can hold
+    var n = 0
+    var reserved = false
+    while (!reserved) {
+      n = (listNumbered(fs, reserveDir) ++ listNumbered(fs, commitsDir) ++
+        goldVersions(spark, root) ++ goldVersion(spark, root)).foldLeft(0)(math.max) + 1
+      reserved = atomicCreate(fs, new org.apache.hadoop.fs.Path(reserveDir, n.toString), me)
+    }
+    try {
+      // 2. write the data unshared — no other writer ever touches v=n
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/v=$n")
+      // 3. conflict check at the commit point, then the commit itself
+      expectedBase.foreach { base =>
+        val committed = goldCommittedVersion(spark, root).getOrElse(0)
+        if (committed != base) {
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$n"), true)
+          throw new java.util.ConcurrentModificationException(
+            s"gold OCC conflict at $root: this writer read v=$base but " +
+              s"v=$committed is now committed; publish recomputed from the " +
+              "current version or omit expectedBase for last-writer-wins")
+        }
+      }
+      if (!atomicCreate(fs, new org.apache.hadoop.fs.Path(commitsDir, n.toString), me))
+        throw new IllegalStateException(
+          s"commit marker $n already exists at $root despite an exclusive " +
+            "reservation — the table's metadata has been tampered with")
+      // 4. repair the pointer to max(committed); every committer does this,
+      // so a lower-version commit landing late cannot strand the pointer
+      var repaired = false
+      var attempts = 0
+      while (!repaired && attempts < 10) {
+        attempts += 1
+        val target = goldCommittedVersion(spark, root).getOrElse(n)
+        val tmp = new org.apache.hadoop.fs.Path(root, s"_CURRENT.${me.hashCode.toHexString}.$attempts.tmp")
+        try {
+          if (isLocalFs(fs)) {
+            // POSIX rename(2): atomically replaces the destination even
+            // under writer contention (Hadoop's local FileContext rename
+            // with OVERWRITE is exists-check-then-delete-then-rename and
+            // throws FileAlreadyExistsException when two repairs race).
+            // Write the tmp via nio too, and drop any `._CURRENT.crc`
+            // sidecar a claim-path publish left behind — LocalFs is
+            // checksum-wrapped, and a bypassing rename would otherwise
+            // leave a stale checksum that fails every subsequent read.
+            val dst = java.nio.file.Paths.get(
+              new org.apache.hadoop.fs.Path(root, "_CURRENT").toUri.getPath)
+            val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+            java.nio.file.Files.write(tmpNio, s"v=$target".getBytes("UTF-8"))
+            java.nio.file.Files.deleteIfExists(dst.resolveSibling("._CURRENT.crc"))
+            java.nio.file.Files.move(tmpNio, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } else {
+            val out = fs.create(tmp, true)
+            try out.write(s"v=$target".getBytes("UTF-8")) finally out.close()
+            org.apache.hadoop.fs.FileContext.getFileContext(
+                tmp.toUri, spark.sparkContext.hadoopConfiguration)
+              .rename(tmp, new org.apache.hadoop.fs.Path(root, "_CURRENT"),
+                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          }
+        } catch { case _: java.io.IOException => /* lost a flip race; re-check */ }
+        // converged when the pointer names a version AND the max we wrote
+        // is still the max — otherwise another commit landed; repeat
+        repaired = goldCommittedVersion(spark, root).contains(target) &&
+          goldVersion(spark, root).contains(target)
+      }
+      // 5. prune committed versions out of the retention window (never an
+      // uncommitted reservation — its writer may still be mid-flight)
+      val keepFrom = goldCommittedVersion(spark, root).getOrElse(n) - retain
+      listNumbered(fs, commitsDir).filter(_ < keepFrom).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(commitsDir, v.toString), false)
+        fs.delete(new org.apache.hadoop.fs.Path(reserveDir, v.toString), false)
+      }
+      n
+    } catch {
+      case e: Throwable =>
+        // an uncommitted reservation is invisible but holds a number; a
+        // failed COMMITTED publish (pointer repair interrupted) must keep
+        // its data. Only roll back when no marker was written.
+        if (!fs.exists(new org.apache.hadoop.fs.Path(commitsDir, n.toString))) {
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$n"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(reserveDir, n.toString), false)
+        }
+        throw e
+    }
+  }
+
+  /** Remove crashed writers' leftovers: reservations (and their data dirs)
+    * that never committed and are older than `olderThanMs`. Age-gated so a
+    * live slow writer is never revoked — the same conservative stance as
+    * publishGold's explicit claim recovery. */
+  def vacuumGold(spark: SparkSession, root: String,
+                 olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val fs = hadoopFs(spark, root)
+    val reserveDir = new org.apache.hadoop.fs.Path(root, "_reserve")
+    val commitsDir = new org.apache.hadoop.fs.Path(root, "_commits")
+    val committed = listNumbered(fs, commitsDir).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stale = if (!fs.exists(reserveDir)) Seq.empty
+      else fs.listStatus(reserveDir).toSeq
+        .filter(s => s.getPath.getName.toIntOption.exists(!committed(_)) &&
+          s.getModificationTime < cutoff)
+    stale.foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v=${s.getPath.getName}"), true)
+      fs.delete(s.getPath, false)
+    }
+    stale.size
   }
 
   /** Small-files maintenance for a versioned gold table: rewrite the
