@@ -287,6 +287,16 @@ object Medallion {
     spark.read.parquet(s"$root/v=$version")
   }
 
+  /** Read the highest COMMITTED version via the `_commits` markers — the
+    * reader path for object stores, where the `_CURRENT` pointer flip is a
+    * copy+delete rename with a brief not-found window. Markers are written
+    * by exclusive create (atomic everywhere, incl. conditional-PUT stores),
+    * so this read has no window: it always resolves to a fully-written,
+    * committed version. Falls back to the pointer for pre-marker tables. */
+  def readGoldCommitted(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/v=${goldCommittedVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"gold table never published: $root"))}")
+
   /** Publish a new version: write `v=N+1` completely, flip the pointer
     * atomically, prune versions older than `N+1 − retain` (so the previous
     * `retain` versions stay on disk for in-flight readers and time travel).
