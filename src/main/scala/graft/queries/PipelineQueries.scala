@@ -140,6 +140,45 @@ object PipelineQueries {
              SELECT 'part.min.p_retailprice',
                     CAST(MIN(p_retailprice) AS DOUBLE),
                     CAST(MIN(p_retailprice) AS DOUBLE) >= 0.0 FROM part
-             ORDER BY check_id"""))
+             ORDER BY check_id""")),
+
+    // S3/K6 over the graft-log DataSourceV2 (`sources/LogSource.scala`): a
+    // bounded slice of `events` is PRODUCED onto a 4-partition topic through
+    // the V2 batch write (key = event id, value = JSON payload, explicit
+    // partition routing), then read back through the V2 scan and decoded —
+    // the full Kafka produce→consume contract as one oracled roundtrip. The
+    // oracle aggregates the same slice straight off parquet: any loss,
+    // duplication, or byte corruption in the log path breaks the hash match.
+    Q("q96_log_roundtrip",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-log-q96").toString
+        Tables.events(s, d).filter(col("event_id") % 20 === 0)
+          .select(
+            col("event_id").cast("string").cast("binary").as("key"),
+            to_json(struct(col("event_id"), col("event_type"), col("value")))
+              .cast("binary").as("value"),
+            pmod(col("event_id"), lit(4)).cast("int").as("partition"),
+            col("ts").as("timestamp"))
+          .write.format("graft-log").option("path", root).option("subscribe", "ev")
+          .option("log.partitions", "4").mode("append").save()
+        val payload = StructType(Seq(
+          StructField("event_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        s.read.format("graft-log").option("path", root).option("subscribe", "ev").load()
+          .select(from_json(col("value").cast("string"), payload).as("j"))
+          .select(col("j.*"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("event_id")).as("sum_id"),
+            sum(col("value").cast("decimal(25,10)")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    CAST(SUM(event_id) AS BIGINT) AS sum_id,
+                    CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+             FROM events WHERE event_id % 20 = 0
+             GROUP BY event_type ORDER BY event_type"""))
   )
 }
