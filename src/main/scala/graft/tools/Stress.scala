@@ -566,6 +566,68 @@ object Stress {
       }
     }
     }
+
+    if (want("log")) {
+    // ================= graft-log throughput at 2M records =================
+    // The Kafka-semantics DataSourceV2 (`sources/LogSource.scala`) under
+    // volume: V2 batch produce (per-task staging + driver conditional-PUT
+    // commit), batch consume through the scan, an admission-controlled
+    // streaming drain, and the O(#segments) producer append check as the
+    // segment count grows (the cost production log-rolling bounds).
+    val logRoot = java.nio.file.Files.createTempDirectory("stress-log").toString
+    val nRec = 2000000L
+    val nParts = 8
+    val produceDf = spark.range(nRec).select(
+      col("id").cast("string").cast("binary").as("key"),
+      concat(lit("{\"event_id\":"), col("id"),
+        lit(",\"v\":"), col("id") % 97, lit("}")).cast("binary").as("value"),
+      pmod(col("id"), lit(nParts)).cast("int").as("partition"))
+    val p0 = System.nanoTime()
+    t("log produce 2M (V2 batch write, 8 partitions)") {
+      produceDf.write.format("graft-log").option("path", logRoot)
+        .option("subscribe", "t").option("log.partitions", nParts.toString)
+        .mode("append").save()
+    }
+    println(f"[stress] log produce ${nRec / ((System.nanoTime() - p0) / 1e9)}%.0f records/s")
+    val c0 = System.nanoTime()
+    val consumed = t("log consume 2M (batch scan + decode)") {
+      spark.read.format("graft-log").option("path", logRoot)
+        .option("subscribe", "t").load()
+        .agg(count(lit(1)), sum(crc32(col("value")))).head()
+    }
+    println(f"[stress] log consume ${nRec / ((System.nanoTime() - c0) / 1e9)}%.0f records/s")
+    require(consumed.getLong(0) == nRec, s"consume count ${consumed.getLong(0)} != $nRec")
+    val d0 = System.nanoTime()
+    val drainQ = spark.readStream.format("graft-log")
+      .option("path", logRoot).option("subscribe", "t")
+      .option("maxOffsetsPerTrigger", "250000")
+      .load()
+      .writeStream.format("noop").start()
+    try drainQ.processAllAvailable() finally drainQ.stop()
+    val drainSec = (System.nanoTime() - d0) / 1e9
+    val batches = drainQ.recentProgress.filter(_.numInputRows > 0)
+    require(batches.map(_.numInputRows).sum == nRec,
+      s"drain rows ${batches.map(_.numInputRows).sum} != $nRec")
+    require(batches.forall(_.numInputRows <= 250000),
+      "admission cap violated: " + batches.map(_.numInputRows).mkString(","))
+    println(f"[stress] log stream drain: $nRec records in ${batches.length} " +
+      f"admission-capped batches, $drainSec%.1f s = ${nRec / drainSec}%.0f records/s")
+    // producer append as segments accumulate: 200 sequential 1k-record
+    // appends to ONE partition — each lists the dir and reads every
+    // segment's 1-line header for the txn check, so this times the
+    // worst-case O(#segments) growth a production log-roller would bound
+    val fs = new org.apache.hadoop.fs.Path(logRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val recs = (0 until 1000).map(i =>
+      (i.toLong, null: Array[Byte], s"r$i".getBytes("UTF-8")))
+    val a0 = System.nanoTime()
+    t("log 200 sequential OCC appends (1k records each)") {
+      (0 until 200).foreach(b =>
+        graft.sources.LogFormat.append(fs, logRoot, "appends", 0, recs, s"b$b"))
+    }
+    println(f"[stress] log append avg ${(System.nanoTime() - a0) / 1e9 / 200 * 1000}%.1f ms " +
+      "per append at 0->200 segments")
+    }
     spark.stop()
   }
 }
