@@ -69,18 +69,42 @@ object StreamingMedallion {
   private def writeBatchDir(batch: DataFrame, dir: String, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
 
-  /** Bronze tee: raw decoded CDC rows land as they arrive, batch-keyed. */
-  def startBronze(spark: SparkSession, inDir: String, bronzeDir: String,
-                  checkpoint: String): StreamingQuery =
-    Realtime.decodeCdc(
-        spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-          .json(inDir), orderAfterSchema)
+  /** File-CDC transport: JSON lines carrying a Kafka-style `value` column
+    * (the test/dev source; same downstream shape as [[logCdcSource]]). */
+  def fileCdcSource(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
+      .json(inDir)
+
+  /** graft-log transport: the reference's ACTUAL topology — Debezium
+    * envelopes on a Kafka-contract topic (`sources/LogSource.scala`) —
+    * feeding the identical downstream pipeline. The medallion only ever
+    * touches the `value` column, so file, graft-log, and a real Kafka
+    * source are interchangeable here; `maxPerTrigger` bounds each
+    * micro-batch via the source's admission control. */
+  def logCdcSource(spark: SparkSession, logRoot: String, topic: String,
+                   maxPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-log")
+      .option("path", logRoot).option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+    maxPerTrigger.foreach(m => r.option("maxOffsetsPerTrigger", m.toString))
+    r.load()
+  }
+
+  /** Bronze tee over any CDC transport exposing a `value` column. */
+  def startBronzeFrom(raw: DataFrame, bronzeDir: String,
+                      checkpoint: String): StreamingQuery =
+    Realtime.decodeCdc(raw, orderAfterSchema)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchDir(batch, bronzeDir, batchId)
       }
       .start()
+
+  /** Bronze tee: raw decoded CDC rows land as they arrive, batch-keyed. */
+  def startBronze(spark: SparkSession, inDir: String, bronzeDir: String,
+                  checkpoint: String): StreamingQuery =
+    startBronzeFrom(fileCdcSource(spark, inDir), bronzeDir, checkpoint)
 
   /** Gold recompute from the full silver table: ONE row per orderId first
     * (hash-aggregate max — a re-delivered order carries identical header
@@ -103,10 +127,14 @@ object StreamingMedallion {
     * atomic version. Requires the RocksDB state store provider (Spark 4
     * transformWithState contract). */
   def startSilverGold(spark: SparkSession, inDir: String, silverDir: String,
-                      goldRoot: String, checkpoint: String): StreamingQuery = {
-    val events = toOrderEvents(Realtime.decodeCdc(
-      spark.readStream.schema(StructType(Seq(StructField("value", StringType))))
-        .json(inDir), orderAfterSchema))
+                      goldRoot: String, checkpoint: String): StreamingQuery =
+    startSilverGoldFrom(fileCdcSource(spark, inDir), silverDir, goldRoot, checkpoint)
+
+  /** [[startSilverGold]] over any CDC transport exposing a `value` column
+    * (file, graft-log, or a real Kafka source — see [[logCdcSource]]). */
+  def startSilverGoldFrom(raw: DataFrame, silverDir: String,
+                          goldRoot: String, checkpoint: String): StreamingQuery = {
+    val events = toOrderEvents(Realtime.decodeCdc(raw, orderAfterSchema))
     val completed = Realtime.completenessJoinTws(events, ttl = None)
     completed.toDF()
       .writeStream

@@ -106,6 +106,70 @@ class StreamingMedallionSpec extends SparkSpec {
     }
   }
 
+  test("medallion over graft-log transport: kill-and-resume stays exactly-once") {
+    // the reference's ACTUAL topology — Debezium envelopes on a
+    // Kafka-contract topic — through the identical downstream pipeline:
+    // only the transport closure changes (logCdcSource vs fileCdcSource)
+    val root = java.nio.file.Files.createTempDirectory("smedlog").toString
+    val logRoot = s"$root/log"
+    def envelope(kind: String, oid: Long, cust: Long = -1, n: Int = 0,
+                 pid: Long = -1): Array[Byte] = {
+      val after = kind match {
+        case "header" =>
+          s"""{"kind":"header","order_id":$oid,"customer_id":$cust,"num_products":$n}"""
+        case _ => s"""{"kind":"line","order_id":$oid,"product_id":$pid}"""
+      }
+      s"""{"payload":{"after":$after}}""".getBytes("UTF-8")
+    }
+    val fs = new org.apache.hadoop.fs.Path(logRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def produce(partition: Int, txn: String, msgs: Seq[Array[Byte]]): Unit =
+      graft.sources.LogFormat.append(fs, logRoot, "orders", partition,
+        msgs.zipWithIndex.map { case (v, i) => (i.toLong, null, v) }, txn)
+    def runPipeline(): Unit = {
+      val sg = StreamingMedallion.startSilverGoldFrom(
+        StreamingMedallion.logCdcSource(spark, logRoot, "orders",
+          maxPerTrigger = Some(2)), // several admission-capped micro-batches
+        s"$root/silver", s"$root/gold", s"$root/ckpt")
+      try sg.processAllAvailable() finally sg.stop()
+    }
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // phase 1: order 1 completes (events split ACROSS topic partitions);
+      // order 2's header arrives but its line does not
+      produce(0, "p1a", Seq(
+        envelope("header", 1, cust = 10, n = 2),
+        envelope("line", 1, pid = 101)))
+      produce(1, "p1b", Seq(
+        envelope("line", 1, pid = 102),
+        envelope("header", 2, cust = 20, n = 1)))
+      runPipeline()
+      val goldV1 = Medallion.readGold(spark, s"$root/gold")
+      assert(goldV1.count() == 1)
+
+      // phase 2 lands while the pipeline is DOWN: order 2 completes from
+      // checkpointed state, order 3 completes fresh
+      produce(0, "p2a", Seq(
+        envelope("line", 2, pid = 201),
+        envelope("header", 3, cust = 20, n = 1),
+        envelope("line", 3, pid = 301)))
+      runPipeline()
+      val gold = Medallion.readGold(spark, s"$root/gold")
+        .collect().map(r => r.getAs[Long]("customerId") ->
+          (r.getAs[Long]("n_orders"), r.getAs[Long]("n_products"))).toMap
+      assert(gold == Map(10L -> ((1L, 2L)), 20L -> ((2L, 2L))), s"gold=$gold")
+      val silver = spark.read.parquet(s"$root/silver")
+      assert(silver.count() == 3 && silver.select("orderId").distinct().count() == 3)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("curated-docs flavor: gate applied in-stream, restart keeps gold exact") {
     val root = java.nio.file.Files.createTempDirectory("smedd").toString
     val in = s"$root/in"
