@@ -74,4 +74,83 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-order (Morton-curve) clustering across several columns, so that
+    * per-file [min,max] ranges come out tight on ALL of them at once — the
+    * layout that makes [[graft.pipeline.DataSkipping]] manifests selective
+    * for multi-dimensional predicates (Delta's OPTIMIZE ZORDER BY; a linear
+    * sort gives tight ranges on its leading column only, and a predicate on
+    * any other column then skips nothing).
+    *
+    * Rank-based, not value-based: each column is first mapped to a bucket
+    * index by its position among `2^bitsPerDim` approximate quantile
+    * boundaries (one `approx_percentile` job), so skewed distributions
+    * still spread across the full bucket range — value-linear scaling would
+    * collapse a Zipf column into one bucket. Bucket indices are then
+    * bit-interleaved into the z-value and rows range-partitioned + locally
+    * sorted on it (`repartitionByRange` samples once; its partition bounds
+    * become file bounds on write).
+    *
+    * Scale: two extra passes over the frame being laid out (quantiles +
+    * range sampling) and one shuffle — paid once at write time, amortized
+    * over every pruned read. The boundary arrays (`2^bitsPerDim − 1` values
+    * per column, driver-collected then re-broadcast as literals) follow the
+    * bounded-collect discipline: 8 bits → 255 doubles per column.
+    *
+    * Supported column types: numeric, date, timestamp (rank space is
+    * doubles; a NULL ranks as bucket 0). Rows are returned clustered —
+    * write with `.parquet(...)` and `targetFiles` becomes the file count. */
+  def zorderBy(df: DataFrame, cols: Seq[String], targetFiles: Int,
+               bitsPerDim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(cols.size >= 2, s"z-order needs >= 2 columns (use a plain sort for 1): $cols")
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    require(bitsPerDim >= 1 && bitsPerDim * cols.size <= 62,
+      s"bitsPerDim * dims must fit a long: $bitsPerDim * ${cols.size}")
+    val buckets = 1 << bitsPerDim
+    def rankSpace(c: String): Column = df.schema(c).dataType match {
+      case DateType                         => unix_date(col(c)).cast("double")
+      case TimestampType                    => unix_micros(col(c)).cast("double")
+      case TimestampNTZType                 =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case _: NumericType                   => col(c).cast("double")
+      case dt => throw new IllegalArgumentException(
+        s"z-order on $c: $dt is not rankable (numeric/date/timestamp only)")
+    }
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds: Seq[Seq[Double]] = {
+      val row = df
+        .select(cols.zipWithIndex.map { case (c, i) => rankSpace(c).as(s"__z$i") }: _*)
+        .select(cols.indices.map { i =>
+          expr(s"approx_percentile(__z$i, array(${probs.mkString(",")}), 10000)")
+            .as(s"__b$i")
+        }: _*)
+        .head()
+      cols.indices.map { i =>
+        if (row.isNullAt(i)) Seq.empty[Double]
+        else row.getSeq[Double](i).filter(d => !d.isNaN)
+      }
+    }
+    // bucket = #boundaries <= value, one fold over a literal array (stays
+    // inside whole-stage codegen; NULL value compares null -> bucket 0)
+    def bucketOf(v: Column, bs: Seq[Double]): Column =
+      if (bs.isEmpty) lit(0L)
+      else aggregate(lit(bs.toArray), lit(0L),
+        (acc, b) => acc + when(v >= b, 1L).otherwise(0L))
+    val zCol = {
+      val bucketCols = cols.zipWithIndex.map { case (c, i) =>
+        bucketOf(rankSpace(c), bounds(i))
+      }
+      val d = bucketCols.size
+      val terms = for {
+        bit <- 0 until bitsPerDim
+        (bc, i) <- bucketCols.zipWithIndex
+      } yield shiftleft(shiftright(bc, bit).bitwiseAND(lit(1L)), bit * d + i)
+      terms.reduce(_.bitwiseOR(_))
+    }
+    df.withColumn("__zorder", zCol)
+      .repartitionByRange(targetFiles, col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .drop("__zorder")
+  }
 }

@@ -179,6 +179,43 @@ object PipelineQueries {
                     CAST(SUM(event_id) AS BIGINT) AS sum_id,
                     CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
              FROM events WHERE event_id % 20 = 0
-             GROUP BY event_type ORDER BY event_type"""))
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // Beyond-reference storage layout (SURVEY §2.2 K3 + §4): z-order
+    // clustering (`Scale.zorderBy`) + per-file stats manifest
+    // (`pipeline/DataSkipping`) over a versioned gold publish — the
+    // Delta/Iceberg data-skipping design the reference gets from Delta
+    // (`gold_dim_payment.py:108-122`) rebuilt on plain parquet. The query
+    // publishes a z-ordered copy of `orders`, indexes the committed
+    // version, then answers a two-dimensional range predicate through the
+    // skipping reader; the oracle aggregates the same predicate straight
+    // off the source table, so a single wrongly-pruned file breaks the
+    // hash match. File-skip effectiveness is asserted in DataSkippingSpec;
+    // here the oracle pins SOUNDNESS end to end.
+    Q("q97_zorder_skipping",
+      (s, d) => {
+        import graft.pipeline.{DataSkipping, Medallion}
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q97").toString + "/gold_orders"
+        val src = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val files = math.max(8, s.sparkContext.defaultParallelism)
+        Medallion.publishGold(s,
+          graft.operators.Scale.zorderBy(
+            src, Seq("o_custkey", "o_totalprice"), files), root)
+        DataSkipping.indexGoldCurrent(s, root, Seq("o_custkey", "o_totalprice"))
+        DataSkipping.readGoldSkipping(s, root,
+          col("o_custkey") <= lit(500L) && col("o_totalprice") > lit(150000.0d))
+          .groupBy()
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             FROM orders
+             WHERE o_custkey <= 500 AND o_totalprice > 150000"""))
   )
 }
