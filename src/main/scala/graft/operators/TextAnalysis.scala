@@ -373,6 +373,126 @@ object TextAnalysis {
     (types, merges.toSeq)
   }
 
+  /** ENCODE with a trained BPE merge table: the other half of the
+    * tokenizer loop ([[bpeTrain]] learns the merges; this applies them to
+    * a corpus — the job a 100 TB pre-training pipeline runs far more often
+    * than training itself). Returns per-document token accounting:
+    * `(idCol, n_pretokens, n_bpe_tokens)`; [[bpeTokenRows]] materializes
+    * the token stream itself.
+    *
+    * Semantics: a pre-token is encoded by repeatedly merging the
+    * LOWEST-RANK adjacent symbol pair present, leftmost-non-overlapping per
+    * application — provably identical to replaying the training rewrites
+    * in rank order (a merge learned at rank r only creates symbols no
+    * earlier merge references: merge i's pair exists over the symbol
+    * alphabet of time i, and rank-r concatenations are not in it; so no
+    * earlier-rank pair can newly appear, and the priority loop and the
+    * replay perform the same rewrites). Spec-pinned against [[bpeVocab]]'s
+    * training-final symbol table.
+    *
+    * Scale, the type-table discipline end to end: the merge table is a
+    * bounded shipped artifact (collected once, broadcast; `maxMerges`
+    * guards the collect). Encoding runs once per DISTINCT pre-token type —
+    * never per occurrence (~10⁸ types vs ~10¹³ occurrences at 100 TB) —
+    * via one mapPartitions with a per-word priority loop (genuinely
+    * iterative per string; no built-in expresses it). The occurrence
+    * stream never shuffles whole: per-doc type counts hash-aggregate with
+    * map-side combine, join the encoded type table on `w` (AQE broadcasts
+    * it when it fits), and reduce to per-doc totals. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame, maxMerges: Int = 1 << 20): DataFrame = {
+    val enc = encodedTypes(docs, textCol, merges, maxMerges)
+      .select(col("w"), size(col("syms")).cast("long").as("__nsym"))
+    val perDoc = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(BpeishRe), lit(0))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("__cnt"))
+      .join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("__np"),
+        sum(col("__cnt") * col("__nsym")).as("__nb"))
+    // docs without a single pre-token still get a (0, 0) row
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__np"), lit(0L)).as("n_pretokens"),
+        coalesce(col("__nb"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** The materialized token stream: one row per BPE token with its global
+    * position in the document — what actually feeds a trainer. Same
+    * type-table discipline as [[bpeEncode]]; the per-occurrence fan-out
+    * happens only here, where the output IS per-occurrence. */
+  def bpeTokenRows(docs: DataFrame, idCol: String, textCol: String,
+                   merges: DataFrame, maxMerges: Int = 1 << 20): DataFrame = {
+    val enc = encodedTypes(docs, textCol, merges, maxMerges)
+    docs
+      .select(col(idCol), posexplode(
+        regexp_extract_all(col(textCol), lit(BpeishRe), lit(0))).as(Seq("wpos", "w")))
+      .join(enc, Seq("w"))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "token")))
+      .select(col(idCol), col("wpos").cast("long").as("pretoken_pos"),
+        col("spos").cast("long").as("sym_pos"), col("token"))
+  }
+
+  /** Distinct pre-token types of the corpus with their BPE encodings:
+    * `(w, syms array<string>)`. */
+  private def encodedTypes(docs: DataFrame, textCol: String,
+                           merges: DataFrame, maxMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val head = merges.orderBy(col("merge_rank"))
+      .select(col("p1"), col("p2")).limit(maxMerges + 1).collect()
+    require(head.length <= maxMerges,
+      s"merge table exceeds maxMerges=$maxMerges — raise the bound explicitly")
+    val rank: Map[(String, String), Int] =
+      head.iterator.zipWithIndex
+        .map { case (r, i) => (r.getString(0), r.getString(1)) -> i }.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    import spark.implicits._
+    val types = docs
+      .select(explode(regexp_extract_all(col(textCol), lit(BpeishRe), lit(0))).as("w"))
+      .distinct()
+    types.as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map(w => (w, encodeWord(w, r)))
+      }
+      .toDF("w", "syms")
+  }
+
+  /** Priority-loop BPE encoding of one pre-token (see [[bpeEncode]] for the
+    * replay-equivalence argument). Symbols start as the characters the
+    * training loop starts from (`String.split("")` — code-point singletons,
+    * matching both bpeLoop paths and the oracle's `substr` walk). */
+  private def encodeWord(w: String,
+                         rank: Map[(String, String), Int]): Array[String] = {
+    var syms = w.split("").filter(_.nonEmpty)
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              rank.getOrElse((syms(j), syms(j + 1)), -1) == best) {
+            out += syms(j) + syms(j + 1); j += 2 // leftmost, non-overlapping
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
   /** Corpus-level boilerplate detection: shingles appearing in at least
     * `minDocFrac` of all documents (site chrome, nav text, license headers
     * — content no single document owns) and, per document, the fraction of

@@ -912,7 +912,49 @@ object TextQueries {
              tr AS (SELECT unnest(w) AS token FROM toks)
              SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
              FROM tr GROUP BY token
-             ORDER BY cnt DESC, token LIMIT 25"""))
+             ORDER BY cnt DESC, token LIMIT 25""")),
+
+    // BPE ENCODING — train 20 merges, then tokenize the corpus with them
+    // (`TextAnalysis.bpeEncode`: priority-loop per DISTINCT pre-token type,
+    // provably ≡ replaying the training rewrites in rank order). The oracle
+    // unrolls the 20 training rounds carrying each raw pre-token `w`
+    // through the rewrites, so t20 IS the w → encoded-symbols map; per-doc
+    // token counts then follow from a plain type join — any divergence in
+    // training, encoding order, or the join plumbing breaks the hash.
+    Q("q98_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.bpeEncode(docs, "doc_id", "text",
+            TextAnalysis.bpeTrain(docs, "text", nMerges = 20))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w0 AS (
+               SELECT unnest(regexp_extract_all(text, '${TextAnalysis.BpeishRe}')) AS w
+               FROM documents),
+             wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY w),
+             t0 AS MATERIALIZED (
+               SELECT w, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                 i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS sym, freq
+               FROM wf),
+             ${bpeRoundCtes(20, carry = "w")}
+             , enc AS (
+               SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_sym
+               FROM t20),
+             dw AS (
+               SELECT doc_id, w, COUNT(*) AS cnt
+               FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '${TextAnalysis.BpeishRe}')) AS w
+                     FROM documents)
+               GROUP BY 1, 2),
+             agg AS (
+               SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS np,
+                 CAST(SUM(cnt * n_sym) AS BIGINT) AS nb
+               FROM dw JOIN enc USING (w) GROUP BY doc_id)
+             SELECT d.doc_id,
+               COALESCE(np, 0) AS n_pretokens,
+               COALESCE(nb, 0) AS n_bpe_tokens
+             FROM documents d LEFT JOIN agg USING (doc_id)
+             ORDER BY d.doc_id"""))
   )
 
   /** One BPE round as DuckDB CTEs (count pairs → argmax → rewrite), chained
@@ -928,7 +970,13 @@ object TextQueries {
     * same way — the previous comma cross join emptied t$r (and every
     * later round, and the final vocabulary) on any corpus that exhausts
     * in fewer than `n` merges. */
-  private def bpeRoundCtes(n: Int): String =
+  private def bpeRoundCtes(n: Int): String = bpeRoundCtes(n, carry = "")
+
+  /** As above, threading extra per-type columns (e.g. the raw pre-token
+    * `w`, so the final table maps w → its encoded symbols — what the q98
+    * ENCODING oracle needs) unchanged through every rewrite round. */
+  private def bpeRoundCtes(n: Int, carry: String): String = {
+    val c = if (carry.isEmpty) "" else s"$carry, "
     (1 to n).map { r =>
       s"""c$r AS (
                SELECT l[i] AS p1, l[i+1] AS p2, CAST(SUM(freq) AS BIGINT) AS pair_count
@@ -937,9 +985,10 @@ object TextQueries {
                GROUP BY 1, 2),
              m$r AS MATERIALIZED (SELECT * FROM c$r ORDER BY pair_count DESC, p1, p2 LIMIT 1),
              t$r AS MATERIALIZED (
-               SELECT CASE WHEN m$r.p1 IS NULL THEN sym
+               SELECT ${c}CASE WHEN m$r.p1 IS NULL THEN sym
                  ELSE replace(sym, ' ' || m$r.p1 || ' ' || m$r.p2 || ' ',
                    ' ' || m$r.p1 || m$r.p2 || ' ') END AS sym, freq
                FROM t${r - 1} LEFT JOIN m$r ON TRUE)"""
     }.mkString(",\n             ")
+  }
 }

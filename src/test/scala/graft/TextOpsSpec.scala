@@ -179,6 +179,57 @@ class TextOpsSpec extends SparkSpec {
     assert(vocabAt(0) == vocabAt(200000))
   }
 
+  test("bpeEncode: in-corpus and out-of-vocabulary words, hand-traced priority loop") {
+    import spark.implicits._
+    val train = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
+    // merges (bpeTrain test above): 1 (a,a), 2 (a,b), 3 (aa,ab)
+    val merges = TextAnalysis.bpeTrain(train, "text", nMerges = 3)
+    val inCorpus = TextAnalysis.bpeEncode(train, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // both types fuse to one symbol: 3 pre-tokens → 3 BPE tokens
+    assert(inCorpus.toSeq == Seq((1L, 3L, 3L)))
+    // OOV: "aab" → aa b (rank-1 fires, nothing else applies);
+    // "baaab" → b aa a b → b aa ab → b aaab (ranks 1, 2, 3 in turn)
+    val oov = Seq((9L, "aab baaab"), (10L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(oov, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(9L) == ((2L, 4L)))
+    assert(out(10L) == ((0L, 0L))) // no pre-tokens: explicit zero row
+    val toks = TextAnalysis.bpeTokenRows(oov, "doc_id", "text", merges)
+      .orderBy("doc_id", "pretoken_pos", "sym_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(toks.toSeq == Seq(
+      (9L, 0L, 0L, "aa"), (9L, 0L, 1L, "b"),
+      (9L, 1L, 0L, "b"), (9L, 1L, 1L, "aaab")))
+    // a merge table over the collect bound fails loudly
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeEncode(oov, "doc_id", "text", merges, maxMerges = 2))
+  }
+
+  test("bpeEncode ≡ training replay: token histogram matches bpeVocab exactly") {
+    import spark.implicits._
+    // richer corpus: multi-char types, digits, punctuation, repeats
+    val docs = Seq(
+      (1L, "the theme theater, the theme!"),
+      (2L, "thesis these 12 cases; the"),
+      (3L, "case cases case2 -- theme")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 12)
+    val fromVocab = TextAnalysis.bpeVocab(docs, "text", nMerges = 12)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_occurrences")).toMap
+    val fromEncode = TextAnalysis.bpeTokenRows(docs, "doc_id", "text", merges)
+      .groupBy(org.apache.spark.sql.functions.col("token"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the encoder re-derives the training loop's final segmentation, so the
+    // occurrence-weighted token histogram is the trained vocabulary
+    assert(fromEncode == fromVocab)
+    // and the counting form agrees with the materialized stream
+    val counts = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head().getLong(0)
+    assert(counts == fromVocab.values.sum)
+  }
+
   test("charEntropy: hand-computed entropy; uniform > repeated; flag applied") {
     import spark.implicits._
     val docs = Seq(
