@@ -87,9 +87,11 @@ object Bench {
     val keys = shortKeys(results.map(_.name))
     val (runMs, cpuNs, gcMs, shufNs) = agg
     val sorted = results.sortBy(r => (-r.wall, r.name))
-    def render(decimals: Int, errCap: Int, errMax: Int): String = {
+    def render(decimals: Int, cpuDecimals: Int, errCap: Int, errMax: Int,
+               keepCold: Boolean): String = {
       def f(d: Double) = fmtAdaptive(d, decimals)
-      val qs = sorted.map(r => "\"" + keys(r.name) + "\":[" + f(r.wall) + "," + f(r.cpu) + "]")
+      def fc(d: Double) = fmtAdaptive(d, cpuDecimals)
+      val qs = sorted.map(r => "\"" + keys(r.name) + "\":[" + f(r.wall) + "," + fc(r.cpu) + "]")
         .mkString("{", ",", "}")
       // slowest-first like everything else; beyond errMax the entries drop
       // (the true count survives in "failed", the full texts on stderr)
@@ -102,22 +104,27 @@ object Bench {
       s""""errors":$errors,"rerun":$rr,"queries":$qs,""" +
       s""""agg":{"run":${round3(runMs / 1e3)},"cpu":${round3(cpuNs / 1e9)},""" +
       s""""gc":${round3(gcMs / 1e3)},"shuf":${round3(shufNs / 1e9)}},""" +
-      s""""wall_cold_total":${f(results.map(_.wallCold).sum)},""" +
+      (if (keepCold) s""""wall_cold_total":${f(results.map(_.wallCold).sum)},""" else "") +
       s""""cpu_total":${f(results.map(_.cpu).sum)},""" +
       s""""value":${f(results.map(_.wall).sum)}}"""
     }
-    // degrade error text FIRST, timing precision LAST: an errored run is
-    // exactly when the surviving walls must stay comparable to last round
-    // (BENCH_r07's six error strings ate the decimals and hid sub-second
-    // regressions for the whole registry). Error class is recognizable at
-    // 47 and still at 12 chars; a 0-decimal wall is not. Per-query timings
-    // are never dropped.
+    // degrade error text FIRST, then cpu precision and the cold-total field,
+    // timing (wall) precision LAST: an errored run is exactly when the
+    // surviving walls must stay comparable to last round (BENCH_r07's six
+    // error strings ate the decimals and hid sub-second regressions for the
+    // whole registry). Error class is recognizable at 47 and still at 12
+    // chars; cpu is the secondary counter (its job — wall≫cpu stall vs
+    // cpu≫wall thrash triage — survives integer rounding); a 0-decimal WALL
+    // is what must never happen while anything else can still shrink.
+    // Per-query timings are never dropped.
     val attempts = Seq(
-      (2, 167, Int.MaxValue), (2, 47, Int.MaxValue), (2, 12, Int.MaxValue),
-      (2, 12, 10), (2, 12, 0), (1, 12, 0), (0, 12, 0))
-    attempts.iterator.map { case (d, e, m) => render(d, e, m) }
+      (2, 2, 167, Int.MaxValue, true), (2, 2, 47, Int.MaxValue, true),
+      (2, 2, 12, Int.MaxValue, true), (2, 2, 12, 10, true), (2, 2, 12, 0, true),
+      (2, 1, 12, 0, true), (2, 0, 12, 0, true), (2, 0, 12, 0, false),
+      (1, 1, 12, 0, true), (1, 0, 12, 0, false), (0, 0, 12, 0, false))
+    attempts.iterator.map { case (d, cd, e, m, kc) => render(d, cd, e, m, kc) }
       .find(utf8Len(_) <= captureBudgetBytes)
-      .getOrElse(render(0, 12, 0))
+      .getOrElse(render(0, 0, 12, 0, keepCold = false))
   }
 
   /** Self-heal target list: which queries deserve ONE more rep at the END
