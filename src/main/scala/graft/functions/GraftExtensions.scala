@@ -62,6 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongMatrixDot].getName, "graft_matdot"),
       (exprs: Seq[Expression]) => LongMatrixDot(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_pqenc"),
+      new ExpressionInfo(classOf[LongPqEncode].getName, "graft_pqenc"),
+      (exprs: Seq[Expression]) => LongPqEncode(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pqtab"),
+      new ExpressionInfo(classOf[LongPqTables].getName, "graft_pqtab"),
+      (exprs: Seq[Expression]) => LongPqTables(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pqadc"),
+      new ExpressionInfo(classOf[LongPqAdc].getName, "graft_pqadc"),
+      (exprs: Seq[Expression]) => LongPqAdc(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
       (exprs: Seq[Expression]) => {

@@ -164,6 +164,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_matdot", exprs => LongMatrixDot(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pqenc", exprs => LongPqEncode(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pqtab", exprs => LongPqTables(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pqadc", exprs => LongPqAdc(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

@@ -862,4 +862,113 @@ object Similarity {
       .filter(col("pick_order") <= perCell)
       .select(col(idCol), col("cell"), col("pick_order"))
   }
+
+  // --------------------------------------------------- Product Quantization
+
+  /** Train a PQ codebook (Jégou et al. 2011): split the `dim`-long
+    * fixed-point vectors into `m` contiguous subspaces of dim/m components,
+    * and per subspace run `iters` exact-integer Lloyd rounds over `ks`
+    * centroids seeded from the md5-smallest `ks` corpus vectors' slices
+    * (code id = seed rank, the [[ivfCentroids]] sampling discipline).
+    * Assignment metric is exact squared L2 (PQ quantizes residual energy —
+    * dot/cosine is the wrong objective inside a subspace, where slices are
+    * not unit vectors); updates are exact integer means (`div` semantics,
+    * truncate-toward-zero like the q59 oracle), empty codes keep their
+    * previous centroid. Returns cb[m][c][j] as a driver value: M·ks·dSub
+    * longs — 8·16·8 = 1 KB here, and BOUNDED like the assignCells literal
+    * matrix (a codebook that can't ride with the tasks can't serve ADC
+    * either), so the collects obey the union-find discipline. Everything is
+    * integer arithmetic, so training is bit-reproducible cross-engine and
+    * the DuckDB oracle re-derives it (q99).
+    *
+    * `quantized` must be (idCol, __qv array<bigint>) and is scanned
+    * 1 + iters times — pass a persisted frame. */
+  def pqTrainCodebook(quantized: DataFrame, idCol: String, m: Int, ks: Int,
+                      iters: Int): Array[Array[Array[Long]]] = {
+    val seedRows = quantized
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ks) // TakeOrderedAndProject: distributed top-k, no global sort
+      .collect()
+    require(seedRows.nonEmpty, "pqTrainCodebook: empty corpus")
+    val dim = seedRows.head.getSeq[Long](1).length
+    require(dim % m == 0, s"pqTrainCodebook: dim $dim not divisible by m=$m")
+    val dSub = dim / m
+    // cb[m][c][j]; fewer corpus vectors than ks just means fewer codes
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(m) { mm =>
+      seedRows.map(r => r.getSeq[Long](1).slice(mm * dSub, (mm + 1) * dSub).toArray)
+    }
+    for (_ <- 0 until iters) {
+      val lit = cbLiteral(cb)
+      // one narrow pass: per (subspace, code, position) exact integer mean
+      // of the member slices — M·ks·dSub groups (≈1k), map-side combined
+      val means = spread(quantized)
+        .select(call_function("graft_pqenc", col("__qv"), lit).as("__codes"),
+          posexplode(col("__qv")).as(Seq("__pos", "__v")))
+        .groupBy((col("__pos") / dSub).cast("int").as("__m"),
+          element_at(col("__codes"), (col("__pos") / dSub).cast("int") + 1).as("__c"),
+          (col("__pos") % dSub).as("__j"))
+        .agg(expr("sum(__v) div count(1)").as("__mv"))
+        .collect() // bounded: ≤ m·ks·dSub rows
+      val next = cb.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getLong(3)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  private def cbLiteral(cb: Array[Array[Array[Long]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** PQ-encode the corpus: (id, codes array<bigint>) — each vector
+    * compressed to `m` code ids against a trained codebook. MAP-ONLY: the
+    * codebook rides with the tasks as one literal; no join, no shuffle. At
+    * 100 TB this is the index build — the output is M small ints per vector
+    * (vs M·dSub floats), the compression that lets a billion-vector index
+    * fit executor memory. */
+  def pqIndex(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ks: Int = 16, trainIters: Int = 1): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrainCodebook(q, idCol, m, ks, trainIters)
+    spread(q).select(col(idCol),
+      call_function("graft_pqenc", col("__qv"), cbLiteral(cb)).as("codes"))
+  }
+
+  /** PQ-ADC approximate top-k: queries score the WHOLE corpus, but against
+    * M-code compressed vectors via distance-table lookups (graft_pqadc)
+    * instead of full-dimension arithmetic — O(M) array reads per pair after
+    * an O(ks·dim) per-QUERY table build. The scan side carries only
+    * (id, codes); the full vectors never cross the join. Smaller adist =
+    * closer (squared L2). Deterministic end to end (md5 seed, exact integer
+    * training, integer distances, id tiebreaks) ⇒ fully value-oracled
+    * (q99). Compose with [[ivfTopK]]-style cell probing for IVF-ADC when
+    * even one pass over the codes is too much; here the corpus pass IS the
+    * demonstration that the compressed scan beats the full-precision one
+    * ([[bruteForceTopK]] at the same N pays dim/M× the memory traffic). */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                m: Int = 8, ks: Int = 16, trainIters: Int = 1): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrainCodebook(q, idCol, m, ks, trainIters)
+    val lit = cbLiteral(cb)
+    val enc = spread(q).select(col(idCol).as("neighbor_id"),
+      call_function("graft_pqenc", col("__qv"), lit).as("__codes"))
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        call_function("graft_pqtab", quantize(col(vecCol)), lit).as("__tab"))
+    val scored = enc.crossJoin(broadcast(queries)) // BroadcastNestedLoop, never Cartesian
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", call_function("graft_pqadc", col("__tab"), col("__codes")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k) // WindowGroupLimit: per-query top-k, no full sort
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+  }
 }

@@ -607,6 +607,81 @@ object SimilarityQueries {
                    AS pick_order
                FROM a2)
              SELECT vec_id, cell, pick_order
-             FROM rk WHERE pick_order <= 8 ORDER BY vec_id"""))
+             FROM rk WHERE pick_order <= 8 ORDER BY vec_id""")),
+
+    // Product Quantization ADC top-k, FULLY oracled: per-subspace codebooks
+    // (md5-seeded, one exact-integer L2 Lloyd round), corpus compressed to
+    // M=16 6-bit codes/vector (96 bits vs 2048 full precision), queries
+    // (every 40th id) ranked by table-lookup distances. The oracle
+    // re-derives the ENTIRE pipeline — seeding, training, encoding, ADC —
+    // in SQL; ADC falls out relationally as an (m, code) equi-join: each
+    // (query, neighbor) pair matches exactly one table row per subspace, so
+    // SUM(dist) over the join IS the ADC score.
+    Q("q99_pq_adc_topk",
+      (s, d) => Similarity.pqAdcTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") % 40 === 0, k = 10,
+          m = 16, ks = 64, trainIters = 1)
+        .orderBy(col("query_id"), col("rank")),
+      Some("""WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             seed AS (
+               SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                        AS code, qv
+               FROM (SELECT vec_id, qv FROM q
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)),
+             cb0 AS (
+               SELECT t.m, s.code, u.j, s.qv[t.m * 4 + u.j + 1] AS v
+               FROM seed s, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
+             sub AS (
+               SELECT q.vec_id, t.m, u.j, q.qv[t.m * 4 + u.j + 1] AS v
+               FROM q, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
+             d0 AS (
+               SELECT s.vec_id, s.m, c.code,
+                 CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS dist
+               FROM sub s JOIN cb0 c ON c.m = s.m AND c.j = s.j
+               GROUP BY 1, 2, 3),
+             a0 AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, code) AS rn FROM d0)
+               WHERE rn = 1),
+             msum AS (
+               SELECT a.m, a.code, s.j,
+                 CAST(SUM(s.v) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS n
+               FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+               GROUP BY 1, 2, 3),
+             cb1 AS (
+               SELECT c.m, c.code, c.j,
+                 COALESCE(CASE WHEN ms.sm < 0 THEN -((-ms.sm) // ms.n)
+                               ELSE ms.sm // ms.n END, c.v) AS v
+               FROM cb0 c LEFT JOIN msum ms
+                 ON ms.m = c.m AND ms.code = c.code AND ms.j = c.j),
+             d1 AS (
+               SELECT s.vec_id, s.m, c.code,
+                 CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS dist
+               FROM sub s JOIN cb1 c ON c.m = s.m AND c.j = s.j
+               GROUP BY 1, 2, 3),
+             enc AS (
+               SELECT vec_id, m, code, dist FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, code) AS rn FROM d1)
+               WHERE rn = 1),
+             ad AS (
+               SELECT t.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 CAST(SUM(t.dist) AS BIGINT) AS adist
+               FROM (SELECT vec_id, m, code FROM enc) e
+               JOIN d1 t ON t.m = e.m AND t.code = e.code
+               WHERE t.vec_id % 40 = 0 AND e.vec_id <> t.vec_id
+               GROUP BY 1, 2),
+             r AS (
+               SELECT query_id, neighbor_id, adist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adist, neighbor_id) AS rnk
+               FROM ad)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adist
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""))
   )
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Product-quantization properties: exact equivalence with a local
+  * reference implementation (the union-find / Efraimidis-Spirakis spec
+  * discipline — an independent Scala recomputation, not a Spark one),
+  * degenerate full-precision behavior, partitioning stability, and recall
+  * sanity on the real sf0.001 embeddings. The full pipeline's cross-engine
+  * value oracle is q99 (CORRECTNESS vs DuckDB). */
+class PqSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def quantizeLocal(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray
+
+  /** Local reference PQ: identical contract to
+    * [[Similarity.pqTrainCodebook]] + [[Similarity.pqIndex]] — md5-order
+    * seed, squared-L2 assignment with smallest-code tiebreak, Lloyd update
+    * with truncate-toward-zero integer means, empty codes keep centroids. */
+  private def referencePq(vecs: Seq[(Long, Array[Long])], m: Int, ks: Int,
+                          iters: Int): (Array[Array[Array[Long]]], Map[Long, Seq[Long]]) = {
+    val dim = vecs.head._2.length
+    val dSub = dim / m
+    val seed = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(ks)
+    var cb = Array.tabulate(m)(mm =>
+      seed.map(_._2.slice(mm * dSub, (mm + 1) * dSub)).toArray)
+    def encode(v: Array[Long]): Array[Int] =
+      Array.tabulate(m) { mm =>
+        val dists = cb(mm).map { row =>
+          var s = 0L
+          for (j <- 0 until dSub) { val d = v(mm * dSub + j) - row(j); s += d * d }
+          s
+        }
+        dists.indexOf(dists.min) // first min = smallest code id
+      }
+    for (_ <- 0 until iters) {
+      val assigned = vecs.map { case (id, v) => (id, v, encode(v)) }
+      val next = cb.map(_.map(_.clone()))
+      for (mm <- 0 until m; c <- 0 until cb(mm).length) {
+        val members = assigned.filter(_._3(mm) == c)
+        if (members.nonEmpty) {
+          for (j <- 0 until dSub) {
+            val s = members.map(_._2(mm * dSub + j)).sum
+            val n = members.size
+            next(mm)(c)(j) = if (s < 0) -((-s) / n) else s / n // truncate like `div`
+          }
+        }
+      }
+      cb = next
+    }
+    (cb, vecs.map { case (id, v) => id -> encode(v).map(_.toLong).toSeq }.toMap)
+  }
+
+  private def fixture = {
+    import spark.implicits._
+    // 20 deterministic 8-dim vectors with two planted tight clusters
+    val rows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.8f else -0.6f
+      i -> Seq.tabulate(8)(j => base + 0.05f * ((i * 7 + j * 3) % 5).toFloat)
+    }
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("pqIndex codes match an independent local PQ recomputation (seed, Lloyd, encode)") {
+    val df = fixture
+    val local = df.collect().map(r =>
+      r.getLong(0) -> quantizeLocal(r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val (_, expected) = referencePq(local, m = 4, ks = 4, iters = 2)
+    val got = Similarity.pqIndex(df, "vec_id", "embedding", m = 4, ks = 4, trainIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == expected)
+  }
+
+  test("pqAdcTopK with M=1, ks=N, iters=0 degenerates to exact squared-L2 ranking") {
+    val df = fixture
+    val local = df.collect().map(r =>
+      r.getLong(0) -> quantizeLocal(r.getSeq[Float](1))).toSeq
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // every vector is its own codebook entry -> tables hold the exact
+    // distance to every corpus vector, ADC IS the exact ranking
+    val queries = local.filter(_._1 % 7 == 0)
+    val expected = queries.flatMap { case (qid, qv) =>
+      local.filter(_._1 != qid)
+        .map { case (nid, nv) => (qid, nid, l2(qv, nv)) }
+        .sortBy { case (_, nid, d) => (d, nid) }
+        .take(3).zipWithIndex
+        .map { case ((q, n, d), i) => (q, (i + 1).toLong, n, d) }
+    }.toSet
+    val got = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+        col("vec_id") % 7 === 0, k = 3, m = 1, ks = 20, trainIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
+  test("pqAdcTopK is bit-stable under input repartitioning") {
+    val df = fixture
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqAdcTopK(d, "vec_id", "embedding",
+          col("vec_id") % 7 === 0, k = 5, m = 4, ks = 4, trainIters = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(df) == run(df.repartition(7)))
+  }
+
+  test("PQ recall vs exact L2 on sf0.001 embeddings; training does not hurt distortion") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val local = emb.collect().map(r =>
+      r.getLong(0) -> quantizeLocal(r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = local.filter(_._1 % 40 == 0).flatMap { case (qid, qv) =>
+      local.filter(_._1 != qid).map { case (nid, nv) => (qid, nid, l2(qv, nv)) }
+        .sortBy { case (_, nid, d) => (d, nid) }.take(10).map(t => (qid, t._2))
+    }.toSet
+    val pq = Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 40 === 0, k = 10, m = 16, ks = 64, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    // deterministic pipeline on fixed data: measured 0.546 at 96-bit codes
+    // on UNSTRUCTURED unit vectors (PQ's adversarial case — no cluster
+    // structure to exploit; random top-10 would score 0.02)
+    info(s"PQ-ADC top-10 recall vs exact L2: $recall")
+    assert(recall >= 0.5, s"recall $recall") // 96 bits vs 2048 bits/vector
+    // Lloyd round must not increase total quantization distortion
+    def distortion(iters: Int): Double = {
+      val (cb, codes) = referencePq(local, m = 16, ks = 64, iters = iters)
+      local.map { case (id, v) =>
+        val rec = (0 until 16).flatMap(mm => cb(mm)(codes(id)(mm).toInt)).toArray
+        l2(v, rec).toDouble
+      }.sum
+    }
+    val d0 = distortion(0); val d1 = distortion(1)
+    info(s"PQ distortion seed=$d0 trained=$d1")
+    assert(d1 <= d0 * 1.001) // integer-truncated means: allow rounding slack
+  }
+}
