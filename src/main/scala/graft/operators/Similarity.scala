@@ -971,4 +971,67 @@ object Similarity {
       .filter(col("rank") <= k) // WindowGroupLimit: per-query top-k, no full sort
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
+
+  /** IVF-PQ top-k — the two ANN halves composed into the production serving
+    * shape (FAISS's IVFPQ family): the coarse quantizer restricts each
+    * query to `nProbe` cells (so only ~N·nProbe/nCells candidates are
+    * touched), and candidates are scored against M-code PQ-compressed
+    * vectors via table lookups (graft_pqadc) — the full vectors are
+    * DROPPED at index build and never cross the join. At 100 TB both
+    * levers matter independently: IVF bounds how much of the corpus a
+    * query reads, PQ bounds the bytes per candidate read; composed, a
+    * billion-vector index is nProbe/nCells · M/(4·dim) of the brute-force
+    * scan traffic.
+    *
+    * Simplification vs FAISS: codes quantize RAW vectors against one
+    * global codebook, not per-cell residuals (residual encoding reuses the
+    * same machinery with cb trained on `__qv - centroid` and per-(query,
+    * cell) table builds; the accuracy refinement is documented, not
+    * hidden). Coarse quantizer is the zero-training md5 sample
+    * ([[ivfCentroids]], the q35 discipline), codebook is Lloyd-trained —
+    * every step exact integer math, so q100's DuckDB oracle re-derives
+    * index build, probing, and ADC ranking end to end. nProbe = nCells
+    * degenerates to exactly [[pqAdcTopK]] (asserted in PqSpec). */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                nCells: Int = 32, nProbe: Int = 8,
+                m: Int = 16, ks: Int = 64, trainIters: Int = 1): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfCentroids(q, idCol, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqTrainCodebook(q, idCol, m, ks, trainIters)
+    val lit = cbLiteral(cb)
+    // index build: assignment + encode in ONE map-only pass, vectors dropped
+    val index = assignCells(q, idCol, cents)
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        call_function("graft_pqenc", col("__qv"), lit).as("__codes"))
+    val queryIds = emb.filter(queryPred).select(col(idCol))
+    val queries = q.join(queryIds, idCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cd").desc, col("cent_id"))
+    val probed = queries.join(broadcast(cents))
+      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qvec"), col("__cv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val qtabs = queries.select(col("query_id"),
+      call_function("graft_pqtab", col("__qvec"), lit).as("__tab"))
+    // stream the big index, broadcast the probe list — never a cell-keyed
+    // exchange (nCells distinct keys would collapse the fan-out onto a few
+    // reducers; the ivfTopK scaladoc records the measured straggler)
+    val scored = index
+      .join(broadcast(probed), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qtabs), "query_id")
+      .withColumn("adist", call_function("graft_pqadc", col("__tab"), col("__codes")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+  }
 }

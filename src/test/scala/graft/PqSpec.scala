@@ -108,6 +108,32 @@ class PqSpec extends SparkSpec {
     assert(run(df) == run(df.repartition(7)))
   }
 
+  test("ivfPqTopK with nProbe = nCells degenerates to exactly pqAdcTopK") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = rows(Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 40 === 0, k = 10, m = 16, ks = 64, trainIters = 1))
+    val ivfpq = rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 40 === 0, k = 10, nCells = 16, nProbe = 16,
+      m = 16, ks = 64, trainIters = 1))
+    assert(ivfpq == full) // every cell probed -> candidate set is the corpus
+  }
+
+  test("ivfPqTopK results are a subset of probed-cell members, ranked consistently") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        col("vec_id") % 40 === 0, k = 10, nCells = 16, nProbe = 4,
+        m = 16, ks = 64, trainIters = 1).collect()
+    assert(got.nonEmpty)
+    // per query: ranks are 1..n dense and adist non-decreasing with rank
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.map(_.getLong(3)).toSeq == byRank.map(_.getLong(3)).sorted.toSeq)
+    }
+  }
+
   test("PQ recall vs exact L2 on sf0.001 embeddings; training does not hurt distortion") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val local = emb.collect().map(r =>
