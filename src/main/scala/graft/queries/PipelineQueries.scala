@@ -216,6 +216,43 @@ object PipelineQueries {
                     CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              FROM orders
-             WHERE o_custkey <= 500 AND o_totalprice > 150000"""))
+             WHERE o_custkey <= 500 AND o_totalprice > 150000""")),
+
+    // Incremental aggregate-view maintenance: lineitem arrives as three
+    // append batches; each one is reduced to a partial state and folded
+    // into the view with the O(batch + |groups|) algebraic merge — history
+    // is never re-scanned. The oracle is DuckDB's ONE-SHOT full aggregate:
+    // incremental ≡ full recompute is the operator's contract.
+    Q("q101_incremental_agg",
+      (s, d) => {
+        import graft.pipeline.IncrementalAgg
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val ms = Seq("l_quantity", "l_extendedprice")
+        val li = Tables.lineitem(s, d)
+        val state = (0 until 3)
+          .map(i => IncrementalAgg.partialState(
+            li.filter(col("l_orderkey") % 3 === i), keys, ms))
+          .reduce(IncrementalAgg.mergeState(_, _, keys, ms))
+        IncrementalAgg.finalizeView(state, keys, ms)
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 AS avg_l_quantity,
+               CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_l_quantity,
+               CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_l_quantity,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_l_extendedprice,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 AS avg_l_extendedprice,
+               CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS min_l_extendedprice,
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS max_l_extendedprice
+             FROM lineitem
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus"""))
   )
 }
