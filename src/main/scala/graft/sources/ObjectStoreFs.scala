@@ -117,7 +117,14 @@ class ObjectStoreFileSystem extends FileSystem {
         val it = ds.iterator()
         while (it.hasNext) {
           val c = it.next()
-          if (c.getFileName.toString != ".puts") out += status(c)
+          // An entry can vanish between the directory read and its stat —
+          // exactly S3's LIST consistency contract (a LISTed key may 404 by
+          // the time it is GET), and this shim's replace-by-delete+create
+          // pointer flips hit the window under concurrent writers. A real
+          // store would simply not return the key; skip it.
+          if (c.getFileName.toString != ".puts")
+            try out += status(c)
+            catch { case _: java.nio.file.NoSuchFileException => }
         }
       } finally ds.close()
       out.toArray
