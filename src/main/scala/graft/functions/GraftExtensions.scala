@@ -86,6 +86,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KMinValues(exprs.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_bks"),
+      new ExpressionInfo(classOf[BottomKSample].getName, "graft_bks"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other if other.foldable => other.eval().toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"graft_bks k must be a literal: $other")
+        }
+        BottomKSample(exprs.head, exprs(1), k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_mg"),
       new ExpressionInfo(classOf[MisraGries].getName, "graft_mg"),
       (exprs: Seq[Expression]) => {

@@ -297,4 +297,44 @@ object Quality {
       .map(c => s"retyped: $c ${storedM(c)} -> ${curM(c)}")
     added ++ removed ++ retyped
   }
+
+  /** Sample-sketched quantiles: per group, quantile estimates from the
+    * `graft_bks` bottom-k uniform sample (the k rows with the smallest
+    * md5-derived hashes — deterministic, mergeable, O(k)/group state)
+    * instead of the exact `percentile`'s collect-and-sort of EVERY group
+    * value. The scale quantile path next to q28's histogram sketch: one
+    * map-side-combining pass over rows; the interpolation then runs on a
+    * ≤ k-row frame per group. Groups with ≤ k rows are sampled whole, so
+    * their estimates are EXACT (spec-asserted).
+    *
+    * `rowKeySql` must be a unique row key (its md5 is the sampling
+    * coin-flip); `valueCol` is money-ish (cents-quantized with the q02
+    * idiom — sums/orderings exact). `qs` maps output column name →
+    * quantile. Fully value-oracled (q102): the sample itself is a pure
+    * function of the input set, so DuckDB re-derives the identical k rows
+    * and the identical interpolation. */
+  def sampledQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       rowKeySql: String, k: Int,
+                       qs: Seq[(String, Double)]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val pre = df.select(
+      groupCols.map(col) ++ Seq(
+        expr(s"CAST(conv(substr(md5(CAST(($rowKeySql) AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("__h"),
+        expr(s"CAST(round($valueCol * 100) AS BIGINT)").as("__c")): _*)
+    val sk = pre.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"graft_bks(__h, __c, $k)").as("__s"), count(lit(1)).as("n_rows"))
+    val ex = sk.select(
+      groupCols.map(col) ++ Seq(col("n_rows"),
+        col("__s.n_sampled").as("n_sampled"),
+        explode(col("__s.vals")).as("__v")): _*)
+    val aggs = qs.map { case (name, q) =>
+      // single-interpolation-multiply discipline (q44): percentile over
+      // exact integer cents, ONE /100 scale-down, round 6 — the identical
+      // double-op sequence DuckDB's quantile_cont side performs
+      round(expr(s"percentile(__v, ${q}D)") / 100, 6).as(name)
+    }
+    ex.groupBy(groupCols.map(col) ++ Seq(col("n_rows"), col("n_sampled")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

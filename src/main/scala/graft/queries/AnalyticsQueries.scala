@@ -448,6 +448,43 @@ object AnalyticsQueries {
                     FROM t)
              SELECT bin, c_a, c_b, p_a, p_b, psi_term_micros,
                CAST(SUM(psi_term_micros) OVER () AS BIGINT) AS psi_total_micros
-             FROM t2 ORDER BY bin"""))
+             FROM t2 ORDER BY bin""")),
+
+    // Sample-sketched quantiles: the sampling member of the sketch family
+    // (KMV q74 = distinct, Misra–Gries q95 = frequency, bottom-k = any
+    // order statistic) — quantile estimates from the k rows with the
+    // smallest md5 hashes, one O(k)-state mergeable pass instead of exact
+    // percentile's collect-and-sort per group. The sample is a pure
+    // function of the input set, so the oracle re-derives the IDENTICAL k
+    // rows (rank by fixed-width hex = rank by value) and interpolation.
+    Q("q102_sample_quantiles",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.operators.Quality.sampledQuantiles(
+            Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+            "concat(l_orderkey, '-', l_linenumber)", k = 64,
+            qs = Seq("p50_price" -> 0.5, "p90_price" -> 0.9))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH hx AS (
+               SELECT l_returnflag AS g,
+                 substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR)), 1, 15) AS h,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+               FROM lineitem),
+             dh AS (SELECT g, h, MIN(c) AS c FROM hx GROUP BY g, h),
+             rk AS (SELECT g, c,
+                      row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+                    FROM dh),
+             smp AS (SELECT g, c FROM rk WHERE rk <= 64),
+             ag AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                      ROUND(quantile_cont(c, 0.5) / 100, 6) AS p50_price,
+                      ROUND(quantile_cont(c, 0.9) / 100, 6) AS p90_price
+                    FROM smp GROUP BY g),
+             nn AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n_rows
+                    FROM lineitem GROUP BY 1)
+             SELECT nn.g AS l_returnflag, nn.n_rows, ag.n_sampled,
+               ag.p50_price, ag.p90_price
+             FROM nn JOIN ag USING (g) ORDER BY l_returnflag"""))
   )
 }

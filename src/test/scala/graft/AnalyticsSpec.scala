@@ -67,4 +67,64 @@ class AnalyticsSpec extends SparkSpec {
       .select(col("s.kth_hash"), col("s.n_seen"), col("s.estimate")).collect().head
     assert(s.isNullAt(0) && s.getLong(1) == 50L && s.getDouble(2) == 50.0)
   }
+
+  test("graft_bks / sampledQuantiles: exact whole-group path, invariance, accuracy, merge rule") {
+    import graft.operators.Quality
+    graft.functions.GraftFunctions.register(spark)
+    // 100k rows, two groups; value = a deterministic uniform-ish spread
+    val df = spark.range(100000).select(
+      (col("id") % 2).as("g").cast("string").as("g"),
+      col("id"),
+      ((col("id") * 37 % 10000).cast("double") / 100).as("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quality.sampledQuantiles(d, Seq("g"), "v", "id", k = 256,
+        qs = Seq("p50" -> 0.5, "p90" -> 0.9))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val out = run(df)
+    out.values.foreach { case (n, ns, p50, p90) =>
+      assert(n == 50000L && ns == 256L)
+      // true p50 = ~49.99, p90 = ~89.99 on the 0..99.99 spread; a k=256
+      // uniform sample's quantile stderr ~ sqrt(q(1-q)/k)·range ≈ 3.1
+      assert(math.abs(p50 - 50.0) < 10.0, s"p50 $p50")
+      assert(math.abs(p90 - 90.0) < 10.0, s"p90 $p90")
+    }
+    // mergeable: bit-identical across partitionings (partial-agg merge path)
+    assert(run(df.repartition(17)) == out)
+    // group sampled whole (n <= k) -> estimates EXACT vs percentile
+    val small = df.filter(col("id") < 300)
+    val got = run(small)
+    val exact = small
+      .select(col("g"), expr("CAST(round(v * 100) AS BIGINT)").as("c"))
+      .groupBy("g")
+      .agg(round(expr("percentile(c, 0.5D)") / 100, 6).as("p50"),
+        round(expr("percentile(c, 0.9D)") / 100, 6).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (g, (_, _, p50, p90)) =>
+      assert((p50, p90) == exact(g), s"group $g: ($p50,$p90) vs ${exact(g)}")
+    }
+    // duplicate hash keeps the SMALLER value (deterministic collision rule)
+    val bks = graft.functions.BottomKSample(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        1, org.apache.spark.sql.types.LongType, nullable = true), 4)
+    val b = bks.createAggregationBuffer()
+    import org.apache.spark.sql.catalyst.InternalRow
+    Seq((7L, 50L), (7L, 20L), (7L, 90L), (3L, 10L)).foreach { case (h, v) =>
+      bks.update(b, InternalRow(h, v))
+    }
+    assert(b.size() == 2 && b.get(7L) == 20L && b.get(3L) == 10L)
+    // eval orders values by hash ascending
+    val row = bks.eval(b).asInstanceOf[InternalRow]
+    assert(row.getLong(0) == 2L)
+    assert(row.getArray(1).toLongArray.toSeq == Seq(10L, 20L))
+    // sketch pass is partial-aggregated (two ObjectHashAggregate phases)
+    val p = df.repartition(4)
+      .select(expr("CAST(conv(substr(md5(CAST(id AS STRING)),1,15),16,10) AS BIGINT)").as("h"),
+        expr("CAST(round(v*100) AS BIGINT)").as("c"))
+      .agg(expr("graft_bks(h, c, 64)"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
