@@ -147,6 +147,22 @@ object Stress {
         nCells = 283, nProbe = 16, trainIters = 2)
     } { Similarity.ivfTopK(emb, "vec_id", "embedding", predSub, k = 10,
         nCells = 283, nProbe = 16, trainIters = 2) }
+    // PQ rows of the decision table: full-corpus ADC (compressed scan) and
+    // the IVF-PQ composition. Reported, not gated — PQ trades recall for a
+    // 96-bit/vector index; the numbers document the trade at this scale.
+    val rPq = timed("pqAdcTopK m=16 ks=64 (96-bit ADC)") {
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding", pred2k, k = 10,
+        m = 16, ks = 64, trainIters = 1)
+    } { Similarity.pqAdcTopK(emb, "vec_id", "embedding", predSub, k = 10,
+        m = 16, ks = 64, trainIters = 1) }
+    val rIvfPq = timed("ivfPqTopK 283 cells/16 probes + ADC") {
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", pred2k, k = 10,
+        nCells = 283, nProbe = 16, m = 16, ks = 64, trainIters = 1)
+    } { Similarity.ivfPqTopK(emb, "vec_id", "embedding", predSub, k = 10,
+        nCells = 283, nProbe = 16, m = 16, ks = 64, trainIters = 1) }
+    println(f"[stress] ann-table pq: adc=${rPq.sec}%.1f s recall=${rPq.recall}%.3f " +
+      f"ivfpq=${rIvfPq.sec}%.1f s recall=${rIvfPq.recall}%.3f " +
+      f"(brute ${rBrute.sec}%.1f s)")
     // the recommended production top-k path must beat brute force >= 5x
     // at this scale with recall >= 0.9 — the gate the scaladocs cite
     val best = Seq(rIvf, rIvfT).filter(_.recall >= 0.9).minByOption(_.sec)
