@@ -142,10 +142,18 @@ case class LongPqEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `graft_pqtab(vec, codebook)` → `array<array<bigint>>`: the query's ADC
-  * distance tables — tab[m][c] = exact squared L2 between the vector's m-th
-  * slice and codebook row (m, c). Computed ONCE per query row; every
-  * (query, code) score downstream is then a table lookup. */
+/** `graft_pqtab(vec, codebook)` → `array<bigint>`: the query's ADC
+  * distance tables, FLAT row-major (tab[m·ks + c] = exact squared L2
+  * between the vector's m-th slice and codebook row (m, c); every
+  * subspace must share one ks, checked at build). Computed ONCE per query
+  * row; every (query, code) score downstream is then a table lookup.
+  *
+  * Flat, not nested, deliberately: `array<array<bigint>>` made the ADC
+  * join EVAL `getArray(m)` per subspace per candidate pair — an
+  * UnsafeArrayData wrapper allocation ×M on the hottest path in the
+  * family — and the 80k-corpus stress table measured full-corpus ADC
+  * SLOWER than the brute-force dot because of it. One flat buffer is one
+  * base-offset `getLong` per subspace, allocation-free. */
 case class LongPqTables(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -159,21 +167,25 @@ case class LongPqTables(left: Expression, right: Expression)
         "graft_pqtab requires a constant (foldable) codebook argument")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def dataType: DataType =
-    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_pqtab"
 
-  @transient private lazy val cb: Array[Array[Array[Long]]] = PqCodec.cbValue(right)
+  @transient private lazy val cb: Array[Array[Array[Long]]] = {
+    val v = PqCodec.cbValue(right)
+    require(v.map(_.length).distinct.length <= 1,
+      "graft_pqtab: all subspaces must have the same code count")
+    v
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val rows = new Array[Any](cb.length)
+    val ks = if (cb.isEmpty) 0 else cb(0).length
+    val flat = new Array[Long](cb.length * ks)
     var off = 0
     var m = 0
     while (m < cb.length) {
       val codes = cb(m)
       val dSub = if (codes.isEmpty) 0 else codes(0).length
-      val dists = new Array[Long](codes.length)
       var c = 0
       while (c < codes.length) {
         val row = codes(c)
@@ -184,34 +196,33 @@ case class LongPqTables(left: Expression, right: Expression)
           s += d * d
           j += 1
         }
-        dists(c) = s
+        flat(m * ks + c) = s
         c += 1
       }
-      rows(m) = new GenericArrayData(dists)
       off += dSub
       m += 1
     }
-    new GenericArrayData(rows)
+    new GenericArrayData(flat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, _) => {
       val mat = ctx.addReferenceObj("pqcb", cb, "long[][][]")
-      val rows = ctx.freshName("rows")
+      val flat = ctx.freshName("flat")
+      val ks = ctx.freshName("ks")
       val off = ctx.freshName("off")
       val m = ctx.freshName("m")
       val c = ctx.freshName("c")
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
-      val dists = ctx.freshName("dists")
       s"""
-         |final Object[] $rows = new Object[$mat.length];
+         |final int $ks = $mat.length == 0 ? 0 : $mat[0].length;
+         |final long[] $flat = new long[$mat.length * $ks];
          |int $off = 0;
          |for (int $m = 0; $m < $mat.length; $m++) {
          |  final long[][] __codes = $mat[$m];
          |  final int __dSub = __codes.length == 0 ? 0 : __codes[0].length;
-         |  final long[] $dists = new long[__codes.length];
          |  for (int $c = 0; $c < __codes.length; $c++) {
          |    final long[] __row = __codes[$c];
          |    long $s = 0L;
@@ -219,12 +230,11 @@ case class LongPqTables(left: Expression, right: Expression)
          |      final long $d = $a.getLong($off + $j) - __row[$j];
          |      $s += $d * $d;
          |    }
-         |    $dists[$c] = $s;
+         |    $flat[$m * $ks + $c] = $s;
          |  }
-         |  $rows[$m] = new org.apache.spark.sql.catalyst.util.GenericArrayData($dists);
          |  $off += __dSub;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($flat);
        """.stripMargin
     })
 
@@ -233,38 +243,36 @@ case class LongPqTables(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `graft_pqadc(tables, codes)` → bigint: Σ_m tables[m][codes[m]] — the
-  * asymmetric-distance-computation inner loop. This lookup chain replaces
-  * the O(D) multiply-accumulate of a full-precision dot with O(M) array
-  * reads per (query, neighbor) pair — the entire point of PQ at corpus
-  * scale, and the hot path of [[graft.operators.Similarity.pqAdcTopK]], so
-  * it is a codegen'd tight loop fused into whole-stage codegen. A code
-  * outside its table's range is a contract violation (codes and tables must
+/** `graft_pqadc(tables, codes)` → bigint: Σ_m tables[m·ks + codes[m]]
+  * (ks inferred as len(tables)/len(codes)) — the asymmetric-distance-
+  * computation inner loop. This lookup chain replaces the O(D)
+  * multiply-accumulate of a full-precision dot with O(M) flat array reads
+  * per (query, neighbor) pair — the entire point of PQ at corpus scale,
+  * and the hot path of [[graft.operators.Similarity.pqAdcTopK]], so it is
+  * a codegen'd allocation-free loop fused into whole-stage codegen. A
+  * code outside [0, ks) is a contract violation (codes and tables must
   * come from the same codebook) and raises loudly in both eval paths. */
 case class LongPqAdc(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val okTab = left.dataType match {
-      case ArrayType(ArrayType(LongType, _), _) => true
-      case _ => false
-    }
-    if (okTab && PqCodec.okVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (PqCodec.okVec(left.dataType) && PqCodec.okVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_pqadc requires (array<array<bigint>>, array<bigint>), got " +
+      s"graft_pqadc requires (array<bigint> flat tables, array<bigint> codes), got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_pqadc"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val tab = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[ArrayData]
-    val n = math.min(tab.numElements(), codes.numElements())
+    val n = codes.numElements()
+    val ks = if (n == 0) 0 else tab.numElements() / n
     var s = 0L
     var m = 0
     while (m < n) {
-      s += tab.getArray(m).getLong(codes.getLong(m).toInt)
+      s += tab.getLong(m * ks + codes.getLong(m).toInt)
       m += 1
     }
     s
@@ -273,13 +281,15 @@ case class LongPqAdc(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val ks = ctx.freshName("ks")
       val m = ctx.freshName("m")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $b.numElements();
+         |final int $ks = $n == 0 ? 0 : $a.numElements() / $n;
          |long $s = 0L;
          |for (int $m = 0; $m < $n; $m++) {
-         |  $s += $a.getArray($m).getLong((int) $b.getLong($m));
+         |  $s += $a.getLong($m * $ks + (int) $b.getLong($m));
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -944,10 +944,13 @@ object Similarity {
     * (id, codes); the full vectors never cross the join. Smaller adist =
     * closer (squared L2). Deterministic end to end (md5 seed, exact integer
     * training, integer distances, id tiebreaks) ⇒ fully value-oracled
-    * (q99). Compose with [[ivfTopK]]-style cell probing for IVF-ADC when
-    * even one pass over the codes is too much; here the corpus pass IS the
-    * demonstration that the compressed scan beats the full-precision one
-    * ([[bruteForceTopK]] at the same N pays dim/M× the memory traffic). */
+    * (q99). The compressed scan's win is MEMORY TRAFFIC: the streamed side
+    * carries M longs/vector instead of dim (+ the payload a real store
+    * keeps per vector), which pays off when the corpus no longer sits in
+    * cache — at cache-resident stress scale (80k×64f) wall clock lands
+    * near [[bruteForceTopK]]'s (measured; the per-pair op counts differ
+    * only 4×). The production serving shape is [[ivfPqTopK]], where cell
+    * probing cuts the candidate count BEFORE the ADC scan. */
   def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int,
                 m: Int = 8, ks: Int = 16, trainIters: Int = 1): DataFrame = {
