@@ -60,6 +60,51 @@ object IncrementalAgg {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Structured-Streaming maintainer: a `foreachBatch` sink that folds
+    * each micro-batch into a [[Medallion.publishGold]]-versioned state
+    * table. Replay-idempotent exactly-once: the state rows carry the batch
+    * id that produced them, and a re-delivered batch (restart-from-
+    * checkpoint always re-runs the last uncommitted one) is detected by
+    * `batchId <= stored` and skipped — fold-once even though delivery is
+    * at-least-once. The atomic versioned publish means readers never see a
+    * half-merged state, and the previous version survives for in-flight
+    * reads (the StreamingMedallion gold discipline, applied to a VIEW that
+    * is itself incremental — each micro-batch costs O(batch + groups),
+    * so view freshness no longer depends on history size).
+    *
+    * One maintainer per state table: the streaming engine serializes
+    * foreachBatch calls within a query, and publishGold's claim lease
+    * turns an accidental second writer into a loud failure, not a silent
+    * lost update. */
+  def streamingMaintainer(spark: org.apache.spark.sql.SparkSession,
+                          stateRoot: String, keys: Seq[String],
+                          measures: Seq[String]): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val cur =
+        try Some(Medallion.readGold(spark, stateRoot))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val last = cur.flatMap { df =>
+        val r = df.agg(max(col("__batch_id"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+      if (!last.exists(_ >= batchId)) {
+        val part = partialState(batch, keys, measures)
+        val merged = cur match {
+          case Some(st) => mergeState(st.drop("__batch_id"), part, keys, measures)
+          case None => part
+        }
+        Medallion.publishGold(spark,
+          merged.withColumn("__batch_id", lit(batchId)), stateRoot)
+        ()
+      }
+    }
+
+  /** Read the maintained state table back as the reader-facing view. */
+  def readView(spark: org.apache.spark.sql.SparkSession, stateRoot: String,
+               keys: Seq[String], measures: Seq[String]): DataFrame =
+    finalizeView(Medallion.readGold(spark, stateRoot).drop("__batch_id"),
+      keys, measures)
+
   /** Reader-facing view: per measure sum/avg/min/max in natural units
     * (exact cents → DECIMAL scale-down → double, the q02 parity idiom;
     * avg divides the exact sum by the exact count). */

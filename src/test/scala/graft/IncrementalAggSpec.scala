@@ -70,6 +70,48 @@ class IncrementalAggSpec extends SparkSpec {
       Set("k", "n_rows", "__sum_v", "__min_v", "__max_v"))
   }
 
+  test("streamingMaintainer: folds micro-batches exactly once, replay-safe, view == one-shot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incragg").toString
+    val root = tmp + "/state"
+    val ckpt = tmp + "/ckpt"
+    val sink = IncrementalAgg.streamingMaintainer(spark, root, keys, ms)
+    val mem = MemoryStream[(String, Double)]
+    // one checkpointed AvailableNow run per arriving batch — the second
+    // run RESUMES the checkpoint (the restart path), so batch ids advance
+    def runOnce(): Unit = {
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(("a", 1.25), ("b", 10.00))
+    runOnce()
+    mem.addData(("a", 2.50), ("b", -3.75), ("c", 99.99))
+    runOnce()
+    val view = viewOf(IncrementalAgg.readView(spark, root, keys, ms))
+    val oneShot = viewOf(IncrementalAgg.finalizeView(
+      IncrementalAgg.partialState(rows(Seq(
+        ("a", 1.25), ("b", 10.00), ("a", 2.50), ("b", -3.75), ("c", 99.99))),
+        keys, ms), keys, ms))
+    assert(view == oneShot)
+    // at-least-once delivery: re-invoking the sink with an already-folded
+    // batch id (what restart-from-checkpoint does) must change nothing
+    sink(rows(Seq(("a", 2.50), ("b", -3.75), ("c", 99.99))), 1L)
+    sink(rows(Seq(("a", 1.25), ("b", 10.00))), 0L)
+    assert(viewOf(IncrementalAgg.readView(spark, root, keys, ms)) == oneShot)
+    // a genuinely new batch still folds
+    sink(rows(Seq(("c", 0.01))), 2L)
+    val after = IncrementalAgg.readView(spark, root, keys, ms)
+      .filter(col("k") === "c").head()
+    assert(after.getLong(1) == 2L && after.getDouble(5) == 99.99
+      && after.getDouble(4) == 0.01)
+  }
+
   test("exactness: cents sums are exact integers (no float accumulator drift)") {
     // 0.1 is inexact in binary; 10k of them summed as doubles drifts, as
     // cents it is exactly 100000
