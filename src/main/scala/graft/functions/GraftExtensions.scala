@@ -86,6 +86,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KMinValues(exprs.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKRows].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other if other.foldable => other.eval().toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"graft_topk k must be a literal: $other")
+        }
+        TopKRows(exprs.head, exprs(1), k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_bks"),
       new ExpressionInfo(classOf[BottomKSample].getName, "graft_bks"),
       (exprs: Seq[Expression]) => {

@@ -180,6 +180,16 @@ object GraftFunctions {
         KMinValues(exprs.head, k)
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other if other.foldable => other.eval().toString.toInt
+          case other =>
+            throw new IllegalArgumentException(s"graft_topk k must be a literal: $other")
+        }
+        TopKRows(exprs.head, exprs(1), k)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bks", exprs => {
         val k = exprs(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

@@ -959,6 +959,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = pqTrainCodebook(q, idCol, m, ks, trainIters)
     val lit = cbLiteral(cb)
+    val nCandidates = q.count() // scalar job on the persisted frame; sizes
+                                // the refinedTopK sample modulus
     val enc = spread(q).select(col(idCol).as("neighbor_id"),
       call_function("graft_pqenc", col("__qv"), lit).as("__codes"))
     val queries = emb.filter(queryPred)
@@ -967,11 +969,56 @@ object Similarity {
     val scored = enc.crossJoin(broadcast(queries)) // BroadcastNestedLoop, never Cartesian
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist", call_function("graft_pqadc", col("__tab"), col("__codes")))
+    refinedTopK(scored, k, nCandidates)
+  }
+
+  /** EXACT per-query top-k over a scored (query_id, neighbor_id, adist)
+    * candidate fan-out, without ever sorting the fan-out.
+    *
+    * `row_number().over(window) <= k` must ORDER the whole N·nQueries
+    * expansion inside each partition even under WindowGroupLimit's partial
+    * pruning — at the 160M-pair probe scale that sort was 75–130 s of a
+    * query whose actual ADC scoring took 1.7 s; routing the ranking
+    * through a bounded top-k aggregate instead still crawled
+    * (ObjectHashAggregate falls back to sort-based past 128 groups per
+    * partition, and TypedImperativeAggregate updates evaluate
+    * interpreted). The classic distributed-top-k bound fixes the shape:
+    *
+    *   1. SAMPLE pass: candidates whose xxhash64(neighbor_id) ≡ 0 mod f
+    *      (f sized so ~max(64k, 2048) candidates survive globally) are
+    *      scored and top-k'd per query (graft_topk — the frame is small,
+    *      any agg path is fine). The sample's kth distance is a SOUND
+    *      upper bound for the true kth (a subset's kth smallest ≥ the
+    *      full set's kth smallest).
+    *   2. FILTER pass: the full fan-out is re-scored (cheap — it is the
+    *      ranking, not the scoring, that didn't scale) and cut to
+    *      adist ≤ bound: ~N·k/|sample| survivors per query in
+    *      expectation, k at minimum.
+    *   3. The exact window ranking runs on survivors only.
+    *
+    * Results are BIT-IDENTICAL to the plain window (the bound can only
+    * admit a superset of the true top-k; the final ranking is exact), so
+    * q99/q100's oracles hold unchanged — PqSpec additionally pins
+    * equality on the degenerate configurations. A query missing from the
+    * sample (or with < k sampled candidates) falls back to an infinite
+    * bound via the left join — correct, just unpruned. */
+  private def refinedTopK(scored: DataFrame, k: Int, nCandidates: Long): DataFrame = {
+    GraftFunctions.register(scored.sparkSession)
+    val sampleTarget = math.max(64L * k, 2048L)
+    val f = math.max(1L, nCandidates / sampleTarget)
+    val sampled = scored.filter(pmod(xxhash64(col("neighbor_id")), lit(f)) === 0)
+    val bound = sampled.groupBy(col("query_id"))
+      .agg(expr(s"graft_topk(adist, neighbor_id, $k)").as("__t"))
+      .select(col("query_id"),
+        when(size(col("__t")) >= k, element_at(col("__t"), k).getField("key"))
+          .otherwise(lit(Long.MaxValue)).as("__kbound"))
+    val survivors = scored.join(broadcast(bound), Seq("query_id"), "left")
+      .filter(col("adist") <= coalesce(col("__kbound"), lit(Long.MaxValue)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
-    scored
+    survivors
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k) // WindowGroupLimit: per-query top-k, no full sort
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
   }
 
@@ -1030,11 +1077,10 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(qtabs), "query_id")
       .withColumn("adist", call_function("graft_pqadc", col("__tab"), col("__codes")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+    // expected candidates per query ≈ N·nProbe/nCells — the refine sample
+    // modulus only needs the right order of magnitude (soundness never
+    // depends on it)
+    refinedTopK(scored, k,
+      math.max(1L, q.count() * nProbe / math.max(nCells, 1)))
   }
 }

@@ -134,6 +134,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("graft_topk buffer: bounded inserts, (key, payload) order, merge, eval order") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val tk = graft.functions.TopKRows(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 3)
+    val b = tk.createAggregationBuffer()
+    Seq((5L, 1L), (2L, 9L), (8L, 0L), (2L, 3L), (9L, 9L)).foreach { case (k, p) =>
+      tk.update(b, InternalRow(k, p))
+    }
+    // top-3 by (key, payload): (2,3), (2,9), (5,1) — 8 and 9 evicted
+    val got = tk.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rows = (0 until got.numElements()).map { i =>
+      val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+    }
+    assert(rows == Seq((2L, 3L), (2L, 9L), (5L, 1L)))
+    // merge respects the same bound and order, serde roundtrips
+    val other = tk.deserialize(tk.serialize {
+      val o = tk.createAggregationBuffer()
+      tk.update(o, InternalRow(1L, 7L)); tk.update(o, InternalRow(6L, 6L)); o
+    })
+    tk.merge(b, other)
+    val merged = tk.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mrows = (0 until merged.numElements()).map { i =>
+      val r = merged.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+    }
+    assert(mrows == Seq((1L, 7L), (2L, 3L), (2L, 9L)))
+  }
+
   test("PQ recall vs exact L2 on sf0.001 embeddings; training does not hurt distortion") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val local = emb.collect().map(r =>
