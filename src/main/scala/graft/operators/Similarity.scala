@@ -73,17 +73,18 @@ object Similarity {
     // one core (the round-7 sf1 sweep measured exactly that — cpu ≈ wall)
     val cands = spread(emb.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("__cv")))
+    // rank on the NEGATED fixed-point dot: |fp| ≤ 2^46 so fp/2^40 is an
+    // exact double — the (-fp asc, id) and (dot desc, id) orders agree
+    // bit-for-bit, and the long key lets refinedTopK's sampled bound
+    // prune the N·Q fan-out before any ranking sort (its scaladoc has
+    // the measurements)
     val scored = cands.crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__dot",
-        GraftFunctions.longArrayDot(col("__qv"), col("__cv")) / lit(1099511627776.0d))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__dot").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .withColumn("adist",
+        -GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
+    refinedTopK(scored, k, emb.count())
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("__dot").as("dot"))
+        (-col("adist") / lit(1099511627776.0d)).as("dot"))
   }
 
   /** Exact near-dup pairs: all (a < b) pairs with dot ≥ threshold.
@@ -545,13 +546,15 @@ object Similarity {
       .join(broadcast(probedCells), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(queries), "query_id")
-      .withColumn("__dot",
-        GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")) / lit(1099511627776.0d))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("__dot").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("__dot").as("dot"))
+      .withColumn("adist",
+        -GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")))
+    // negated-fp ranking + sampled-bound refine (see bruteForceTopK note);
+    // candidate estimate = N·nProbe/nCells, and index is already persisted
+    // so the count is a cache scan
+    refinedTopK(scored, k,
+        math.max(1L, index.count() * nProbe / math.max(nCells, 1)))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("adist") / lit(1099511627776.0d)).as("dot"))
   }
 
   // ------------------------------------------------------ hierarchical IVF
