@@ -964,8 +964,11 @@ object Similarity {
     val lit = cbLiteral(cb)
     val nCandidates = q.count() // scalar job on the persisted frame; sizes
                                 // the refinedTopK sample modulus
+    // persisted for the same two reasons as ivfPqTopK's index: the refine
+    // passes share it, and the barrier pins graft_pqenc to once-per-row
     val enc = spread(q).select(col(idCol).as("neighbor_id"),
       call_function("graft_pqenc", col("__qv"), lit).as("__codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"),
         call_function("graft_pqtab", quantize(col(vecCol)), lit).as("__tab"))
@@ -1056,10 +1059,17 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = pqTrainCodebook(q, idCol, m, ks, trainIters)
     val lit = cbLiteral(cb)
-    // index build: assignment + encode in ONE map-only pass, vectors dropped
+    // index build: assignment + encode in ONE map-only pass, vectors
+    // dropped. PERSISTED: (a) refinedTopK's bound + survivor passes both
+    // consume it; (b) without the materialization barrier, whole-stage
+    // codegen defers the graft_pqenc projection to its first use INSIDE
+    // the cell-join match loop — re-encoding the row once per candidate
+    // pair (the sf10 family bench measured q100 at 1.4 µs cpu/pair vs
+    // q99's 0.095 — exactly the m·ks·dSub re-evaluation).
     val index = assignCells(q, idCol, cents)
       .select(col(idCol).as("neighbor_id"), col("cell"),
         call_function("graft_pqenc", col("__qv"), lit).as("__codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queryIds = emb.filter(queryPred).select(col(idCol))
     val queries = q.join(queryIds, idCol)
       .select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
