@@ -348,7 +348,7 @@ object Similarity {
     * collects here are eager but BOUNDED: a 1-row dim probe, then at most
     * cap/dim+1 rows; past the cap nothing big was materialized and the
     * lazy join form is returned instead. */
-  private def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+  private[operators] def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
     val head = cents.select(col("__cv")).limit(1).collect()
     require(head.nonEmpty, "assignCells: empty centroid set")
     val dim = math.max(head.head.getSeq[Long](0).length, 1)
@@ -921,7 +921,7 @@ object Similarity {
     cb
   }
 
-  private def cbLiteral(cb: Array[Array[Array[Long]]]): Column =
+  private[operators] def cbLiteral(cb: Array[Array[Array[Long]]]): Column =
     typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** PQ-encode the corpus: (id, codes array<bigint>) — each vector
@@ -1008,7 +1008,7 @@ object Similarity {
     * equality on the degenerate configurations. A query missing from the
     * sample (or with < k sampled candidates) falls back to an infinite
     * bound via the left join — correct, just unpruned. */
-  private def refinedTopK(scored: DataFrame, k: Int, nCandidates: Long): DataFrame = {
+  private[operators] def refinedTopK(scored: DataFrame, k: Int, nCandidates: Long): DataFrame = {
     GraftFunctions.register(scored.sparkSession)
     val sampleTarget = math.max(64L * k, 2048L)
     val f = math.max(1L, nCandidates / sampleTarget)
@@ -1052,48 +1052,15 @@ object Similarity {
                 queryPred: Column, k: Int,
                 nCells: Int = 32, nProbe: Int = 8,
                 m: Int = 16, ks: Int = 64, trainIters: Int = 1): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
-    val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = ivfCentroids(q, idCol, nCells)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqTrainCodebook(q, idCol, m, ks, trainIters)
-    val lit = cbLiteral(cb)
-    // index build: assignment + encode in ONE map-only pass, vectors
-    // dropped. PERSISTED: (a) refinedTopK's bound + survivor passes both
-    // consume it; (b) without the materialization barrier, whole-stage
-    // codegen defers the graft_pqenc projection to its first use INSIDE
-    // the cell-join match loop — re-encoding the row once per candidate
-    // pair (the sf10 family bench measured q100 at 1.4 µs cpu/pair vs
-    // q99's 0.095 — exactly the m·ks·dSub re-evaluation).
-    val index = assignCells(q, idCol, cents)
-      .select(col(idCol).as("neighbor_id"), col("cell"),
-        call_function("graft_pqenc", col("__qv"), lit).as("__codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queryIds = emb.filter(queryPred).select(col(idCol))
-    val queries = q.join(queryIds, idCol)
-      .select(col(idCol).as("query_id"), col("__qv").as("__qvec"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cd").desc, col("cent_id"))
-    val probed = queries.join(broadcast(cents))
-      .withColumn("__cd", GraftFunctions.longArrayDot(col("__qvec"), col("__cv")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("cent_id").as("cell"))
-    val qtabs = queries.select(col("query_id"),
-      call_function("graft_pqtab", col("__qvec"), lit).as("__tab"))
-    // stream the big index, broadcast the probe list — never a cell-keyed
-    // exchange (nCells distinct keys would collapse the fan-out onto a few
-    // reducers; the ivfTopK scaladoc records the measured straggler)
-    val scored = index
-      .join(broadcast(probed), "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .join(broadcast(qtabs), "query_id")
-      .withColumn("adist", call_function("graft_pqadc", col("__tab"), col("__codes")))
-    // expected candidates per query ≈ N·nProbe/nCells — the refine sample
-    // modulus only needs the right order of magnitude (soundness never
-    // depends on it)
-    refinedTopK(scored, k,
-      math.max(1L, q.count() * nProbe / math.max(nCells, 1)))
+    // One implementation for the inline and persisted paths: build the
+    // index frames ([[VectorIndex.build]] — assignment + encode in ONE
+    // map-only pass, vectors dropped, frame persisted so graft_pqenc runs
+    // once per row), then serve ([[VectorIndex.topK]] — the big index
+    // streams, probe list + distance tables broadcast, never a cell-keyed
+    // exchange; see the ivfTopK scaladoc for the measured straggler that
+    // rule prevents). q103 pins that a write/read hop between these two
+    // calls is value-neutral.
+    val ix = VectorIndex.build(emb, idCol, vecCol, nCells, m, ks, trainIters)
+    VectorIndex.topK(ix, emb.filter(queryPred), idCol, vecCol, k, nProbe)
   }
 }

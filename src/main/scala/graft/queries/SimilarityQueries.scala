@@ -15,6 +15,98 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
+  /** Shared by q100 (inline IVF-PQ) and q103 (build → write → read → serve
+    * through `VectorIndex`): the two operators are the SAME computation —
+    * q103 inserts a parquet round-trip of the index frames between build
+    * and serve, and every persisted column is exact integer math, so one
+    * SQL re-derivation oracles both. A value divergence between the two
+    * queries would mean the persistence hop corrupted the index. */
+  private val ivfPqOracle: String = """WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             seed AS (
+               SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                        AS code, qv
+               FROM (SELECT vec_id, qv FROM q
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)),
+             cb0 AS (
+               SELECT t.m, s.code, u.j, s.qv[t.m * 4 + u.j + 1] AS v
+               FROM seed s, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
+             sub AS (
+               SELECT q.vec_id, t.m, u.j, q.qv[t.m * 4 + u.j + 1] AS v
+               FROM q, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
+             d0 AS (
+               SELECT s.vec_id, s.m, c.code,
+                 CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS dist
+               FROM sub s JOIN cb0 c ON c.m = s.m AND c.j = s.j
+               GROUP BY 1, 2, 3),
+             a0 AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, code) AS rn FROM d0)
+               WHERE rn = 1),
+             msum AS (
+               SELECT a.m, a.code, s.j,
+                 CAST(SUM(s.v) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS n
+               FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+               GROUP BY 1, 2, 3),
+             cb1 AS (
+               SELECT c.m, c.code, c.j,
+                 COALESCE(CASE WHEN ms.sm < 0 THEN -((-ms.sm) // ms.n)
+                               ELSE ms.sm // ms.n END, c.v) AS v
+               FROM cb0 c LEFT JOIN msum ms
+                 ON ms.m = c.m AND ms.code = c.code AND ms.j = c.j),
+             d1 AS (
+               SELECT s.vec_id, s.m, c.code,
+                 CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS dist
+               FROM sub s JOIN cb1 c ON c.m = s.m AND c.j = s.j
+               GROUP BY 1, 2, 3),
+             enc AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, code) AS rn FROM d1)
+               WHERE rn = 1),
+             ct AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             dall AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM q, ct c),
+             asg AS (
+               SELECT vec_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn FROM dall)
+               WHERE rn = 1),
+             pb AS (
+               SELECT vec_id AS query_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn
+                 FROM dall WHERE vec_id % 40 = 0)
+               WHERE rn <= 8),
+             cd AS (
+               SELECT pb.query_id, asg.vec_id AS neighbor_id
+               FROM pb JOIN asg USING (cell)
+               WHERE asg.vec_id <> pb.query_id),
+             ad AS (
+               SELECT cd.query_id, cd.neighbor_id,
+                 CAST(SUM(t.dist) AS BIGINT) AS adist
+               FROM cd
+               JOIN enc e ON e.vec_id = cd.neighbor_id
+               JOIN d1 t ON t.vec_id = cd.query_id
+                        AND t.m = e.m AND t.code = e.code
+               GROUP BY 1, 2),
+             r AS (
+               SELECT query_id, neighbor_id, adist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adist, neighbor_id) AS rnk
+               FROM ad)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adist
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     // Exact k-NN by dot product (unit vectors ⇒ cosine): every 40th vector
@@ -696,90 +788,30 @@ object SimilarityQueries {
           "embedding", col("vec_id") % 40 === 0, k = 10,
           nCells = 32, nProbe = 8, m = 16, ks = 64, trainIters = 1)
         .orderBy(col("query_id"), col("rank")),
-      Some("""WITH q AS (
-               SELECT vec_id,
-                 list_transform(embedding,
-                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-               FROM embeddings),
-             seed AS (
-               SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-                        AS code, qv
-               FROM (SELECT vec_id, qv FROM q
-                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)),
-             cb0 AS (
-               SELECT t.m, s.code, u.j, s.qv[t.m * 4 + u.j + 1] AS v
-               FROM seed s, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
-             sub AS (
-               SELECT q.vec_id, t.m, u.j, q.qv[t.m * 4 + u.j + 1] AS v
-               FROM q, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
-             d0 AS (
-               SELECT s.vec_id, s.m, c.code,
-                 CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS dist
-               FROM sub s JOIN cb0 c ON c.m = s.m AND c.j = s.j
-               GROUP BY 1, 2, 3),
-             a0 AS (
-               SELECT vec_id, m, code FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                              ORDER BY dist, code) AS rn FROM d0)
-               WHERE rn = 1),
-             msum AS (
-               SELECT a.m, a.code, s.j,
-                 CAST(SUM(s.v) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS n
-               FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
-               GROUP BY 1, 2, 3),
-             cb1 AS (
-               SELECT c.m, c.code, c.j,
-                 COALESCE(CASE WHEN ms.sm < 0 THEN -((-ms.sm) // ms.n)
-                               ELSE ms.sm // ms.n END, c.v) AS v
-               FROM cb0 c LEFT JOIN msum ms
-                 ON ms.m = c.m AND ms.code = c.code AND ms.j = c.j),
-             d1 AS (
-               SELECT s.vec_id, s.m, c.code,
-                 CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS dist
-               FROM sub s JOIN cb1 c ON c.m = s.m AND c.j = s.j
-               GROUP BY 1, 2, 3),
-             enc AS (
-               SELECT vec_id, m, code FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                              ORDER BY dist, code) AS rn FROM d1)
-               WHERE rn = 1),
-             ct AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
-             dall AS (
-               SELECT q.vec_id, c.cent_id,
-                 CAST(list_sum(list_transform(range(1, 65),
-                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
-               FROM q, ct c),
-             asg AS (
-               SELECT vec_id, cent_id AS cell FROM (
-                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY d DESC, cent_id) AS rn FROM dall)
-               WHERE rn = 1),
-             pb AS (
-               SELECT vec_id AS query_id, cent_id AS cell FROM (
-                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY d DESC, cent_id) AS rn
-                 FROM dall WHERE vec_id % 40 = 0)
-               WHERE rn <= 8),
-             cd AS (
-               SELECT pb.query_id, asg.vec_id AS neighbor_id
-               FROM pb JOIN asg USING (cell)
-               WHERE asg.vec_id <> pb.query_id),
-             ad AS (
-               SELECT cd.query_id, cd.neighbor_id,
-                 CAST(SUM(t.dist) AS BIGINT) AS adist
-               FROM cd
-               JOIN enc e ON e.vec_id = cd.neighbor_id
-               JOIN d1 t ON t.vec_id = cd.query_id
-                        AND t.m = e.m AND t.code = e.code
-               GROUP BY 1, 2),
-             r AS (
-               SELECT query_id, neighbor_id, adist,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY adist, neighbor_id) AS rnk
-               FROM ad)
-             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adist
-             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""))
+      Some(ivfPqOracle)),
+
+    // Index LIFECYCLE: build the q100 IVF-PQ index, WRITE it to parquet
+    // (codes + centroids + unrolled codebook + meta), READ it back, and
+    // serve the same queries through `VectorIndex.topK` — the FAISS
+    // write_index/read_index workflow. The oracle is byte-for-byte q100's:
+    // every persisted column is exact integer math, so the storage hop
+    // must be value-neutral; any loss, reorder, or type drift in the
+    // round-trip breaks the hash match. Streaming serve over the same
+    // loaded index is asserted in VectorIndexSpec.
+    Q("q103_pq_persist_serve",
+      (s, d) => {
+        import graft.operators.VectorIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q103").toString + "/ivfpq"
+        val emb = Tables.embeddings(s, d)
+        val built = VectorIndex.build(emb, "vec_id", "embedding",
+          nCells = 32, m = 16, ks = 64, trainIters = 1)
+        VectorIndex.write(built, dir)
+        val loaded = VectorIndex.read(s, dir)
+        VectorIndex.topK(loaded, emb.filter(col("vec_id") % 40 === 0),
+            "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracle))
   )
 }

@@ -15,7 +15,7 @@ object Stress {
     println(f"[stress] $name%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   /** Section selection: no args runs everything; otherwise name sections
-    * (dedup, cc, ccprobe, ann, ivf2, ops, skew, hotbucket, bpe, stream;
+    * (dedup, cc, ccprobe, ann, ivf2, vindex, ops, skew, hotbucket, bpe, stream;
     * ccprobe10 is opt-in only — it needs a derived sf10 dir, see
     * SPARK_GRAFT_SF10_DIR). The
     * 200k dedup block alone is ~an hour of real compute (4M+ true near-dup
@@ -23,7 +23,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sections =
       if (args.isEmpty)
-        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "ops", "skew", "hotbucket", "bpe", "stream")
+        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
     val b = SparkSession.builder().master("local[32]")
@@ -223,6 +223,47 @@ object Stress {
     val rHier = hierSub.intersect(bruteSub).size.toDouble / bruteSub.size
     val rHierT = hierTSub.intersect(bruteSub).size.toDouble / bruteSub.size
     println(f"[stress] IVF recall @ equal budget: flat=$rFlat%.3f hier=$rHier%.3f hierTrained=$rHierT%.3f")
+    }
+
+    if (want("vindex")) {
+    // Index lifecycle at 80k vectors: build once, persist, reload, serve.
+    // Measures what the persisted index buys at scale: the on-disk codes
+    // frame vs the raw embedding parquet (the ~dim·4/M compression that
+    // makes a billion-vector index storable), and the reload+serve wall
+    // for a 2k-query batch and a 100-query "micro-batch" (the foreachBatch
+    // unit of the streaming serve — streaming ≡ batch equivalence itself
+    // is pinned in VectorIndexSpec).
+    val vdir = java.nio.file.Files.createTempDirectory("graft-vix-stress").toString
+    val ix = t("vindex build 80k (283 cells, m=16)") {
+      graft.operators.VectorIndex.build(emb, "vec_id", "embedding",
+        nCells = 283, m = 16, ks = 64, trainIters = 1)
+    }
+    t("vindex write") { graft.operators.VectorIndex.write(ix, s"$vdir/ix") }
+    emb.write.mode("overwrite").parquet(s"$vdir/raw") // comparison baseline
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val codesB = dirBytes(s"$vdir/ix/codes")
+    val rawB = dirBytes(s"$vdir/raw")
+    println(f"[stress] vindex codes=${codesB / 1048576.0}%.1f MB " +
+      f"raw=${rawB / 1048576.0}%.1f MB ratio=${rawB.toDouble / codesB}%.1fx")
+    val loaded = t("vindex read") {
+      graft.operators.VectorIndex.read(spark, s"$vdir/ix")
+    }
+    val served = t("vindex serve 2k queries") {
+      graft.operators.VectorIndex.topK(loaded,
+        emb.filter(col("vec_id") % 40 === 0),
+        "vec_id", "embedding", k = 10, nProbe = 16).count()
+    }
+    println(s"[stress] vindex served rows=$served")
+    t("vindex serve 100-query micro-batch") {
+      graft.operators.VectorIndex.topK(loaded,
+        emb.filter(col("vec_id") % 800 === 0),
+        "vec_id", "embedding", k = 10, nProbe = 16).count()
+    }
     }
 
     if (want("ops")) {

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{Similarity, VectorIndex}
+import graft.sources.Tables
+
+/** Index lifecycle properties for the persisted IVF-PQ path: the parquet
+  * round-trip is value-neutral (served results bit-identical to the inline
+  * operator), the codebook survives the unroll/rebuild exactly, and the
+  * streaming serve is the same computation per micro-batch against ONE
+  * loaded index (no per-batch retrain). The cross-engine value oracle for
+  * the whole chain is q103 (same SQL as q100 — CORRECTNESS vs DuckDB). */
+class VectorIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    df.select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("neighbor_id").cast("long"), col("adist").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("write → read → serve is bit-identical to the inline operator") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix").toString + "/ix"
+    val built = VectorIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1)
+    VectorIndex.write(built, dir)
+    val loaded = VectorIndex.read(spark, dir)
+
+    assert(loaded.nRows === built.nRows)
+    assert(loaded.nCells === built.nCells)
+    // codebook survives the (m, c, j, v) unroll exactly
+    assert(loaded.codebook.map(_.map(_.toSeq).toSeq).toSeq ===
+      built.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val inline = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 25 === 0, k = 5, nCells = 16, nProbe = 4,
+      m = 16, ks = 32, trainIters = 1)
+    val served = VectorIndex.topK(loaded, emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val a = canon(inline)
+    val b = canon(served)
+    assert(a.nonEmpty, "inline path returned no rows")
+    assert(a === b, "persisted-index serve diverged from the inline operator")
+  }
+
+  test("streaming serve scores each micro-batch like the batch path, against one index") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-s").toString + "/ix"
+    VectorIndex.write(
+      VectorIndex.build(emb, "vec_id", "embedding",
+        nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    val ix = VectorIndex.read(spark, dir)
+
+    // two disjoint query waves, delivered as separate micro-batches
+    val wave1 = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val wave2 = emb.filter(col("vec_id") % 50 === 7)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    assert(wave1.nonEmpty && wave2.nonEmpty)
+
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Long)]]()
+    val query = VectorIndex.serveStream(
+        ix, in.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5, nProbe = 4) { (out, epoch) =>
+        results.synchronized { results(epoch) = canon(out) }
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-vix-cp").toString)
+      .start()
+    try {
+      in.addData(wave1: _*); query.processAllAvailable()
+      in.addData(wave2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    val expected1 = canon(VectorIndex.topK(ix,
+      emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5, 4))
+    val expected2 = canon(VectorIndex.topK(ix,
+      emb.filter(col("vec_id") % 50 === 7), "vec_id", "embedding", 5, 4))
+    val got = results.synchronized(results.toMap)
+    assert(got.size === 2, s"expected 2 micro-batches, got ${got.keySet}")
+    assert(got(got.keySet.min) === expected1)
+    assert(got(got.keySet.max) === expected2)
+  }
+
+  test("serving only reads codes + centroids — never the embedding table") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-p").toString + "/ix"
+    VectorIndex.write(
+      VectorIndex.build(emb, "vec_id", "embedding",
+        nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    val ix = VectorIndex.read(spark, dir)
+    // queries arrive as their own little frame (the serving reality: the
+    // corpus embedding table is not even mounted) — only the index dirs
+    // appear in the scan list
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    val plan = VectorIndex.topK(ix, queries, "vec_id", "embedding", 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes") && !plan.contains("embeddings.parquet"),
+      s"serve plan should scan the index, not the corpus:\n$plan")
+  }
+}
