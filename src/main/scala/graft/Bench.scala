@@ -227,7 +227,22 @@ object Bench {
       else None // Spark default: java.io.tmpdir on disk
     }
 
+  /** Route JVM temp files to the same tmpfs scratch as the shuffle dirs.
+    * The storage-exercising queries (q96 graft-log topics, q97 z-order
+    * gold publish, q103 persisted vector index) allocate work dirs via
+    * `Files.createTempDirectory`, which honors `java.io.tmpdir` — on this
+    * box that is the stalling virtio disk, so without the reroute those
+    * queries time the disk, not the operator. No-op when no scratch
+    * volume qualifies (production behavior unchanged). */
+  private[graft] def routeTmpdir(): Unit =
+    scratchDir().foreach { d =>
+      val f = new java.io.File(d, "jvmtmp")
+      f.mkdirs()
+      if (f.isDirectory) System.setProperty("java.io.tmpdir", f.getAbsolutePath)
+    }
+
   def main(args: Array[String]): Unit = {
+    routeTmpdir()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()

@@ -40,6 +40,13 @@ def cell_eq(a, b):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Optional resource caps for beyond-sf0.01 sweeps: the PQ-family oracle
+    # re-derivations (q99/q100/q103) materialize ~20M-row distance CTEs at
+    # sf1 and DuckDB will happily take the whole box without a limit.
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
