@@ -7,7 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     Bench.routeTmpdir() // tempdir-writing queries (q96/q97/q103) → tmpfs
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[32] default mirrors Bench's (the harness contract's session
+    // shape); results are order-insensitive (the oracle compare sorts), so
+    // this only buys the driver a faster dump.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
