@@ -131,12 +131,18 @@ object Scale {
         else row.getSeq[Double](i).filter(d => !d.isNaN)
       }
     }
-    // bucket = #boundaries <= value, one fold over a literal array (stays
-    // inside whole-stage codegen; NULL value compares null -> bucket 0)
+    // bucket = #boundaries <= value via the codegen'd binary search
+    // (graft_ubound); the interleave below references each bucket index
+    // once per bit, and projection-level subexpression elimination keeps
+    // that at ONE search per row per dim — the interpreted HOF fold this
+    // replaces re-ran its 255 lambda steps per reference and per
+    // range-partitioner sample, dominating the whole publish
+    // (DataSkippingSpec pins fold ≡ search on nulls and duplicates).
+    // NULL value -> bucket 0, exactly as when(null >= b, ...) folded to 0.
+    graft.functions.GraftFunctions.register(df.sparkSession)
     def bucketOf(v: Column, bs: Seq[Double]): Column =
       if (bs.isEmpty) lit(0L)
-      else aggregate(lit(bs.toArray), lit(0L),
-        (acc, b) => acc + when(v >= b, 1L).otherwise(0L))
+      else coalesce(call_function("graft_ubound", v, lit(bs.toArray)), lit(0L))
     val zCol = {
       val bucketCols = cols.zipWithIndex.map { case (c, i) =>
         bucketOf(rankSpace(c), bounds(i))

@@ -153,6 +153,26 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("graft_ubound ≡ the HOF bucket fold on duplicates, nulls, NaN, extremes") {
+    graft.functions.GraftFunctions.register(spark)
+    // duplicated + unsorted boundaries: count(b <= v) is order-invariant,
+    // and the search must count every duplicate like the fold did
+    val bs = Seq(0.5, 0.5, 2.0, 1.0, 1.0, 1.0, 3.5)
+    val probes = spark.range(1).select(array(
+      lit(Double.NegativeInfinity), lit(-1.0), lit(0.5), lit(0.75), lit(1.0),
+      lit(2.0), lit(3.4999), lit(3.5), lit(99.0), lit(Double.PositiveInfinity),
+      lit(Double.NaN), lit(null).cast("double")).as("vs"))
+      .select(explode(col("vs")).as("v"))
+    val both = probes.select(
+      coalesce(call_function("graft_ubound", col("v"), lit(bs.toArray)), lit(0L))
+        .as("search"),
+      aggregate(lit(bs.toArray), lit(0L),
+        (acc, b) => acc + when(col("v") >= b, 1L).otherwise(0L)).as("fold"))
+    assert(both.filter(col("search") =!= col("fold")).count() == 0)
+    // NaN sorts above everything in Spark: the search must count all bounds
+    assert(both.agg(max("search")).head().getLong(0) == bs.size)
+  }
+
   test("zorderBy rejects unrankable and undersized inputs") {
     val df = spark.range(4).select(col("id").as("a"),
       col("id").cast("string").as("s"), col("id").as("b"))
