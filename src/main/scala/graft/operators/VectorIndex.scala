@@ -112,6 +112,64 @@ object VectorIndex {
       meta.getAs[Int]("n_cells"))
   }
 
+  /** Append new vectors to an existing index WITHOUT retraining — FAISS's
+    * `index.add()` contract: assign each delta vector to the frozen coarse
+    * centroids, compress it with the frozen codebook, union the codes. The
+    * work is O(|delta|) and map-only (quantizer + codebook ride with the
+    * tasks), which is what makes a daily ingest of fresh embeddings into a
+    * billion-vector index an incremental job instead of a rebuild. The
+    * price is the standard one: the frozen quantizers stay representative
+    * only while the embedding distribution does — [[cellOccupancy]] is the
+    * drift observable (appended mass piling into few cells = retrain
+    * signal), periodic [[build]] the remedy. Append-then-serve is
+    * bit-identical to encoding the full corpus with the same frozen
+    * artifacts (q104's oracle re-derives exactly that; VectorIndexSpec
+    * pins no-retrain by object identity). */
+  def append(ix: IvfPqIndex, delta: DataFrame,
+             idCol: String, vecCol: String): IvfPqIndex = {
+    GraftFunctions.register(delta.sparkSession)
+    val q = delta.select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newCodes = Similarity.assignCells(q, idCol, ix.centroids)
+      .select(col(idCol).as("id"), col("cell"),
+        call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(ix.codebook))
+          .as("codes"))
+    ix.copy(codes = ix.codes.unionByName(newCodes), nRows = ix.nRows + q.count())
+  }
+
+  /** [[append]] against an index AT REST: encode `delta` with the persisted
+    * quantizers and commit it as ADDITIONAL parquet files under `codes`
+    * (plus a refreshed meta row) — existing data files are never rewritten,
+    * the object-store-friendly shape where an append costs PUTs proportional
+    * to the delta. Single maintainer per index dir, like [[write]]; readers
+    * of `codes` see the delta atomically per file. Returns the reloaded
+    * index. */
+  def appendToDir(spark: SparkSession, dir: String, delta: DataFrame,
+                  idCol: String, vecCol: String): IvfPqIndex = {
+    import spark.implicits._
+    val ix = read(spark, dir)
+    GraftFunctions.register(spark)
+    val q = delta.select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    Similarity.assignCells(q, idCol, ix.centroids)
+      .select(col(idCol).as("id"), col("cell"),
+        call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(ix.codebook))
+          .as("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+    Seq((ix.nRows + q.count(), ix.nCells)).toDF("n_rows", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    q.unpersist()
+    read(spark, dir)
+  }
+
+  /** Per-cell vector counts — the index-health observable: a balanced
+    * build spreads the corpus across cells (serving cost ~ nProbe/nCells
+    * of the corpus per query); appended vectors concentrating into few
+    * cells means the frozen quantizer no longer fits the data and probing
+    * degenerates toward a scan of the hot cells. */
+  def cellOccupancy(ix: IvfPqIndex): DataFrame =
+    ix.codes.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
   /** Serve top-k for a frame of query vectors against a (possibly reloaded)
     * index: probe the nProbe best cells per query (centroids broadcast),
     * ADC-score only the probed slice of `codes` (probe list + distance

@@ -15,21 +15,39 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
-  /** Shared by q100 (inline IVF-PQ) and q103 (build → write → read → serve
-    * through `VectorIndex`): the two operators are the SAME computation —
-    * q103 inserts a parquet round-trip of the index frames between build
-    * and serve, and every persisted column is exact integer math, so one
-    * SQL re-derivation oracles both. A value divergence between the two
-    * queries would mean the persistence hop corrupted the index. */
-  private val ivfPqOracle: String = """WITH q AS (
+  /** Shared by q100 (inline IVF-PQ), q103 (build → write → read → serve
+    * through `VectorIndex`), and — with a training filter — q104 (build on
+    * a base slice, `VectorIndex.appendToDir` the rest): all three are the
+    * SAME computation. q103 inserts a parquet round-trip of the index
+    * frames between build and serve, and q104 additionally freezes the
+    * quantizers to the base slice (`trainWhere`): seeds, Lloyd updates, and
+    * coarse centroids derive from the filtered rows only, while encoding,
+    * assignment, and serving still cover the full corpus — exactly what
+    * append-without-retrain means. Every persisted column is exact integer
+    * math, so one SQL re-derivation oracles all three; a value divergence
+    * would mean the persistence hop or the append path corrupted the
+    * index. */
+  private def ivfPqOracleTrainedOn(trainWhere: Option[String]): String = {
+    // with a filter, training CTEs read tq/subt (the base slice); without,
+    // they read the full q/sub and the emitted SQL is q100's original
+    val trainSrc = if (trainWhere.isDefined) "tq" else "q"
+    val trainSub = if (trainWhere.isDefined) "subt" else "sub"
+    val tqCte = trainWhere.fold("")(p => s"""tq AS (
+               SELECT vec_id, qv FROM q WHERE $p),
+             """)
+    val subtCte = trainWhere.fold("")(_ => s"""subt AS (
+               SELECT tq.vec_id, t.m, u.j, tq.qv[t.m * 4 + u.j + 1] AS v
+               FROM tq, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
+             """)
+    s"""WITH q AS (
                SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
-             seed AS (
+             ${tqCte}seed AS (
                SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
                         AS code, qv
-               FROM (SELECT vec_id, qv FROM q
+               FROM (SELECT vec_id, qv FROM $trainSrc
                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)),
              cb0 AS (
                SELECT t.m, s.code, u.j, s.qv[t.m * 4 + u.j + 1] AS v
@@ -37,10 +55,10 @@ object SimilarityQueries {
              sub AS (
                SELECT q.vec_id, t.m, u.j, q.qv[t.m * 4 + u.j + 1] AS v
                FROM q, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
-             d0 AS (
+             ${subtCte}d0 AS (
                SELECT s.vec_id, s.m, c.code,
                  CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS dist
-               FROM sub s JOIN cb0 c ON c.m = s.m AND c.j = s.j
+               FROM $trainSub s JOIN cb0 c ON c.m = s.m AND c.j = s.j
                GROUP BY 1, 2, 3),
              a0 AS (
                SELECT vec_id, m, code FROM (
@@ -69,7 +87,7 @@ object SimilarityQueries {
                                               ORDER BY dist, code) AS rn FROM d1)
                WHERE rn = 1),
              ct AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
+               SELECT vec_id AS cent_id, qv AS cv FROM $trainSrc
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
              dall AS (
                SELECT q.vec_id, c.cent_id,
@@ -106,6 +124,9 @@ object SimilarityQueries {
                FROM ad)
              SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adist
              FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""
+  }
+
+  private val ivfPqOracle: String = ivfPqOracleTrainedOn(None)
 
   val all: Seq[Q] = Seq(
 
@@ -812,6 +833,32 @@ object SimilarityQueries {
             "vec_id", "embedding", k = 10, nProbe = 8)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqOracle))
+      Some(ivfPqOracle)),
+
+    // Incremental index MAINTENANCE (FAISS `index.add()`): build the index
+    // over two thirds of the corpus, persist it, then `appendToDir` the
+    // remaining third — assigned and PQ-encoded with the FROZEN quantizers,
+    // committed as additional parquet files with no retrain and no rewrite
+    // of existing data. Serving the standard query set afterwards must be
+    // bit-identical to encoding the full corpus with the base-trained
+    // artifacts, which is exactly what the oracle re-derives (training CTEs
+    // filtered to the base slice, everything else full-corpus). Any stale
+    // meta, lost delta file, or sneaky retrain breaks the hash match.
+    Q("q104_index_append",
+      (s, d) => {
+        import graft.operators.VectorIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q104").toString + "/ivfpq"
+        val emb = Tables.embeddings(s, d)
+        val built = VectorIndex.build(emb.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", nCells = 32, m = 16, ks = 64, trainIters = 1)
+        VectorIndex.write(built, dir)
+        val appended = VectorIndex.appendToDir(s, dir,
+          emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+        VectorIndex.topK(appended, emb.filter(col("vec_id") % 40 === 0),
+            "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracleTrainedOn(Some("vec_id % 3 <> 0"))))
   )
 }

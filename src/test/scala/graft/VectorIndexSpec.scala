@@ -89,6 +89,70 @@ class VectorIndexSpec extends SparkSpec {
     assert(got(got.keySet.max) === expected2)
   }
 
+  test("append: frozen quantizers, delta visible, equal to one-shot encode of the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val base  = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val built = VectorIndex.build(base, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1)
+    val appended = VectorIndex.append(built, delta, "vec_id", "embedding")
+
+    // no retrain: the quantizer artifacts are the SAME objects
+    assert(appended.centroids eq built.centroids)
+    assert(appended.codebook eq built.codebook)
+    assert(appended.nCells === built.nCells)
+    assert(appended.nRows === emb.count())
+    // delta rows are in the index, assigned only to existing cells
+    import spark.implicits._
+    val deltaIds = delta.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    val codeIds = appended.codes.select(col("id").cast("long")).as[Long].collect().toSet
+    assert(deltaIds.subsetOf(codeIds))
+    val centIds = built.centroids.select(col("cent_id").cast("long")).as[Long].collect().toSet
+    val occ = VectorIndex.cellOccupancy(appended)
+      .select(col("cell").cast("long"), col("n")).as[(Long, Long)].collect()
+    assert(occ.map(_._1).toSet.subsetOf(centIds))
+    assert(occ.map(_._2).sum === appended.nRows)
+    // append ≡ encoding the union with the same frozen artifacts: every
+    // (id, cell, codes) row matches a one-shot append of the full corpus
+    val oneShot = VectorIndex.append(
+      built.copy(codes = built.codes.limit(0), nRows = 0L),
+      emb, "vec_id", "embedding")
+    def rows(ix: graft.operators.IvfPqIndex) =
+      ix.codes.select(col("id").cast("long"), col("cell").cast("long"),
+        col("codes").cast("string")).as[(Long, Long, String)].collect().toSeq.sorted
+    assert(rows(appended) === rows(oneShot))
+  }
+
+  test("appendToDir: delta committed as new files only; reload serves the union") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-a").toString + "/ix"
+    val base  = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    VectorIndex.write(VectorIndex.build(base, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    def codeFiles = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length()).toMap
+    val before = codeFiles
+    val appended = VectorIndex.appendToDir(spark, dir, delta, "vec_id", "embedding")
+    val after = codeFiles
+    // existing data files untouched, delta arrived as additional files
+    before.foreach { case (name, len) => assert(after.get(name).contains(len),
+      s"append rewrote existing file $name") }
+    assert(after.size > before.size, "append committed no new files")
+    // meta refreshed; a fresh read serves the appended corpus
+    assert(appended.nRows === emb.count())
+    val reread = VectorIndex.read(spark, dir)
+    assert(reread.nRows === emb.count())
+    val served = VectorIndex.topK(reread, emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val inMem = VectorIndex.topK(
+      VectorIndex.append(VectorIndex.build(base, "vec_id", "embedding",
+        nCells = 16, m = 16, ks = 32, trainIters = 1), delta, "vec_id", "embedding"),
+      emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(canon(served) === canon(inMem),
+      "persisted append diverged from the in-memory append")
+  }
+
   test("serving only reads codes + centroids — never the embedding table") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-vix-p").toString + "/ix"
