@@ -64,11 +64,12 @@ import org.apache.spark.util.SerializableConfiguration
   *    all-or-nothing on the store).
   *
   * Scale notes: a partition's listing is O(#segments) and segments are
-  * bounded by producer batch size — production compaction would roll
-  * small segments together exactly as Kafka's log cleaner does; the scan
-  * plans one Spark input partition per (topic-partition × offset range),
-  * so source parallelism equals topic parallelism, and the per-record
-  * decode is a straight base64 loop with no driver round-trips.
+  * bounded by producer batch size — [[roll]] bounds the segment count
+  * exactly as Kafka's log cleaner does (merge adjacent small segments,
+  * offsets and producer-txn dedup preserved); the scan plans one Spark
+  * input partition per (topic-partition × offset range), so source
+  * parallelism equals topic parallelism, and the per-record decode is a
+  * straight base64 loop with no driver round-trips.
   */
 object LogFormat {
   /** Kafka source read schema (field-for-field). */
@@ -95,11 +96,18 @@ object LogFormat {
     * count except the last segment's — one 1-line read closes that. */
   private val SegName: Regex = """^(\d{20})\.seg$""".r
 
+  /** Rolled (compacted) segments carry their record count in the name —
+    * `%020d-<count>.r.seg` — so a listing alone resolves their span and a
+    * mid-roll directory (rolled span published, covered originals not yet
+    * deleted) is readable without extra header fetches. See [[roll]]. */
+  private val RolledName: Regex = """^(\d{20})-(\d+)\.r\.seg$""".r
+
   case class Segment(base: Long, count: Long, path: String) {
     def end: Long = base + count
   }
 
   def segmentName(base: Long): String = f"$base%020d.seg"
+  def rolledSegmentName(base: Long, count: Long): String = f"$base%020d-$count.r.seg"
 
   def topicPath(root: String, topic: String): Path = new Path(root, topic)
   def partitionPath(root: String, topic: String, partition: Int): Path =
@@ -119,25 +127,44 @@ object LogFormat {
     } finally r.close()
   }
 
-  /** List a partition's segments, offset-ordered, counts resolved (delta of
-    * successive bases; one header read for the last segment). */
+  /** List a partition's segments, offset-ordered, counts resolved (rolled
+    * segments carry their count in the name; raw counts are the delta of
+    * successive bases, one header read for a raw last segment).
+    *
+    * Coverage sweep: a roll publishes its merged span before deleting the
+    * originals, so a listing can transiently see both. Entries are taken
+    * base-ascending (same base: widest rolled span first — racing rollers
+    * can publish nested spans, never partially-overlapping ones, because
+    * rolls merge whole segments from a common listing) and any entry whose
+    * base sits inside an already-kept span is a covered duplicate, dropped.
+    * The result is always a dense, non-overlapping cover of the log. */
   def listSegments(fs: FileSystem, root: String, topic: String, partition: Int): Seq[Segment] = {
     val dir = partitionPath(root, topic, partition)
     if (!fs.exists(dir)) return Seq.empty
-    val bases = fs.listStatus(dir).toSeq
+    val entries = fs.listStatus(dir).toSeq
       .flatMap(st => st.getPath.getName match {
-        case SegName(b) => Some(b.toLong -> st.getPath)
+        case SegName(b)       => Some((b.toLong, None: Option[Long], st.getPath))
+        case RolledName(b, c) => Some((b.toLong, Some(c.toLong), st.getPath))
         case _ => None
       })
-      .sortBy(_._1)
-    if (bases.isEmpty) Seq.empty
-    else {
-      val counts = bases.indices.map { i =>
-        if (i < bases.length - 1) bases(i + 1)._1 - bases(i)._1
-        else readHeader(fs, bases(i)._2)._1
+      .sortBy { case (b, c, _) => (b, -c.getOrElse(0L)) }
+    if (entries.isEmpty) return Seq.empty
+    var covered = Long.MinValue
+    val kept = entries.flatMap { case (b, c, p) =>
+      if (b < covered) None
+      else {
+        c.foreach(n => covered = b + n)
+        if (c.isEmpty) covered = b // raw: span unknown; next base decides
+        Some((b, c, p))
       }
-      bases.indices.map(i => Segment(bases(i)._1, counts(i), bases(i)._2.toString))
     }
+    val counts = kept.indices.map { i =>
+      kept(i)._2.getOrElse {
+        if (i < kept.length - 1) kept(i + 1)._1 - kept(i)._1
+        else readHeader(fs, kept(i)._3)._1
+      }
+    }
+    kept.indices.map(i => Segment(kept(i)._1, counts(i), kept(i)._3.toString))
   }
 
   /** Partition ids present under a topic (dirs named p<k>). */
@@ -183,18 +210,25 @@ object LogFormat {
     * primitive), retried with a fresh base on loss. If `txn` was already
     * published in this partition the append is skipped (idempotent replay)
     * and -1 returns; the check reads each segment's 1-line header —
-    * production log-rolling bounds that scan exactly as Kafka's cleaner
-    * bounds segment counts. Returns the base offset written. */
+    * [[roll]] bounds that scan exactly as Kafka's cleaner bounds segment
+    * counts (measured in STRESS.md `log`: the 200-segment append cost
+    * collapses back to the 1-segment cost after a roll). Returns the base
+    * offset written. */
   def append(fs: FileSystem, root: String, topic: String, partition: Int,
              records: Seq[(Long, Array[Byte], Array[Byte])], txn: String): Long = {
     require(records.nonEmpty, "empty append")
+    require(!txn.exists(c => c == ',' || c == '\t' || c == '\n'),
+      s"txn id must not contain ',', tab, or newline: $txn")
     val dir = partitionPath(root, topic, partition)
     fs.mkdirs(dir)
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
       val segs = listSegments(fs, root, topic, partition)
-      if (segs.exists(sg => readHeader(fs, new Path(sg.path))._2 == txn)) return -1L
+      // a rolled segment's header carries the comma-joined txns of every
+      // segment it absorbed, so producer idempotency survives compaction
+      if (segs.exists(sg =>
+        readHeader(fs, new Path(sg.path))._2.split(',').contains(txn))) return -1L
       val base = if (segs.isEmpty) 0L else segs.map(_.end).max
       val target = new Path(dir, segmentName(base))
       val lines = Iterator.single(encodeHeader(records.length.toLong, txn)) ++
@@ -203,6 +237,96 @@ object LogFormat {
       // lost the CAS: re-list, retry
     }
     throw new IllegalStateException(s"log append lost the offset CAS 64 times: $topic/p$partition")
+  }
+
+  /** Kafka-cleaner-style log rolling: merge runs of adjacent SMALL segments
+    * (file length < `minBytes`) into one rolled segment per run, bounding
+    * the O(#segments) listing + header scan that every [[append]]'s txn
+    * dedup pays — the documented cost lever of the OCC producer. Contract:
+    *
+    *  - '''Offsets are untouched.''' A rolled segment covers exactly the
+    *    original [base, end) span; consumers see identical records at
+    *    identical offsets (the name carries base AND count, so listings
+    *    resolve rolled spans without header reads).
+    *  - '''Producer idempotency survives.''' The rolled header's txn field
+    *    is the comma-join of every absorbed txn id; [[append]] checks
+    *    membership, so a replayed producer epoch still no-ops.
+    *  - '''Safe under races.''' The rolled object publishes via the same
+    *    exclusive-create CAS appends use, the originals are deleted only
+    *    after it is visible, and [[listSegments]]' coverage sweep makes any
+    *    intermediate state (span + originals both present; nested spans
+    *    from racing rollers) read as the dense log. A crashed roller's
+    *    leftovers are swept up by the next roll via `dropCovered`.
+    *  - '''Bounded memory.''' Bodies are stream-copied line-by-line —
+    *    records are never decoded, buffered, or re-encoded.
+    *
+    * Returns the number of segments absorbed into rolled spans. Runs of one
+    * are left alone; already-large segments are never rewritten (no
+    * re-copy amplification on stable data). */
+  def roll(fs: FileSystem, root: String, topic: String, partition: Int,
+           minBytes: Long, maxRun: Int = 256): Int = {
+    val dir = partitionPath(root, topic, partition)
+    if (!fs.exists(dir)) return 0
+    val sizes: Map[String, Long] =
+      fs.listStatus(dir).map(st => st.getPath.toString -> st.getLen).toMap
+    val segs = listSegments(fs, root, topic, partition)
+    dropCovered(fs, dir, segs)
+    // maximal runs of adjacent small segments, capped at maxRun per span
+    val runs = Iterator.unfold(segs.toList) {
+      case Nil => None
+      case rest =>
+        val (small, tail) = rest.span(sg => sizes.getOrElse(sg.path, Long.MaxValue) < minBytes)
+        if (small.isEmpty) Some((Nil, tail.drop(1)))
+        else Some((small, tail))
+    }.flatMap(_.grouped(maxRun)).filter(_.length >= 2).toSeq
+    var absorbed = 0
+    runs.foreach { run =>
+      val base = run.head.base
+      val total = run.map(_.count).sum
+      val txns = run.map(sg => readHeader(fs, new Path(sg.path))._2).mkString(",")
+      val target = new Path(dir, rolledSegmentName(base, total))
+      val lines = Iterator.single(encodeHeader(total, txns)) ++
+        run.iterator.flatMap { sg =>
+          val r = new BufferedReader(
+            new InputStreamReader(fs.open(new Path(sg.path)), UTF_8), 1 << 16)
+          r.readLine() // skip the absorbed segment's header
+          new Iterator[String] {
+            private var nextLine = r.readLine()
+            def hasNext: Boolean = nextLine != null || { r.close(); false }
+            def next(): String = { val l = nextLine; nextLine = r.readLine(); l }
+          }
+        }
+      if (exclusiveCreate(fs, target, lines)) {
+        run.foreach(sg => fs.delete(new Path(sg.path), false))
+        absorbed += run.length
+      }
+    }
+    absorbed
+  }
+
+  /** Delete leftovers of a crashed roller: segments fully inside a
+    * surviving rolled span no longer appear in `kept` (the coverage sweep
+    * dropped them) but still occupy the directory. Deletion demands PROOF
+    * of coverage — a raw segment's base inside a span implies its whole
+    * extent is (runs merge whole segments, so span ends are segment
+    * boundaries), a rolled leftover must fit by its name-carried count,
+    * and a racing appender's fresh segment has base ≥ every kept end so it
+    * can never qualify. */
+  private def dropCovered(fs: FileSystem, dir: Path, kept: Seq[Segment]): Unit = {
+    val keptPaths = kept.map(_.path).toSet
+    val spans = kept.filter(_.path.contains(".r.seg")).map(sg => (sg.base, sg.end))
+    def covered(base: Long, endOpt: Option[Long]): Boolean =
+      spans.exists { case (s, e) => base >= s && base < e && endOpt.forall(_ <= e) }
+    fs.listStatus(dir).foreach { st =>
+      if (!keptPaths.contains(st.getPath.toString)) {
+        val drop = st.getPath.getName match {
+          case SegName(b)       => covered(b.toLong, None)
+          case RolledName(b, c) => covered(b.toLong, Some(b.toLong + c.toLong))
+          case _ => false
+        }
+        if (drop) fs.delete(st.getPath, false)
+      }
+    }
   }
 
   /** All-or-nothing, atomically-exclusive publish of `lines` at `target`.

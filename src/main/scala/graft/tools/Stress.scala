@@ -699,6 +699,26 @@ object Stress {
     }
     println(f"[stress] log append avg ${(System.nanoTime() - a0) / 1e9 / 200 * 1000}%.1f ms " +
       "per append at 0->200 segments")
+    // ... and the bound itself: roll the 200 segments (Kafka-cleaner
+    // compaction; offsets + txn dedup preserved), then time appends against
+    // the compacted log — the O(#segments) txn scan collapses to O(1 roll)
+    val r0 = System.nanoTime()
+    val absorbed = t("log roll 200 segments") {
+      graft.sources.LogFormat.roll(fs, logRoot, "appends", 0, minBytes = Long.MaxValue)
+    }
+    println(f"[stress] log roll absorbed $absorbed segments in ${(System.nanoTime() - r0) / 1e9}%.2f s")
+    val postCount = spark.read.format("graft-log").option("path", logRoot)
+      .option("subscribe", "appends").load().count()
+    require(postCount == 200L * 1000, s"roll changed record count: $postCount")
+    require(graft.sources.LogFormat.append(fs, logRoot, "appends", 0, recs, "b7") == -1L,
+      "absorbed producer txn must still dedup after the roll")
+    val a1 = System.nanoTime()
+    t("log 50 sequential OCC appends post-roll") {
+      (200 until 250).foreach(b =>
+        graft.sources.LogFormat.append(fs, logRoot, "appends", 0, recs, s"b$b"))
+    }
+    println(f"[stress] log append avg ${(System.nanoTime() - a1) / 1e9 / 50 * 1000}%.1f ms " +
+      "per append post-roll (1 rolled + growing tail)")
     }
     spark.stop()
   }

@@ -106,6 +106,86 @@ class LogSourceSpec extends SparkSpec {
     assert(skipped == -1L && readTopic(root, "race").count() == 400)
   }
 
+  test("log rolling: offsets and bytes identical, txn dedup survives, appends continue") {
+    val root = newRoot()
+    val fs = fsFor(root)
+    val txns = Seq("a", "b", "c", "d", "e", "f")
+    txns.zipWithIndex.foreach { case (t, i) =>
+      produce(root, "t", 0, i * 10 until (i + 1) * 10, t)
+    }
+    def canon = readTopic(root, "t")
+      .select(col("offset"), col("key").cast("string"), col("value").cast("string"),
+        unix_micros(col("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val before = canon
+    val absorbed = LogFormat.roll(fs, root, "t", 0, minBytes = 1 << 20)
+    assert(absorbed == 6)
+    val dir = new java.io.File(s"$root/t/p0")
+    val segNames = dir.listFiles().map(_.getName).filter(_.endsWith(".seg")).toSeq
+    assert(segNames == Seq(LogFormat.rolledSegmentName(0L, 60L)),
+      s"expected one rolled segment, got $segNames")
+    assert(canon == before, "rolling changed visible records or offsets")
+    // replay of an absorbed producer txn still no-ops
+    assert(LogFormat.append(fs, root, "t", 0,
+      Seq((0L, null, "dup".getBytes(UTF_8))), "c") == -1L)
+    // fresh appends continue at the rolled end
+    produce(root, "t", 0, 60 until 70, "g")
+    assert(canon.size == 70 && canon.last._1 == 69L)
+    // an offset slice that starts INSIDE the rolled span reads correctly
+    val sliced = spark.read.format("graft-log").option("path", root)
+      .option("subscribe", "t").option("startingOffsets", """{"0":37}""").load()
+    assert(sliced.agg(min("offset"), count(lit(1))).collect().head.toSeq == Seq(37L, 33L))
+  }
+
+  test("log rolling: big segments stay put; runs merge around them") {
+    val root = newRoot()
+    val fs = fsFor(root)
+    produce(root, "t", 0, 0 until 5, "a")
+    produce(root, "t", 0, 5 until 10, "b")
+    produce(root, "t", 0, 10 until 2000, "big") // well past minBytes
+    produce(root, "t", 0, 2000 until 2005, "c")
+    produce(root, "t", 0, 2005 until 2010, "d")
+    val absorbed = LogFormat.roll(fs, root, "t", 0, minBytes = 1024)
+    assert(absorbed == 4, s"expected the four small segments absorbed, got $absorbed")
+    val names = new java.io.File(s"$root/t/p0").listFiles().map(_.getName).sorted.toSeq
+    assert(names.contains(LogFormat.segmentName(10L)), "large segment was rewritten")
+    assert(names.count(_.endsWith(".r.seg")) == 2)
+    assert(readTopic(root, "t").count() == 2010)
+    // idempotent: nothing left to merge (single spans are left alone)
+    assert(LogFormat.roll(fs, root, "t", 0, minBytes = 1024) == 0)
+  }
+
+  test("log rolling: a crashed roller's half-state reads dense and is swept up") {
+    val root = newRoot()
+    val fs = fsFor(root)
+    Seq("a", "b", "c").zipWithIndex.foreach { case (t, i) =>
+      produce(root, "t", 0, i * 10 until (i + 1) * 10, t)
+    }
+    val before = readTopic(root, "t").count()
+    // simulate a roller that crashed after publishing the span [0, 30) but
+    // before deleting the originals: hand-write the rolled object
+    val p0 = java.nio.file.Paths.get(s"$root/t/p0")
+    val bodies = Seq(0L, 10L, 20L).flatMap { b =>
+      val lines = java.nio.file.Files.readAllLines(
+        p0.resolve(LogFormat.segmentName(b))).toArray.toSeq.map(_.toString)
+      lines.drop(1)
+    }
+    java.nio.file.Files.write(p0.resolve(LogFormat.rolledSegmentName(0L, 30L)),
+      (("30\ta,b,c") +: bodies).mkString("", "\n", "\n").getBytes(UTF_8))
+    // both the span and the originals are present: reads stay dense
+    assert(readTopic(root, "t").count() == before)
+    assert(readTopic(root, "t").select("offset").distinct().count() == before)
+    // the next roll pass (nothing small enough to merge) sweeps the covered
+    // originals; the fresh-appender guard keeps anything beyond the span
+    produce(root, "t", 0, 30 until 40, "late")
+    assert(LogFormat.roll(fs, root, "t", 0, minBytes = 0) == 0)
+    val names = p0.toFile.listFiles().map(_.getName).filter(_.endsWith(".seg")).sorted.toSeq
+    assert(names == Seq(LogFormat.rolledSegmentName(0L, 30L), LogFormat.segmentName(30L)),
+      s"covered originals should be gone, fresh segment kept: $names")
+    assert(readTopic(root, "t").count() == before + 10)
+  }
+
   test("admission control: maxOffsetsPerTrigger bounds every micro-batch; " +
        "new partitions join at earliest") {
     val root = newRoot()
