@@ -162,6 +162,72 @@ object VectorIndex {
     read(spark, dir)
   }
 
+  /** Assign + encode `delta` with `ix`'s frozen quantizers — the shared
+    * core of every append path. */
+  private def encodeWith(ix: IvfPqIndex, delta: DataFrame,
+                         idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(delta.sparkSession)
+    val q = delta.select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
+    Similarity.assignCells(q, idCol, ix.centroids)
+      .select(col(idCol).as("id"), col("cell"),
+        call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(ix.codebook))
+          .as("codes"))
+  }
+
+  /** Exactly-once epoch append for [[maintainStream]]: commit `delta` to
+    * the persisted index at `dir` under `epochId`, idempotent on replay.
+    *
+    * Protocol (every step re-runnable): skip if the epoch's `_epochs`
+    * marker exists; stage the encoded delta under `_stage` (overwrite);
+    * rename the staged file to the DETERMINISTIC name
+    * `codes/e<epoch>-0.parquet` (a replay that crashed mid-commit
+    * re-stages the same rows and overwrites the same name — never a
+    * duplicate); refresh meta by recounting `codes` from parquet footers
+    * (self-healing, no data scan); then create the marker — the commit
+    * point. Returns true when this call committed the epoch. The staged
+    * delta is one file per epoch (micro-batches are bounded); a deployment
+    * with jumbo epochs would shard to `e<epoch>-<k>` names the same way. */
+  def appendEpoch(spark: SparkSession, dir: String, epochId: Long,
+                  delta: DataFrame, idCol: String, vecCol: String): Boolean = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"_epochs/$epochId")
+    if (fs.exists(marker)) return false
+    val ix = read(spark, dir)
+    val staged = s"$dir/_stage/e$epochId"
+    encodeWith(ix, delta, idCol, vecCol).coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(part.length == 1, s"expected one staged file, got ${part.length}")
+    val dst = new org.apache.hadoop.fs.Path(dir, s"codes/e$epochId-0.parquet")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+    fc.rename(part.head, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    val n = spark.read.parquet(s"$dir/codes").count()
+    Seq((n, ix.nCells)).toDF("n_rows", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val out = fs.create(marker, false)
+    try out.write(s"e$epochId".getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** Continuous index maintenance: every micro-batch of fresh vectors is
+    * appended to the persisted index at `dir` through [[appendEpoch]] —
+    * checkpointed source offsets + the epoch marker give exactly-once
+    * index contents across restarts and replays, the same two-sided
+    * idempotency contract as the streaming medallion's gold publishes.
+    * Serving sessions pick the new vectors up on their next
+    * [[read]]; the quantizers stay frozen (see [[append]] for the drift
+    * contract). */
+  def maintainStream(spark: SparkSession, dir: String, vecStream: DataFrame,
+                     idCol: String, vecCol: String): DataStreamWriter[Row] =
+    vecStream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      if (!batch.isEmpty) { appendEpoch(spark, dir, epochId, batch, idCol, vecCol); () }
+    }
+
   /** Per-cell vector counts — the index-health observable: a balanced
     * build spreads the corpus across cells (serving cost ~ nProbe/nCells
     * of the corpus per query); appended vectors concentrating into few

@@ -153,6 +153,57 @@ class VectorIndexSpec extends SparkSpec {
       "persisted append diverged from the in-memory append")
   }
 
+  test("maintainStream: exactly-once epoch appends; replays and re-commits never duplicate") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-m").toString + "/ix"
+    VectorIndex.write(VectorIndex.build(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    val baseRows = VectorIndex.read(spark, dir).nRows
+
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val (wave1, wave2) = delta.splitAt(delta.size / 2)
+    assert(wave1.nonEmpty && wave2.nonEmpty)
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val query = VectorIndex.maintainStream(spark, dir,
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-vix-mcp").toString)
+      .start()
+    try {
+      in.addData(wave1: _*); query.processAllAvailable()
+      in.addData(wave2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    val ix = VectorIndex.read(spark, dir)
+    assert(ix.nRows === emb.count(), "streamed deltas missing from the index")
+    assert(ix.codes.select("id").distinct().count() === ix.nRows,
+      "duplicate ids after streamed appends")
+
+    // a replayed committed epoch is a marker-detected no-op
+    val w2df = wave2.toDF("vec_id", "embedding")
+    assert(!VectorIndex.appendEpoch(spark, dir, 1L, w2df, "vec_id", "embedding"))
+    // a commit that crashed AFTER the rename but BEFORE the marker: replay
+    // re-stages the same rows onto the same deterministic file name
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_epochs/1"), false)
+    assert(VectorIndex.appendEpoch(spark, dir, 1L, w2df, "vec_id", "embedding"))
+    val healed = VectorIndex.read(spark, dir)
+    assert(healed.nRows === emb.count())
+    assert(healed.codes.select("id").distinct().count() === healed.nRows,
+      "re-committed epoch duplicated rows")
+    // the maintained index serves the appended vectors as neighbors
+    val served = VectorIndex.topK(healed, emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", k = 5, nProbe = 16)
+    val newIds = wave1.map(_._1).toSet ++ wave2.map(_._1).toSet
+    val neighborIds = served.select(col("neighbor_id").cast("long"))
+      .as[Long].collect().toSet
+    assert(neighborIds.exists(newIds), "no appended vector ever serves as a neighbor")
+  }
+
   test("serving only reads codes + centroids — never the embedding table") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-vix-p").toString + "/ix"
