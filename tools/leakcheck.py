@@ -48,6 +48,8 @@ def main():
             continue
         digest.update(path.encode() + b"\0" + data)
         text = data.decode("utf-8", errors="replace")
+        if path == "tools/leakcheck.py":
+            continue  # hashed above; its CATEGORIES table self-matches
         for i, line in enumerate(text.splitlines(), 1):
             for cat, pat in CATEGORIES.items():
                 if re.search(pat, line):
