@@ -581,4 +581,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** SUBSTRING-level cross-corpus dedup (the RefinedWeb/SlimPajama method
+    * document-level dedup misses): every n-token shingle occurring in at
+    * least `minDocs` DISTINCT documents marks its token span, and
+    * overlapping-or-adjacent marks merge into maximal spans. Returns one
+    * row per merged span: (id, span_start, span_end, span_tokens) with
+    * 0-based token indices, [start, end).
+    *
+    * Scale shape: the positioned shingle explode is map-only; the
+    * common-shingle count is one distinct + one hash-aggregate keyed by
+    * shingle (the same key-distribution the MinHash pipeline already
+    * shuffles on); the island merge is a per-document window — partitioned
+    * by id, so 10^9 documents parallelize and no window ever sees more
+    * rows than one document's shingle count. Suffix-array exactness is not
+    * attempted: fixed-n shingle marking is the standard large-scale
+    * approximation (any duplicated run of >= n tokens is caught, shorter
+    * ones are not). */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Int): DataFrame = {
+    require(n >= 2, s"span shingles need n >= 2, got $n")
+    require(minDocs >= 2, s"minDocs >= 2 (a span duplicated nowhere is not a dup), got $minDocs")
+    val idxs = (0 until n).map(j => s"__w[i + $j]").mkString(", ")
+    val pos = docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol),
+        posexplode(expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $idxs))")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("shingle"))
+    val common = pos.select(col("shingle"), col(idCol)).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("shingle"))
+    val hits = pos.join(common, "shingle").select(col(idCol), col("pos"))
+    // gaps-and-islands per document: a mark extends the current span when
+    // its start sits inside-or-adjacent to it (pos - prev <= n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("__new", when(col("pos") - lag(col("pos"), 1).over(w) > n, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + n).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  /** Apply [[duplicateSpans]]: rebuild each document's text with the
+    * duplicated spans' tokens removed (tokens outside any span, rejoined
+    * with single spaces — the same normalized token stream every dedup
+    * operator here works over). Documents without spans pass through with
+    * their normalized text. */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spans: DataFrame): DataFrame = {
+    val agg = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        expr("""concat_ws(' ', filter(__w, (t, i) ->
+                 __spans IS NULL OR NOT exists(__spans,
+                   s -> i >= s.span_start AND i < s.span_end)))""")
+          .as("scrubbed_text"))
+  }
 }

@@ -954,7 +954,48 @@ object TextQueries {
                COALESCE(np, 0) AS n_pretokens,
                COALESCE(nb, 0) AS n_bpe_tokens
              FROM documents d LEFT JOIN agg USING (doc_id)
-             ORDER BY d.doc_id"""))
+             ORDER BY d.doc_id""")),
+
+    // SUBSTRING-level dedup (RefinedWeb/SlimPajama): 3-token shingles
+    // occurring in >= 3 distinct documents mark their token spans;
+    // overlapping-or-adjacent marks merge into maximal spans per doc
+    // (gaps-and-islands over a per-document window). The oracle re-derives
+    // positions, the distinct-doc shingle census, and the island merge —
+    // one off-by-one in any of them moves a span boundary and breaks the
+    // hash. `Dedup.scrubSpans` (the text-rewriting consumer) is pinned by
+    // DedupSpec fixtures.
+    Q("q105_dup_spans",
+      (s, d) => graft.operators.Dedup.duplicateSpans(
+          Tables.documents(s, d), "doc_id", "text", n = 3, minDocs = 3)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             pos AS (
+               SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+               WHERE len(w) >= 3),
+             common AS (
+               SELECT s FROM (SELECT DISTINCT s, doc_id FROM pos)
+               GROUP BY s HAVING COUNT(*) >= 3),
+             hits AS (
+               SELECT p.doc_id, p.pos FROM pos p JOIN common c USING (s)),
+             lagd AS (
+               SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM hits),
+             isl AS (
+               SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev <= 3 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM lagd)
+             SELECT doc_id,
+               MIN(pos) AS span_start,
+               MAX(pos) + 3 AS span_end,
+               MAX(pos) + 3 - MIN(pos) AS span_tokens
+             FROM isl GROUP BY doc_id, island
+             ORDER BY doc_id, span_start"""))
   )
 
   /** One BPE round as DuckDB CTEs (count pairs → argmax → rewrite), chained

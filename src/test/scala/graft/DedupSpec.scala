@@ -152,4 +152,48 @@ class DedupSpec extends SparkSpec {
     val perComp = out.values.groupBy(_._1).map { case (_, v) => v.count(_._3) }
     assert(perComp.forall(_ == 1))
   }
+
+  test("duplicateSpans: shared phrase marks merged spans at each doc's offset; rare phrases don't") {
+    import spark.implicits._
+    val phrase = "alpha beta gamma delta epsilon" // 5 tokens -> 3 shingle marks, one merged span
+    val pair = "zeta eta theta"                   // 3 tokens, in only 2 docs
+    val d = Seq(
+      (0L, s"$phrase tail0 only"),                       // span at [0, 5)
+      (1L, s"lead1 lead2 $phrase tail"),                 // span at [2, 7)
+      (2L, s"x $phrase y $pair"),                        // span at [1, 6); pair below minDocs
+      (3L, s"unrelated filler words here $pair"),        // pair's 2nd doc - still below minDocs
+      (4L, "ab")                                         // shorter than n: no shingles at all
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", n = 3, minDocs = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((0L, 0L, 5L, 5L), (1L, 2L, 7L, 5L), (2L, 1L, 6L, 5L)),
+      s"got $spans")
+
+    val scrubbed = Dedup.scrubSpans(d, "doc_id", "text",
+        Dedup.duplicateSpans(d, "doc_id", "text", n = 3, minDocs = 3))
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(0L) == "tail0 only")
+    assert(scrubbed(1L) == "lead1 lead2 tail")
+    assert(scrubbed(2L) == s"x y $pair")
+    assert(scrubbed(3L) == s"unrelated filler words here $pair") // untouched, normalized
+    assert(scrubbed(4L) == "ab")
+  }
+
+  test("duplicateSpans: overlapping and adjacent marks merge; disjoint spans stay separate") {
+    import spark.implicits._
+    // "c1 c2 c3" in all docs at two sites; doc 0's sites are far apart
+    // (two spans), doc 1's are adjacent (one merged span)
+    val d = Seq(
+      (0L, "c1 c2 c3 u1 u2 u3 u4 u5 c1 c2 c3"),
+      (1L, "c1 c2 c3 c1 c2 c3 v7"),
+      (2L, "w1 c1 c2 c3 w2 w3 w4 w5 w6 c1 c2 c3")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, "doc_id", "text", n = 3, minDocs = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 0: marks at 0 and 8 -> gap 8 > n -> two spans [0,3) and [8,11)
+    assert(spans.contains((0L, 0L, 3L, 3L)) && spans.contains((0L, 8L, 11L, 3L)))
+    // doc 1: marks at 0 and 3 -> adjacent (gap == n) -> one span [0, 6)
+    assert(spans.contains((1L, 0L, 6L, 6L)))
+    assert(!spans.exists(s => s._1 == 1L && s._4 < 6L))
+  }
 }
