@@ -598,24 +598,26 @@ object Dedup {
     * attempted: fixed-n shingle marking is the standard large-scale
     * approximation (any duplicated run of >= n tokens is caught, shorter
     * ones are not). */
-  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, minDocs: Int): DataFrame = {
-    require(n >= 2, s"span shingles need n >= 2, got $n")
-    require(minDocs >= 2, s"minDocs >= 2 (a span duplicated nowhere is not a dup), got $minDocs")
+  /** (id, pos, shingle) rows — [[shingleRowsRaw]] keeping the 0-based
+    * token position of each n-gram's first token (map-only explode). */
+  def shingleRowsPos(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
     val idxs = (0 until n).map(j => s"__w[i + $j]").mkString(", ")
-    val pos = docs
+    docs
       .select(col(idCol), tokens(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= n)
       .select(col(idCol),
         posexplode(expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $idxs))")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("shingle"))
-    val common = pos.select(col("shingle"), col(idCol)).distinct()
-      .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("shingle"))
-    val hits = pos.join(common, "shingle").select(col(idCol), col("pos"))
-    // gaps-and-islands per document: a mark extends the current span when
-    // its start sits inside-or-adjacent to it (pos - prev <= n)
+  }
+
+  /** Merge marked n-gram start positions into maximal spans per document —
+    * gaps-and-islands over a per-id window: a mark extends the current
+    * span when its start sits inside-or-adjacent to it (pos − prev <= n).
+    * Input: (id, pos); output: (id, span_start, span_end, span_tokens),
+    * [start, end) in token indices. Windows are partitioned by id, so no
+    * window ever sees more rows than one document's marks. */
+  private def mergeMarks(hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))
     hits
       .withColumn("__new", when(col("pos") - lag(col("pos"), 1).over(w) > n, 1L).otherwise(0L))
@@ -624,6 +626,57 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"), (max(col("pos")) + n).as("span_end"))
       .withColumn("span_tokens", col("span_end") - col("span_start"))
       .select(col(idCol), col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Int): DataFrame = {
+    require(n >= 2, s"span shingles need n >= 2, got $n")
+    require(minDocs >= 2, s"minDocs >= 2 (a span duplicated nowhere is not a dup), got $minDocs")
+    val pos = shingleRowsPos(docs, idCol, textCol, n)
+    val common = pos.select(col("shingle"), col(idCol)).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("shingle"))
+    mergeMarks(pos.join(common, "shingle").select(col(idCol), col("pos")), idCol, n)
+  }
+
+  /** SPAN-level benchmark decontamination (the PaLM/GPT-3 13-gram method):
+    * mark every n-gram of `docs` that also occurs ANYWHERE in the
+    * benchmark corpus, merge marks into maximal spans, and report each
+    * document's contaminated-token ratio. Unlike q42's doc-level
+    * contamination (any shared shingle taints the whole doc), this
+    * scores HOW MUCH of the document is benchmark text — the number
+    * train-set decontamination thresholds on.
+    *
+    * Output: (id, n_tokens, contaminated_tokens, contamination_ratio
+    * rounded to 6dp), one row per input document (0 / 0.0 when clean).
+    * Scale shape: benchmark shingle set is distinct-deduped and joined by
+    * shingle key (benchmarks are tiny next to the corpus — stats/AQE
+    * broadcast it); everything else is the [[duplicateSpans]] machinery. */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int): DataFrame = {
+    require(n >= 2, s"span shingles need n >= 2, got $n")
+    val idxs = (0 until n).map(j => s"__w[i + $j]").mkString(", ")
+    val benchSh = bench
+      .select(tokens(col(benchTextCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(explode(expr(s"transform(sequence(0, size(__w) - $n), i -> concat_ws(' ', $idxs))"))
+        .as("shingle"))
+      .distinct()
+    val pos = shingleRowsPos(docs, idCol, textCol, n)
+    val spans = mergeMarks(
+      pos.join(benchSh, "shingle").select(col(idCol), col("pos")), idCol, n)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sum(col("span_tokens")).as("contaminated_tokens"))
+    docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("contaminated_tokens", coalesce(col("contaminated_tokens"), lit(0L)))
+      .withColumn("contamination_ratio",
+        round(col("contaminated_tokens").cast("double") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_tokens"), col("contaminated_tokens"),
+        col("contamination_ratio"))
   }
 
   /** Apply [[duplicateSpans]]: rebuild each document's text with the

@@ -995,7 +995,61 @@ object TextQueries {
                MAX(pos) + 3 AS span_end,
                MAX(pos) + 3 - MIN(pos) AS span_tokens
              FROM isl GROUP BY doc_id, island
-             ORDER BY doc_id, span_start"""))
+             ORDER BY doc_id, span_start""")),
+
+    // SPAN-level benchmark decontamination (PaLM/GPT-3 13-gram method,
+    // here at n=3 for the small corpus): every doc n-gram found anywhere
+    // in the held-out benchmark slice marks its span; merged spans yield
+    // the per-document contaminated-token RATIO that decontamination
+    // thresholds on (q42 is the doc-level yes/no form). Oracle re-derives
+    // the benchmark shingle set, marks, island merge, and ratio — clean
+    // docs must come back with an explicit 0 row, not be absent.
+    Q("q106_contamination_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.contaminationSpans(
+            docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 50 === 0), "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH train AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents WHERE doc_id % 50 <> 0),
+             bsh AS (
+               SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                     FROM documents WHERE doc_id % 50 = 0),
+                    UNNEST(range(1, len(w) - 1)) AS t(i)
+               WHERE len(w) >= 3),
+             pos AS (
+               SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+               FROM train, UNNEST(range(1, len(w) - 1)) AS t(i)
+               WHERE len(w) >= 3),
+             hits AS (
+               SELECT p.doc_id, p.pos FROM pos p JOIN bsh USING (s)),
+             lagd AS (
+               SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM hits),
+             isl AS (
+               SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos - prev <= 3 THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM lagd),
+             spans AS (
+               SELECT doc_id, MAX(pos) + 3 - MIN(pos) AS span_tokens
+               FROM isl GROUP BY doc_id, island),
+             perdoc AS (
+               SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS ct
+               FROM spans GROUP BY doc_id)
+             SELECT t.doc_id,
+               CAST(len(t.w) AS BIGINT) AS n_tokens,
+               COALESCE(ct, 0) AS contaminated_tokens,
+               round(CAST(COALESCE(ct, 0) AS DOUBLE) / len(t.w), 6)
+                 AS contamination_ratio
+             FROM train t LEFT JOIN perdoc USING (doc_id)
+             ORDER BY t.doc_id"""))
   )
 
   /** One BPE round as DuckDB CTEs (count pairs → argmax → rewrite), chained

@@ -179,6 +179,24 @@ class DedupSpec extends SparkSpec {
     assert(scrubbed(4L) == "ab")
   }
 
+  test("contaminationSpans: merged benchmark spans, exact ratios, explicit zeros") {
+    import spark.implicits._
+    val bench = Seq((100L, "secret eval question about spark internals")).toDF("doc_id", "text")
+    val d = Seq(
+      // 5-token benchmark phrase embedded whole: marks 2,3,4 -> one span of 5 of 10 tokens
+      (0L, "intro words secret eval question about spark padding pad2 pad3"),
+      (1L, "totally clean document with no benchmark overlap at all"),
+      // the whole doc IS the benchmark row: 6/6 contaminated
+      (2L, "secret eval question about spark internals")
+    ).toDF("doc_id", "text")
+    val m = Dedup.contaminationSpans(d, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(0L) == ((10L, 5L, 0.5)))
+    assert(m(1L) == ((9L, 0L, 0.0)))
+    assert(m(2L) == ((6L, 6L, 1.0)))
+    assert(m.size == 3)
+  }
+
   test("duplicateSpans: overlapping and adjacent marks merge; disjoint spans stay separate") {
     import spark.implicits._
     // "c1 c2 c3" in all docs at two sites; doc 0's sites are far apart
