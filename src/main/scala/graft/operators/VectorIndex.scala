@@ -92,9 +92,62 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Tombstone-delete from the persisted index at `dir` (FAISS
+    * `remove_ids`, expressed storage-side): the ids that are actually live
+    * in `codes` are recorded under `_tombstones/` as one new parquet file
+    * — no data file is rewritten, an O(delta) commit exactly like
+    * [[appendToDir]]'s. [[read]] subtracts tombstones lazily (left_anti on
+    * id), so every serving path sees the deletion on its next reload;
+    * [[vacuum]] reclaims the space. Intersecting with live codes first
+    * keeps the operation idempotent (re-deleting, or deleting unknown ids,
+    * records nothing) and keeps `nRows` exact. Returns the number of
+    * vectors deleted. Single maintainer per index dir, like [[write]]. */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame,
+                idCol: String): Long = {
+    val ix = read(spark, dir)
+    val doomed = ix.codes.select(col("id"))
+      .join(ids.select(col(idCol).cast(ix.codes.schema("id").dataType).as("id")).distinct(), Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = doomed.count()
+    if (n > 0) doomed.coalesce(1).write.mode("append").parquet(s"$dir/_tombstones")
+    doomed.unpersist()
+    n
+  }
+
+  /** Reclaim tombstoned rows: rewrite `codes` without them, then clear the
+    * tombstone set. The rewrite stages to `_stage/vacuum` and swaps via two
+    * renames (codes → codes.old → deleted); readers mid-swap retry on their
+    * next [[read]] — the same single-maintainer window [[write]] has. A
+    * no-op when nothing is tombstoned. Returns rows reclaimed. */
+  def vacuum(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val tombs = new org.apache.hadoop.fs.Path(dir, "_tombstones")
+    if (!fs.exists(tombs)) return 0L
+    val ix = read(spark, dir) // already tombstone-subtracted
+    val before = spark.read.parquet(s"$dir/codes").count()
+    val staged = s"$dir/_stage/vacuum"
+    ix.codes.write.mode("overwrite").parquet(staged)
+    val codes = new org.apache.hadoop.fs.Path(dir, "codes")
+    val old = new org.apache.hadoop.fs.Path(dir, "codes.old")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(codes.toUri, conf)
+    fc.rename(codes, old, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fc.rename(new org.apache.hadoop.fs.Path(staged), codes)
+    fs.delete(old, true)
+    fs.delete(tombs, true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
+    // meta tracked the RAW row count; the raw count is now the live count
+    import spark.implicits._
+    Seq((ix.nRows, ix.nCells)).toDF("n_rows", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    before - ix.nRows
+  }
+
   /** Reload a persisted index. The codebook collect is bounded at
     * m·ks·dSub rows (≈1k at the defaults) — the same driver-value budget
-    * its training collect obeys. */
+    * its training collect obeys. Tombstoned ids (see [[deleteIds]]) are
+    * subtracted here, so every consumer of a reloaded index — batch serve,
+    * streaming serve, appendEpoch's recount — sees only live vectors. */
   def read(spark: SparkSession, dir: String): IvfPqIndex = {
     val cbRows: Array[Row] = spark.read.parquet(s"$dir/codebook").collect()
     require(cbRows.nonEmpty, s"VectorIndex.read: empty codebook at $dir")
@@ -104,11 +157,21 @@ object VectorIndex {
     val cb = Array.ofDim[Long](m, ks, dSub)
     cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
     val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val raw = spark.read.parquet(s"$dir/codes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // subtract tombstones (deleteIds guarantees they are distinct and live;
+    // a deleted id must be vacuumed before it may be re-appended)
+    val (codes, dead) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_tombstones"))) {
+        val t = spark.read.parquet(s"$dir/_tombstones")
+        (raw.join(broadcast(t), Seq("id"), "left_anti"), t.count())
+      } else (raw, 0L)
     IvfPqIndex(
-      spark.read.parquet(s"$dir/codes"),
+      codes,
       spark.read.parquet(s"$dir/centroids"),
       cb,
-      meta.getAs[Long]("n_rows"),
+      meta.getAs[Long]("n_rows") - dead,
       meta.getAs[Int]("n_cells"))
   }
 

@@ -27,7 +27,8 @@ object SimilarityQueries {
     * math, so one SQL re-derivation oracles all three; a value divergence
     * would mean the persistence hop or the append path corrupted the
     * index. */
-  private def ivfPqOracleTrainedOn(trainWhere: Option[String]): String = {
+  private def ivfPqOracleTrainedOn(trainWhere: Option[String],
+                                   serveWhere: Option[String] = None): String = {
     // with a filter, training CTEs read tq/subt (the base slice); without,
     // they read the full q/sub and the emitted SQL is q100's original
     val trainSrc = if (trainWhere.isDefined) "tq" else "q"
@@ -108,7 +109,7 @@ object SimilarityQueries {
              cd AS (
                SELECT pb.query_id, asg.vec_id AS neighbor_id
                FROM pb JOIN asg USING (cell)
-               WHERE asg.vec_id <> pb.query_id),
+               WHERE asg.vec_id <> pb.query_id${serveWhere.fold("")(p => s" AND ($p)")}),
              ad AS (
                SELECT cd.query_id, cd.neighbor_id,
                  CAST(SUM(t.dist) AS BIGINT) AS adist
@@ -859,6 +860,32 @@ object SimilarityQueries {
             "vec_id", "embedding", k = 10, nProbe = 8)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqOracleTrainedOn(Some("vec_id % 3 <> 0"))))
+      Some(ivfPqOracleTrainedOn(Some("vec_id % 3 <> 0")))),
+
+    // Index DELETES (FAISS remove_ids): build + persist over the full
+    // corpus, tombstone every 7th vector (an O(delta) commit — no data
+    // file rewritten), reload, serve. Deleted vectors must vanish from
+    // every result while the quantizers — trained before the delete —
+    // stay frozen; the oracle is the full-corpus derivation with the
+    // deleted ids excluded ONLY from the candidate set. A tombstone that
+    // leaked into training, failed to suppress a neighbor, or suppressed
+    // a live one breaks the hash. vacuum() ≡ tombstoned serve is pinned
+    // in VectorIndexSpec.
+    Q("q107_index_delete",
+      (s, d) => {
+        import graft.operators.VectorIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q107").toString + "/ivfpq"
+        val emb = Tables.embeddings(s, d)
+        VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+          nCells = 32, m = 16, ks = 64, trainIters = 1), dir)
+        VectorIndex.deleteIds(s, dir,
+          emb.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+        VectorIndex.topK(VectorIndex.read(s, dir),
+            emb.filter(col("vec_id") % 40 === 0),
+            "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracleTrainedOn(None, Some("asg.vec_id % 7 <> 0"))))
   )
 }

@@ -204,6 +204,41 @@ class VectorIndexSpec extends SparkSpec {
     assert(neighborIds.exists(newIds), "no appended vector ever serves as a neighbor")
   }
 
+  test("deleteIds + vacuum: tombstoned vectors vanish, vacuum is value-neutral and reclaims") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-d").toString + "/ix"
+    VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    val doomed = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val nDoomed = doomed.count()
+
+    val deleted = VectorIndex.deleteIds(spark, dir, doomed, "vec_id")
+    assert(deleted === nDoomed)
+    // idempotent: re-deleting (plus unknown ids) records nothing
+    assert(VectorIndex.deleteIds(spark, dir,
+      doomed.union(Seq(999999L).toDF("vec_id")), "vec_id") === 0L)
+
+    val ix = VectorIndex.read(spark, dir)
+    assert(ix.nRows === emb.count() - nDoomed)
+    val live = ix.codes.select(col("id").cast("long")).as[Long].collect().toSet
+    assert(!live.exists(_ % 7 == 0), "tombstoned ids still served")
+
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val served = canon(VectorIndex.topK(ix, queries, "vec_id", "embedding", 5, 4))
+    assert(served.nonEmpty && !served.exists(_._3 % 7 == 0),
+      "a deleted vector surfaced as a neighbor")
+
+    // vacuum rewrites codes without the tombstones and is value-neutral
+    val reclaimed = VectorIndex.vacuum(spark, dir)
+    assert(reclaimed === nDoomed)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    val after = VectorIndex.read(spark, dir)
+    assert(after.nRows === ix.nRows)
+    assert(canon(VectorIndex.topK(after, queries, "vec_id", "embedding", 5, 4)) === served)
+    assert(VectorIndex.vacuum(spark, dir) === 0L) // nothing left to reclaim
+  }
+
   test("serving only reads codes + centroids — never the embedding table") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-vix-p").toString + "/ix"
