@@ -69,6 +69,32 @@ object TextQueries {
        |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.1)""".stripMargin
   private val minhashPairCtes = minhashPairCtesOver("documents")
 
+  /** The incremental batch-vs-corpus dedup oracle (batch = doc_id % 5 = 0
+    * against the rest): q66's one-shot operator, q108's persisted-index
+    * probe, and q109's append-then-probe must all hash identically against
+    * this ONE SQL derivation — the index hop and the append hop are
+    * required to be value-neutral. */
+  private val incrementalDedupOracle =
+    s"""WITH $minhashPairCtes,
+             bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             xp AS (
+               SELECT CASE WHEN p.doc_a % 5 = 0 THEN p.doc_a ELSE p.doc_b END
+                 AS doc_id
+               FROM pairs p
+               WHERE (p.doc_a % 5 = 0) <> (p.doc_b % 5 = 0)),
+             eh AS (
+               SELECT DISTINCT b.doc_id FROM bat b
+               JOIN documents c ON c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)),
+             nh AS (SELECT DISTINCT doc_id FROM xp)
+             SELECT b.doc_id,
+               (eh.doc_id IS NOT NULL) AS exact_dup,
+               (nh.doc_id IS NOT NULL) AS near_dup,
+               (eh.doc_id IS NULL AND nh.doc_id IS NULL) AS keep
+             FROM bat b
+             LEFT JOIN eh ON eh.doc_id = b.doc_id
+             LEFT JOIN nh ON nh.doc_id = b.doc_id
+             ORDER BY b.doc_id"""
+
   // ---- q18 simhash: generate the 32 per-bit vote expressions for DuckDB,
   // mirroring Dedup.simhash32 (md5 hex digit j/4, msb-first bit j%4).
   private val simhashVotesSql = (0 until 32).map { j =>
@@ -561,25 +587,7 @@ object TextQueries {
             threshold = 0.1, maxBucketSize = 100)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH $minhashPairCtes,
-             bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-             xp AS (
-               SELECT CASE WHEN p.doc_a % 5 = 0 THEN p.doc_a ELSE p.doc_b END
-                 AS doc_id
-               FROM pairs p
-               WHERE (p.doc_a % 5 = 0) <> (p.doc_b % 5 = 0)),
-             eh AS (
-               SELECT DISTINCT b.doc_id FROM bat b
-               JOIN documents c ON c.doc_id % 5 <> 0 AND md5(c.text) = md5(b.text)),
-             nh AS (SELECT DISTINCT doc_id FROM xp)
-             SELECT b.doc_id,
-               (eh.doc_id IS NOT NULL) AS exact_dup,
-               (nh.doc_id IS NOT NULL) AS near_dup,
-               (eh.doc_id IS NULL AND nh.doc_id IS NULL) AS keep
-             FROM bat b
-             LEFT JOIN eh ON eh.doc_id = b.doc_id
-             LEFT JOIN nh ON nh.doc_id = b.doc_id
-             ORDER BY b.doc_id""")),
+      Some(incrementalDedupOracle)),
 
     // Cross-source duplication matrix over the q15 near-dup pairs.
     Q("q68_dup_source_matrix",
@@ -1049,7 +1057,52 @@ object TextQueries {
                round(CAST(COALESCE(ct, 0) AS DOUBLE) / len(t.w), 6)
                  AS contamination_ratio
              FROM train t LEFT JOIN perdoc USING (doc_id)
-             ORDER BY t.doc_id"""))
+             ORDER BY t.doc_id""")),
+
+    // Persisted dedup INDEX: corpus signatures/hashes/shingles built and
+    // written once, then the batch (doc_id % 5 = 0) is screened O(batch)
+    // against the reloaded index — DedupIndex.probe must be bit-identical
+    // to q66's one-shot incrementalDedup, so the oracle is the SAME SQL:
+    // the persistence hop is required to be value-neutral.
+    Q("q108_dedup_index",
+      (s, d) => {
+        import graft.operators.DedupIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q108").toString + "/dix"
+        val docs = Tables.documents(s, d)
+        DedupIndex.write(DedupIndex.build(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4), dir)
+        DedupIndex.probe(DedupIndex.read(s, dir),
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+            threshold = 0.1, maxBucketSize = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalDedupOracle)),
+
+    // Index APPEND then probe: the corpus index is built WITHOUT the
+    // doc_id % 5 = 1 slice, which is then appended at rest (frozen
+    // parameters, new parquet files only), and the probe runs against the
+    // reloaded union. Oracle is again q66's SQL over the full corpus — a
+    // lost delta file, a parameter drift, or a signature recompute that
+    // disagrees with the build would all break the hash.
+    Q("q109_dedup_index_append",
+      (s, d) => {
+        import graft.operators.DedupIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q109").toString + "/dix"
+        val docs = Tables.documents(s, d)
+        DedupIndex.write(DedupIndex.build(
+          docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+          "doc_id", "text", shingleN = 3, k = 8, bands = 4), dir)
+        DedupIndex.appendToDir(s, dir,
+          docs.filter(col("doc_id") % 5 === 1), "doc_id", "text")
+        DedupIndex.probe(DedupIndex.read(s, dir),
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+            threshold = 0.1, maxBucketSize = 100)
+          .orderBy(col("doc_id"))
+      },
+      Some(incrementalDedupOracle))
   )
 
   /** One BPE round as DuckDB CTEs (count pairs → argmax → rewrite), chained

@@ -23,7 +23,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sections =
       if (args.isEmpty)
-        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "ops", "skew", "hotbucket", "bpe", "stream")
+        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "dix", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
     val b = SparkSession.builder().master("local[32]")
@@ -264,6 +264,42 @@ object Stress {
         emb.filter(col("vec_id") % 800 === 0),
         "vec_id", "embedding", k = 10, nProbe = 16).count()
     }
+    }
+
+    if (want("dix")) {
+    // Persisted dedup index vs one-shot incrementalDedup at sf1 (50k
+    // docs, the derived dir): what indexing the corpus once buys each
+    // daily batch. The one-shot re-shingles/re-signs corpus∪batch and
+    // verifies corpus×corpus candidate pairs every call; the probe signs
+    // only the batch and verifies only cross pairs.
+    val sf1docs = "/dev/shm/sf1"
+    if (new java.io.File(s"$sf1docs/documents.parquet").exists()) {
+      val dd = Tables.documents(spark, sf1docs)
+      val corpus = dd.filter(col("doc_id") % 5 =!= 0)
+      val batch = dd.filter(col("doc_id") % 5 === 0)
+      println(s"[stress] dix corpus=${corpus.count()} batch=${batch.count()}")
+      val one = t("dix one-shot incrementalDedup") {
+        Dedup.incrementalDedup(batch, corpus, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.1,
+          maxBucketSize = 100).filter(col("keep")).count()
+      }
+      val ddir = java.nio.file.Files.createTempDirectory("graft-dix-st").toString + "/ix"
+      t("dix build+write (once per corpus)") {
+        graft.operators.DedupIndex.write(
+          graft.operators.DedupIndex.build(corpus, "doc_id", "text"), ddir)
+      }
+      val rx = t("dix read") { graft.operators.DedupIndex.read(spark, ddir) }
+      val kept = t("dix probe (per-batch cost)") {
+        graft.operators.DedupIndex.probe(rx, batch, "doc_id", "text",
+          threshold = 0.1, maxBucketSize = 100).filter(col("keep")).count()
+      }
+      require(kept == one, s"probe kept $kept != one-shot $one")
+      println(s"[stress] dix kept=$kept (probe ≡ one-shot)")
+      t("dix append batch (O(delta) commit)") {
+        graft.operators.DedupIndex.appendToDir(spark, ddir, batch,
+          "doc_id", "text")
+      }
+    } else println(s"[stress] dix skipped: $sf1docs not present (run MakeSf)")
     }
 
     if (want("ops")) {

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupIndex}
+import graft.sources.Tables
+
+/** The persisted-dedup-index lifecycle: probe ≡ one-shot incrementalDedup
+  * bit-for-bit, persistence hop value-neutral, append = frozen-parameter
+  * O(delta) commit that never rewrites an existing file. */
+class DedupIndexSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def canon(df: DataFrame): Seq[(Long, Boolean, Boolean, Boolean)] =
+    df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("exact_dup"),
+      r.getAs[Boolean]("near_dup"), r.getAs[Boolean]("keep"))).toSeq.sorted
+
+  test("probe ≡ one-shot incrementalDedup, in memory and through the persisted hop") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val oneShot = canon(Dedup.incrementalDedup(batch, corpus, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100))
+    assert(oneShot.nonEmpty)
+    assert(oneShot.exists(t => t._2 || t._3), "fixture has no dup to detect")
+
+    val ix = DedupIndex.build(corpus, "doc_id", "text")
+    assert(canon(DedupIndex.probe(ix, batch, "doc_id", "text",
+      threshold = 0.1, maxBucketSize = 100)) === oneShot)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix").toString + "/ix"
+    DedupIndex.write(ix, dir)
+    val rx = DedupIndex.read(spark, dir)
+    assert(rx.shingleN === 3 && rx.k === 8 && rx.bands === 4)
+    assert(rx.nDocs === corpus.count())
+    assert(canon(DedupIndex.probe(rx, batch, "doc_id", "text",
+      threshold = 0.1, maxBucketSize = 100)) === oneShot)
+  }
+
+  test("append: frozen params, existing files untouched, ≡ build over the union") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val delta = docs.filter(col("doc_id") % 5 === 1)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix-a").toString + "/ix"
+    DedupIndex.write(DedupIndex.build(base, "doc_id", "text"), dir)
+
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      // "_SUCCESS" commit markers are re-touched by append by design —
+      // only DATA files must stay byte-identical
+      walk(new java.io.File(dir))
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .filterNot(_.getPath.contains("/meta"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+    val appended = DedupIndex.appendToDir(spark, dir, delta, "doc_id", "text")
+    assert(appended === delta.count())
+    val after = snapshot()
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file rewritten: $p")
+    }
+    assert(after.size > before.size, "append committed no new file")
+
+    val rx = DedupIndex.read(spark, dir)
+    assert(rx.nDocs === base.count() + delta.count())
+    // appended index serves exactly like an index built over the union
+    val oneShot = canon(Dedup.incrementalDedup(batch,
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4, threshold = 0.1, maxBucketSize = 100))
+    assert(canon(DedupIndex.probe(rx, batch, "doc_id", "text",
+      threshold = 0.1, maxBucketSize = 100)) === oneShot)
+  }
+
+  test("probe semantics on fixture edges: exact, near, novel, short docs") {
+    import spark.implicits._
+    val textA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, textA), (2L, textB), (3L, "tiny")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, textA),                          // exact (and near) corpus dup
+      (11L, textB.replace("beta10", "X")),   // near dup only
+      (12L, (1 to 20).map(i => s"nu$i").mkString(" ")), // novel
+      (13L, "tiny"),                         // exact dup of a sub-shingle doc
+      (14L, "mini")                          // novel sub-shingle doc
+    ).toDF("doc_id", "text")
+    val out = canon(DedupIndex.probe(DedupIndex.build(corpus, "doc_id", "text"),
+      batch, "doc_id", "text"))
+    assert(out === Seq(
+      (10L, true, true, false),
+      (11L, false, true, false),
+      (12L, false, false, true),
+      (13L, true, false, false),
+      (14L, false, false, true)))
+  }
+}
