@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.storage.StorageLevel
 
 /** A built MinHash/LSH dedup index: everything a later session needs to
@@ -29,7 +30,8 @@ final case class MinHashIndex(
     shingleN: Int,
     k: Int,
     bands: Int,
-    nDocs: Long)
+    nDocs: Long,
+    nPb: Int = DedupIndex.DefaultNPb)
 
 /** Index lifecycle for incremental corpus dedup: build signatures once
   * over the curated corpus, persist, then screen each incoming crawl
@@ -77,16 +79,38 @@ object DedupIndex {
       shingleN, k, bands, hashes.count())
   }
 
+  /** The shingle store's partition count: probes read only the partitions
+    * holding candidate docs' shingles, so the widest frame's scan is
+    * O(candidates/nPb of the store) instead of O(store). Size it so
+    * corpus/nPb partitions are a few hundred MB: pruning only bites once
+    * nPb exceeds a batch's candidate count, so a 100 TB corpus wants
+    * thousands of partitions, while at test SFs a small nPb keeps the
+    * file count from dominating. Persisted in meta — probes and appends
+    * must agree with the build or the pruning filter reads the wrong
+    * partitions. */
+  val DefaultNPb = 64
+
+  private def pb(idc: org.apache.spark.sql.Column, nPb: Int) =
+    pmod(hash(idc), lit(nPb))
+
   /** Persist: three parquet frames + one meta row. All string/integer
-    * columns — the round-trip is exact. */
+    * columns — the round-trip is exact. The wide shingle store is
+    * hash-partitioned on the id ([[pb]]) so [[probe]] can prune its scan
+    * to candidate partitions. */
   def write(ix: MinHashIndex, dir: String): Unit = {
     val spark = ix.sigs.sparkSession
     import spark.implicits._
     ix.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     ix.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
-    ix.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
-    Seq((ix.shingleN, ix.k, ix.bands, ix.nDocs))
-      .toDF("shingle_n", "k", "bands", "n_docs")
+    // repartition on pb first: without it every write task emits a file
+    // into every partition dir (tasks × nPb small files — measured 3×
+    // slower to write AND to probe at sf1); with it each partition is one
+    // well-sized file
+    ix.shingles.withColumn("pb", pb(col("id"), ix.nPb))
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(s"$dir/shingles")
+    Seq((ix.shingleN, ix.k, ix.bands, ix.nDocs, ix.nPb))
+      .toDF("shingle_n", "k", "bands", "n_docs", "n_pb")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -97,7 +121,8 @@ object DedupIndex {
       spark.read.parquet(s"$dir/hashes"),
       spark.read.parquet(s"$dir/shingles"),
       meta.getAs[Int]("shingle_n"), meta.getAs[Int]("k"),
-      meta.getAs[Int]("bands"), meta.getAs[Long]("n_docs"))
+      meta.getAs[Int]("bands"), meta.getAs[Long]("n_docs"),
+      meta.getAs[Int]("n_pb"))
   }
 
   /** Screen `batch` against the indexed corpus: per batch id,
@@ -110,31 +135,110 @@ object DedupIndex {
     * decisions cannot drift between the two forms. */
   def probe(ix: MinHashIndex, batch: DataFrame, idCol: String,
             textCol: String, threshold: Double = 0.1,
-            maxBucketSize: Int = 0): DataFrame = {
+            maxBucketSize: Int = 0): DataFrame =
+    probeTracked(ix, batch, idCol, textCol, threshold, maxBucketSize)._1
+
+  /** [[probe]] plus its persisted intermediate frames, so epoch-grained
+    * callers ([[gateEpoch]]) can unpersist them once the result is
+    * materialized — a long-running gate would otherwise accumulate seven
+    * cached frames per micro-batch until execution memory starves. */
+  private[operators] def probeTracked(
+      ix0: MinHashIndex, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxBucketSize: Int,
+      excludeIds: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
+    // excludeIds subtracts docs from the CORPUS side before screening —
+    // a no-op under the disjoint-ids contract, but it is what makes a
+    // replayed [[gateEpoch]] idempotent: the replayed batch's own already
+    // -indexed copies must not flag the batch against itself. Broadcast
+    // anti joins: the exclusion set is one epoch's ids.
+    val ix = excludeIds match {
+      case Some(ids) =>
+        val e = ids.select(col(ids.columns.head)
+          .cast(ix0.sigs.schema("id").dataType).as("id")).distinct()
+        ix0.copy(
+          sigs = ix0.sigs.join(broadcast(e), Seq("id"), "left_anti"),
+          hashes = ix0.hashes.join(broadcast(e), Seq("id"), "left_anti"),
+          shingles = ix0.shingles.join(broadcast(e), Seq("id"), "left_anti"))
+      case None => ix0
+    }
     val bSh = Dedup.shingleRows(batch, idCol, textCol, ix.shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bSigs = Dedup.minhashSignatures(bSh, idCol, ix.k, withSize = true)
       .withColumnRenamed(idCol, "id")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Bucket PROBE, not bucket self-join: only buckets the batch touches
+    // can produce a cross pair, so the corpus band rows (a narrow derive
+    // over the stored sig frame) are semi-joined down to those ~|batch|·B
+    // hot buckets first, and candidates come out cross-only by
+    // construction — the one-shot chain's corpus×corpus candidates are
+    // never even generated. The bucket-size cap counts corpus+batch rows
+    // per hot bucket, exactly the one-shot total for those buckets (cold
+    // buckets' caps are unobservable in its cross-restricted output), so
+    // capping decisions cannot drift between the two forms.
+    val rpb = ix.k / ix.bands
+    val bBand = Dedup.lshBandRows(bSigs, "id", ix.bands, rpb)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hotKeys = bBand.select(col("band"), col("band_key")).distinct()
+    val cHot = Dedup.lshBandRows(ix.sigs, "id", ix.bands, rpb)
+      .join(hotKeys, Seq("band", "band_key"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val okKeys =
+      if (maxBucketSize <= 0) hotKeys
+      else cHot.select(col("band"), col("band_key"))
+        .unionAll(bBand.select(col("band"), col("band_key")))
+        .groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select(col("band"), col("band_key"))
+    val cross = cHot.join(okKeys, Seq("band", "band_key"), "left_semi")
+      .select(col("band"), col("band_key"), col("id").as("__cid"))
+      .join(bBand.join(okKeys, Seq("band", "band_key"), "left_semi")
+        .select(col("band"), col("band_key"), col("id").as("__bid")),
+        Seq("band", "band_key"))
+      .select(least(col("__cid"), col("__bid")).as("doc_a"),
+        greatest(col("__cid"), col("__bid")).as("doc_b"))
+      .distinct()
+      // the candidate frame fans out three ways below (two id projections
+      // + the verify join) and each recompute would re-run the whole
+      // bucket pipeline — persist the ~|near dups|-row frame instead
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // verify only the candidates: the wide shingle store is cut down to
+    // candidate ids before the pair-shingle intersection join (and the
+    // restricted sliver persisted — jaccardForPairs reads it twice). For
+    // a parquet-backed index the store is partitioned on pb = hash(id)
+    // (see [[write]]); the candidate partitions are collected first — a
+    // driver list bounded at nPb values — and pushed as a static
+    // partition filter, so a micro-batch probe READS only the candidate
+    // slivers of the index's widest frame instead of scanning it.
+    val candIds = cross.select(col("doc_a").as("id"))
+      .unionAll(cross.select(col("doc_b").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusCand = {
+      val pruned =
+        if (ix.shingles.columns.contains("pb")) {
+          val pbs = candIds.select(pb(col("id"), ix.nPb).as("pb")).distinct()
+            .collect().map(_.getAs[Int]("pb")).toSeq
+          ix.shingles.filter(col("pb").isin(pbs: _*)).select(col("id"), col("shingle"))
+        } else ix.shingles.select(col("id"), col("shingle"))
+      pruned.join(candIds, Seq("id"), "left_semi")
+    }
+    val candSh = corpusCand
+      .unionByName(bSh.withColumnRenamed(idCol, "id")
+        .join(candIds, Seq("id"), "left_semi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // verify with the shared [[Dedup.jaccardForPairs]] over the restricted
+    // sliver (an explicit broadcast reshaping of these joins was tried and
+    // measured SLOWER at sf1 — each broadcast() subtree runs as its own
+    // job, and three extra driver barriers cost more than the shuffles
+    // they remove; at this stage count the remaining cost is scheduler
+    // floor, not data)
     val allSigs = ix.sigs.unionByName(bSigs)
-    val cand = Dedup.lshCandidatePairs(
-      Dedup.lshBandRows(allSigs, "id", ix.bands, ix.k / ix.bands),
-      "id", maxBucketSize)
-    // cross pairs only: one side in the batch, one in the corpus. The
-    // one-shot chain verifies corpus×corpus candidates too and discards
-    // them afterward; dropping them here (a subset restriction — survivor
-    // values are unaffected) is the probe's headline saving.
-    val bIds = bSigs.select(col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    val cross = cand
-      .join(bIds.select(col("id").as("doc_a"), lit(true).as("__ba")), Seq("doc_a"), "left")
-      .join(bIds.select(col("id").as("doc_b"), lit(true).as("__bb")), Seq("doc_b"), "left")
-      .filter(coalesce(col("__ba"), lit(false)) =!= coalesce(col("__bb"), lit(false)))
-      .select(col("doc_a"), col("doc_b"))
-    val pairs = Dedup.jaccardForPairs(cross,
-        ix.shingles.unionByName(bSh.withColumnRenamed(idCol, "id")), "id",
-        minJaccard = threshold,
+    val pairs = Dedup.jaccardForPairs(cross, candSh,
+        "id", minJaccard = threshold,
         precomputedSizes = Some(allSigs.select(col("id"), col("n"))))
       .filter(col("jaccard") >= threshold)
+    val bIds = bSigs.select(col("id"))
     val nearHit = pairs.select(col("doc_a").as("id"))
       .unionByName(pairs.select(col("doc_b").as("id")))
       .join(bIds, Seq("id"), "left_semi")
@@ -143,13 +247,14 @@ object DedupIndex {
       .join(ix.hashes.select(col("text_md5").as("__h")).distinct(),
         md5(batch(textCol)) === col("__h"), "left_semi")
       .select(col(idCol).as("id"))
-    batch.select(col(idCol).as("id"))
+    val flags = batch.select(col(idCol).as("id"))
       .join(exactHit.withColumn("__e", lit(true)), Seq("id"), "left")
       .join(nearHit.withColumn("__n", lit(true)), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("__e"), lit(false)).as("exact_dup"),
         coalesce(col("__n"), lit(false)).as("near_dup"))
       .withColumn("keep", !col("exact_dup") && !col("near_dup"))
+    (flags, Seq(bSh, bSigs, bBand, cHot, cross, candIds, candSh))
   }
 
   /** Index the delta docs into the at-rest index at `dir`: shingle/hash/
@@ -165,11 +270,162 @@ object DedupIndex {
     val delta = build(docs, idCol, textCol, ix.shingleN, ix.k, ix.bands)
     delta.sigs.write.mode("append").parquet(s"$dir/sigs")
     delta.hashes.write.mode("append").parquet(s"$dir/hashes")
-    delta.shingles.write.mode("append").parquet(s"$dir/shingles")
+    delta.shingles.withColumn("pb", pb(col("id"), ix.nPb))
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("append").parquet(s"$dir/shingles")
     import spark.implicits._
-    Seq((ix.shingleN, ix.k, ix.bands, ix.nDocs + delta.nDocs))
-      .toDF("shingle_n", "k", "bands", "n_docs")
+    Seq((ix.shingleN, ix.k, ix.bands, ix.nDocs + delta.nDocs, ix.nPb))
+      .toDF("shingle_n", "k", "bands", "n_docs", "n_pb")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     delta.nDocs
+  }
+
+  /** Stage `df` as one parquet file and rename it onto the DETERMINISTIC
+    * destination — the idempotent-commit primitive [[gateEpoch]] builds
+    * on (same recipe as `VectorIndex.appendEpoch`): a replay re-stages
+    * the same rows onto the same name, so crashed commits converge. */
+  private def commitOne(spark: SparkSession, df: DataFrame, stageDir: String,
+                        dst: org.apache.hadoop.fs.Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dst.getFileSystem(conf)
+    df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected one staged file, got ${part.length}")
+    fs.mkdirs(dst.getParent)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+    fc.rename(part.head, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+  }
+
+  /** As [[commitOne]] for the pb-partitioned shingle store: stage the
+    * delta partitioned, then rename each partition's single file onto
+    * `<root>/pb=X/<tag>-0.parquet`. Destinations are deterministic given
+    * the delta, so replays converge file-by-file. */
+  private def commitShingles(spark: SparkSession, df: DataFrame,
+                             stageDir: String, dstRoot: String,
+                             tag: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dstRoot)
+    val fs = root.getFileSystem(conf)
+    df.repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(stageDir)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+      .map(_.getPath).filter(_.getName.startsWith("pb="))
+      .foreach { pdir =>
+        val part = fs.listStatus(pdir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"expected one staged file per partition, got ${part.length} in $pdir")
+        val dst = new org.apache.hadoop.fs.Path(root,
+          s"${pdir.getName}/$tag-0.parquet")
+        fs.mkdirs(dst.getParent)
+        fc.rename(part.head, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+  }
+
+  /** One exactly-once unit of the streaming dedup gate: screen the
+    * micro-batch against the index at `dir`, commit the KEPT docs (full
+    * batch columns) as `outDir/e<epochId>-0.parquet`, then index them —
+    * so later batches dedup against earlier batches, not just the build
+    * corpus. The `_epochs/<id>` marker is written last; replays of a
+    * committed epoch are marker-detected no-ops, and a crash anywhere
+    * before the marker replays onto the same deterministic file names
+    * and converges ([[commitOne]]/[[commitShingles]]). Returns false for
+    * a marker-detected replay.
+    *
+    * The kept docs are re-read from the COMMITTED output file before
+    * indexing: the probe's frames are lazy, and evaluating them after
+    * the index has been appended to would let a batch doc see its own
+    * corpus copy (its md5 now in `hashes`) and flag itself. */
+  def gateEpoch(spark: SparkSession, dir: String, epochId: Long,
+                batch: DataFrame, idCol: String, textCol: String,
+                outDir: String, threshold: Double = 0.1,
+                maxBucketSize: Int = 0): Boolean = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"_epochs/$epochId")
+    if (fs.exists(marker)) return false
+    val ix = read(spark, dir)
+    // the batch's own ids are excluded from the corpus side: on a replay
+    // of a crashed-after-append epoch the batch is already indexed, and
+    // without the exclusion it would flag itself dup and commit an EMPTY
+    // epoch file over its own previous output
+    val (flags, handles) = probeTracked(ix, batch, idCol, textCol,
+      threshold, maxBucketSize, excludeIds = Some(batch.select(col(idCol))))
+    val kept = batch.join(flags.filter(col("keep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    commitOne(spark, kept, s"$outDir/_stage/e$epochId",
+      new org.apache.hadoop.fs.Path(outDir, s"e$epochId-0.parquet"))
+    handles.foreach(_.unpersist())
+    val keptDf = spark.read
+      .parquet(s"$outDir/e$epochId-0.parquet")
+    val delta = build(keptDf, idCol, textCol, ix.shingleN, ix.k, ix.bands)
+    commitOne(spark, delta.sigs, s"$dir/_stage/e$epochId-sigs",
+      new org.apache.hadoop.fs.Path(dir, s"sigs/e$epochId-0.parquet"))
+    commitOne(spark, delta.hashes, s"$dir/_stage/e$epochId-hashes",
+      new org.apache.hadoop.fs.Path(dir, s"hashes/e$epochId-0.parquet"))
+    commitShingles(spark, delta.shingles.withColumn("pb", pb(col("id"), ix.nPb)),
+      s"$dir/_stage/e$epochId-shingles", s"$dir/shingles", s"e$epochId")
+    delta.sigs.unpersist(); delta.shingles.unpersist()
+    val n = spark.read.parquet(s"$dir/hashes").count()
+    Seq((ix.shingleN, ix.k, ix.bands, n, ix.nPb))
+      .toDF("shingle_n", "k", "bands", "n_docs", "n_pb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val out = fs.create(marker, false)
+    try out.write(s"e$epochId".getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  /** The streaming at-ingest dedup gate: every micro-batch of documents
+    * is screened against the index at `dir` and only novel docs flow to
+    * `outDir`, which then immediately count as corpus for the NEXT batch
+    * — checkpointed source offsets + the epoch marker give exactly-once
+    * gate output and index contents across restarts and replays, the
+    * same two-sided idempotency contract as `VectorIndex.maintainStream`.
+    * The prefix-hash `CurationStream.streamingIncrementalDedup` is the
+    * low-latency screen; this gate is the full-fidelity MinHash one. */
+  def gateStream(spark: SparkSession, dir: String, docStream: DataFrame,
+                 idCol: String, textCol: String, outDir: String,
+                 threshold: Double = 0.1,
+                 maxBucketSize: Int = 0): DataStreamWriter[Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, epochId: Long) =>
+      if (!batch.isEmpty) {
+        gateEpoch(spark, dir, epochId, batch, idCol, textCol, outDir,
+          threshold, maxBucketSize); ()
+      }
+    }
+
+  /** Maintenance compaction: epoch-grained appends accumulate one file
+    * per frame per epoch (and up to one per touched pb partition in the
+    * shingle store) — re-write each store at its ideal layout and swap
+    * via rename, the same maintenance cadence as `LogFormat.roll` /
+    * `VectorIndex.vacuum`. Values are untouched; readers mid-swap retry
+    * on their next [[read]] (single-maintainer window, like [[write]]). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(new org.apache.hadoop.fs.Path(dir).toUri, conf)
+    def swap(frame: String)(writeStage: (DataFrame, String) => Unit): Unit = {
+      val cur = spark.read.parquet(s"$dir/$frame")
+      writeStage(cur, s"$dir/_stage/c-$frame")
+      val live = new org.apache.hadoop.fs.Path(dir, frame)
+      val old = new org.apache.hadoop.fs.Path(dir, s"$frame.old")
+      fc.rename(live, old, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fc.rename(new org.apache.hadoop.fs.Path(s"$dir/_stage/c-$frame"), live)
+      fs.delete(old, true)
+    }
+    swap("sigs")((df, p) => df.coalesce(1).write.mode("overwrite").parquet(p))
+    swap("hashes")((df, p) => df.coalesce(1).write.mode("overwrite").parquet(p))
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val nPb = meta.getAs[Int]("n_pb")
+    swap("shingles")((df, p) => df.drop("pb")
+      .withColumn("pb", pb(col("id"), nPb)).repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(p))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
   }
 }

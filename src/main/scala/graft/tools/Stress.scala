@@ -295,11 +295,52 @@ object Stress {
       }
       require(kept == one, s"probe kept $kept != one-shot $one")
       println(s"[stress] dix kept=$kept (probe ≡ one-shot)")
+      // the streaming-gate shape: a 500-doc micro-batch. The one-shot
+      // re-signs the 40k-doc corpus for it; the probe signs 500 docs and
+      // touches ~500·B buckets.
+      val micro = dd.filter(col("doc_id") % 100 === 0)
+      t("dix one-shot on 500-doc micro-batch") {
+        Dedup.incrementalDedup(micro, corpus, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.1,
+          maxBucketSize = 100).filter(col("keep")).count()
+      }
+      t("dix probe on 500-doc micro-batch") {
+        graft.operators.DedupIndex.probe(rx, micro, "doc_id", "text",
+          threshold = 0.1, maxBucketSize = 100).filter(col("keep")).count()
+      }
       t("dix append batch (O(delta) commit)") {
         graft.operators.DedupIndex.appendToDir(spark, ddir, batch,
           "doc_id", "text")
       }
     } else println(s"[stress] dix skipped: $sf1docs not present (run MakeSf)")
+    // The scale claim itself: at 10× the corpus (sf10, 500k docs) the
+    // one-shot's cost follows the corpus while the probe's follows the
+    // batch — the sf1 numbers sit on local-mode scheduler floor (~10
+    // stages × ~0.5 s) that hides the separation.
+    val sf10docs = "/dev/shm/sf10"
+    if (new java.io.File(s"$sf10docs/documents.parquet").exists()) {
+      val dd = Tables.documents(spark, sf10docs)
+      val corpus = dd.filter(col("doc_id") % 5 =!= 0)
+      val micro = dd.filter(col("doc_id") % 1000 === 0)
+      println(s"[stress] dix10 corpus=${corpus.count()} micro=${micro.count()}")
+      val one = t("dix10 one-shot on micro-batch") {
+        Dedup.incrementalDedup(micro, corpus, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, threshold = 0.1,
+          maxBucketSize = 100).filter(col("keep")).count()
+      }
+      val ddir = java.nio.file.Files.createTempDirectory("graft-dix10").toString + "/ix"
+      t("dix10 build+write (once per corpus)") {
+        graft.operators.DedupIndex.write(
+          graft.operators.DedupIndex.build(corpus, "doc_id", "text"), ddir)
+      }
+      val rx = graft.operators.DedupIndex.read(spark, ddir)
+      val kept = t("dix10 probe on micro-batch") {
+        graft.operators.DedupIndex.probe(rx, micro, "doc_id", "text",
+          threshold = 0.1, maxBucketSize = 100).filter(col("keep")).count()
+      }
+      require(kept == one, s"probe kept $kept != one-shot $one")
+      println(s"[stress] dix10 kept=$kept (probe ≡ one-shot)")
+    } else println(s"[stress] dix10 skipped: $sf10docs not present")
     }
 
     if (want("ops")) {

@@ -74,6 +74,71 @@ class DedupIndexSpec extends SparkSpec {
       threshold = 0.1, maxBucketSize = 100)) === oneShot)
   }
 
+  test("gateStream: novel docs pass, dups drop, kept docs gate the NEXT batch; exactly-once epochs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val textA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 20).map(i => s"gamma$i").mkString(" ")
+    val corpus = Seq((1L, textA)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dix-g").toString + "/ix"
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dix-go").toString
+    DedupIndex.write(DedupIndex.build(corpus, "doc_id", "text"), dir)
+
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val query = DedupIndex.gateStream(spark, dir,
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-dix-gcp").toString)
+      .start()
+    try {
+      // wave 1: a corpus dup (dropped) + novel B (kept, becomes corpus)
+      in.addData((10L, textA), (11L, textB)); query.processAllAvailable()
+      // wave 2: near-dup of the KEPT wave-1 doc (dropped — the gate
+      // maintains itself) + novel C (kept)
+      in.addData((20L, textB.replace("beta10", "X")), (21L, textC))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val gated = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gated === Set(11L, 21L))
+    val ix = DedupIndex.read(spark, dir)
+    assert(ix.nDocs === 3L) // corpus A + kept B + kept C
+    // a replayed committed epoch is a marker-detected no-op
+    val w1 = Seq((10L, textA), (11L, textB)).toDF("doc_id", "text")
+    assert(!DedupIndex.gateEpoch(spark, dir, 0L, w1, "doc_id", "text", outDir))
+    // a commit that crashed before its marker: replay converges onto the
+    // same deterministic file names — same corpus, same gate output
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_epochs/0"), false)
+    assert(DedupIndex.gateEpoch(spark, dir, 0L, w1, "doc_id", "text", outDir))
+    assert(DedupIndex.read(spark, dir).nDocs === 3L)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(11L, 21L))
+
+    // compaction: fewer files, identical values
+    def nFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = nFiles
+    val probeBefore = canon(DedupIndex.probe(DedupIndex.read(spark, dir),
+      Seq((30L, textC), (31L, "wholly new words here twenty one two three"))
+        .toDF("doc_id", "text"), "doc_id", "text"))
+    DedupIndex.compact(spark, dir)
+    assert(nFiles < before, "compaction did not reduce the file count")
+    val after = DedupIndex.read(spark, dir)
+    assert(after.nDocs === 3L)
+    assert(canon(DedupIndex.probe(after,
+      Seq((30L, textC), (31L, "wholly new words here twenty one two three"))
+        .toDF("doc_id", "text"), "doc_id", "text")) === probeBefore)
+    assert(probeBefore.exists(t => t._1 == 30L && t._2), "gated dup not flagged post-compact fixture")
+  }
+
   test("probe semantics on fixture edges: exact, near, novel, short docs") {
     import spark.implicits._
     val textA = (1 to 20).map(i => s"alpha$i").mkString(" ")
