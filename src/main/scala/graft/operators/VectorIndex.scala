@@ -143,6 +143,57 @@ object VectorIndex {
     before - ix.nRows
   }
 
+  /** Drift repair — FAISS "retrain + re-add", expressed storage-side: when
+    * [[cellOccupancy]] shows appended mass piling into few cells, re-derive
+    * the coarse quantizer and PQ codebook from the CURRENT live corpus and
+    * re-encode every live vector, atomically replacing the index at `dir`.
+    *
+    * The compressed `codes` cannot seed a retrain (PQ is lossy), so the raw
+    * vectors come from `emb` — the embedding store the lakehouse retains
+    * anyway — restricted by a left-semi join to the ids LIVE in the index,
+    * which makes retrain delete-preserving (tombstoned ids never re-enter)
+    * and append-covering (epoch-appended ids do). The rebuild is a fresh
+    * [[build]] — a pure function of the live row set — so a post-retrain
+    * serve is bit-identical to an index built from scratch on that corpus
+    * (q110's oracle IS q100's full-training SQL; q104 pins that WITHOUT the
+    * retrain the frozen-quantizer results differ). Commit is staged-write +
+    * per-frame rename swap (the [[vacuum]] window): single maintainer,
+    * readers mid-swap retry on next [[read]]. Tombstones are cleared — the
+    * retrained corpus already excludes them, and a stale set would make
+    * [[read]] double-subtract. Returns the reloaded index.
+    *
+    * 100 TB shape: one training pass over the live corpus (sampled seeds +
+    * one Lloyd sweep, same budget as the original build) plus one map-only
+    * assign+encode pass — a rebuild costs what the initial build cost, which
+    * is why it is the PERIODIC remedy gated on the occupancy observable, not
+    * a per-append step. */
+  def retrain(spark: SparkSession, dir: String, emb: DataFrame,
+              idCol: String, vecCol: String,
+              nCells: Int = 32, m: Int = 16, ks: Int = 64,
+              trainIters: Int = 1): IvfPqIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val liveIds = read(spark, dir).codes
+      .select(col("id").as(idCol))
+    val src = emb.join(liveIds, Seq(idCol), "left_semi")
+    val fresh = build(src, idCol, vecCol, nCells, m, ks, trainIters)
+    val staged = s"$dir/_stage/retrain"
+    write(fresh, staged)
+    fresh.codes.unpersist(); fresh.centroids.unpersist()
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(new org.apache.hadoop.fs.Path(dir).toUri, conf)
+    for (part <- Seq("codes", "centroids", "codebook", "meta")) {
+      val livePath = new org.apache.hadoop.fs.Path(dir, part)
+      val oldPath  = new org.apache.hadoop.fs.Path(dir, s"$part.old")
+      fc.rename(livePath, oldPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fc.rename(new org.apache.hadoop.fs.Path(s"$staged/$part"), livePath)
+      fs.delete(oldPath, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
+    read(spark, dir)
+  }
+
   /** Reload a persisted index. The codebook collect is bounded at
     * m·ks·dSub rows (≈1k at the defaults) — the same driver-value budget
     * its training collect obeys. Tombstoned ids (see [[deleteIds]]) are
@@ -298,6 +349,34 @@ object VectorIndex {
     * degenerates toward a scan of the hot cells. */
   def cellOccupancy(ix: IvfPqIndex): DataFrame =
     ix.codes.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /** Occupancy skew — max cell count over the mean (1.0 = perfectly
+    * balanced, nCells = everything in one cell). The scalar form of
+    * [[cellOccupancy]] for gating: serving cost is proportional to the
+    * probed cells' mass, so a skew of s means worst-case probes scan ~s×
+    * their balanced share. The collect is ≤ nCells rows — a driver value,
+    * not a data scan. */
+  def occupancySkew(ix: IvfPqIndex): Double = {
+    val counts = cellOccupancy(ix).select(col("n").cast("long"))
+      .collect().map(_.getLong(0))
+    if (counts.isEmpty || ix.nRows == 0L) 1.0
+    else counts.max.toDouble * counts.length / counts.sum.toDouble
+  }
+
+  /** The observable wired to the remedy: [[retrain]] the index at `dir`
+    * only when its occupancy skew exceeds `maxSkew` (a healthy build sits
+    * near 1–3 on unstructured corpora; drifted appends push the hot cells
+    * far past that). Returns the rebuilt index, or None when the index is
+    * still healthy — the shape a nightly maintenance job calls
+    * unconditionally. */
+  def retrainIfDrifted(spark: SparkSession, dir: String, emb: DataFrame,
+                       idCol: String, vecCol: String, maxSkew: Double,
+                       nCells: Int = 32, m: Int = 16, ks: Int = 64,
+                       trainIters: Int = 1): Option[IvfPqIndex] = {
+    val skew = occupancySkew(read(spark, dir))
+    if (skew <= maxSkew) None
+    else Some(retrain(spark, dir, emb, idCol, vecCol, nCells, m, ks, trainIters))
+  }
 
   /** Serve top-k for a frame of query vectors against a (possibly reloaded)
     * index: probe the nProbe best cells per query (centroids broadcast),

@@ -886,6 +886,102 @@ object SimilarityQueries {
             "vec_id", "embedding", k = 10, nProbe = 8)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(ivfPqOracleTrainedOn(None, Some("asg.vec_id % 7 <> 0"))))
+      Some(ivfPqOracleTrainedOn(None, Some("asg.vec_id % 7 <> 0")))),
+
+    // Index RETRAIN (drift repair): build on two thirds of the corpus,
+    // append the remaining third with FROZEN quantizers (q104's drift
+    // state), then `VectorIndex.retrain` — re-derive centroids + codebook
+    // from the full live corpus and re-encode everything, swapped in
+    // atomically. Serving afterwards must be bit-identical to an index
+    // built from scratch on the full corpus, so the oracle is exactly
+    // q100's full-training SQL — while q104 (same drift state, no retrain)
+    // oracles against the base-trained SQL. The PAIR is the proof that
+    // retrain actually erases the frozen-quantizer approximation rather
+    // than shuffling files. Delete-preservation and occupancy repair are
+    // pinned in VectorIndexSpec.
+    Q("q110_index_retrain",
+      (s, d) => {
+        import graft.operators.VectorIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q110").toString + "/ivfpq"
+        val emb = Tables.embeddings(s, d)
+        VectorIndex.write(VectorIndex.build(emb.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", nCells = 32, m = 16, ks = 64, trainIters = 1), dir)
+        VectorIndex.appendToDir(s, dir,
+          emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+        val rebuilt = VectorIndex.retrain(s, dir, emb, "vec_id", "embedding",
+          nCells = 32, m = 16, ks = 64, trainIters = 1)
+        VectorIndex.topK(rebuilt, emb.filter(col("vec_id") % 40 === 0),
+            "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracle)),
+
+    // Drift OBSERVABLE: the per-cell occupancy census that gates q110's
+    // retrain, for the same drift state (trained on two thirds, full
+    // corpus assigned) and after the repair (trained on everything). Only
+    // the coarse quantizer participates — seeds are the md5-ordered top
+    // nCells of the TRAINING slice, assignment the integer-dot argmax over
+    // the full corpus — so the oracle re-derives both censuses exactly.
+    // `occupancySkew` (max/mean of the `n` column) is the scalar a nightly
+    // `retrainIfDrifted` gates on; VectorIndexSpec pins the gate itself.
+    Q("q111_cell_occupancy",
+      (s, d) => {
+        import graft.operators.VectorIndex
+        val emb = Tables.embeddings(s, d)
+        val frozen = VectorIndex.append(
+          VectorIndex.build(emb.filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", nCells = 32, m = 16, ks = 64, trainIters = 1),
+          emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+        val repaired = VectorIndex.build(emb,
+          "vec_id", "embedding", nCells = 32, m = 16, ks = 64, trainIters = 1)
+        VectorIndex.cellOccupancy(frozen)
+          .withColumn("phase", lit("frozen"))
+          .unionByName(VectorIndex.cellOccupancy(repaired)
+            .withColumn("phase", lit("retrained")))
+          .select(col("phase"), col("cell").cast("long"),
+            col("n").cast("long"))
+          .orderBy(col("phase"), col("cell"))
+      },
+      Some("""WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             tq AS (SELECT vec_id, qv FROM q WHERE vec_id % 3 <> 0),
+             ctf AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM tq
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             ctr AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             df AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM q, ctf c),
+             dr AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM q, ctr c),
+             af AS (
+               SELECT vec_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn FROM df)
+               WHERE rn = 1),
+             ar AS (
+               SELECT vec_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn FROM dr)
+               WHERE rn = 1)
+             SELECT 'frozen' AS phase, CAST(cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM af GROUP BY 2
+             UNION ALL
+             SELECT 'retrained' AS phase, CAST(cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM ar GROUP BY 2
+             ORDER BY phase, cell"""))
   )
 }

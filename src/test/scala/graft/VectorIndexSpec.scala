@@ -239,6 +239,63 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.vacuum(spark, dir) === 0L) // nothing left to reclaim
   }
 
+  test("retrain: equals a fresh build on the live corpus, preserves deletes, clears tombstones") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-r").toString + "/ix"
+    // drift state: train on two thirds, append the rest frozen
+    VectorIndex.write(VectorIndex.build(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    VectorIndex.appendToDir(spark, dir,
+      emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+    // delete some ids BEFORE the retrain — they must never re-enter
+    val doomed = emb.filter(col("vec_id") % 11 === 0).select("vec_id")
+    VectorIndex.deleteIds(spark, dir, doomed, "vec_id")
+
+    val rebuilt = VectorIndex.retrain(spark, dir, emb, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1)
+    // tombstones are gone from disk AND from the row set
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    val live = rebuilt.codes.select(col("id").cast("long")).as[Long].collect().toSet
+    assert(!live.exists(_ % 11 == 0), "a deleted id re-entered through retrain")
+    assert(rebuilt.nRows === emb.count() - doomed.count())
+
+    // bit-identical to building from scratch on the same live corpus: the
+    // frozen-quantizer drift is fully erased, not merely reshuffled
+    val scratch = VectorIndex.build(emb.filter(col("vec_id") % 11 =!= 0),
+      "vec_id", "embedding", nCells = 16, m = 16, ks = 32, trainIters = 1)
+    assert(rebuilt.codebook.map(_.map(_.toSeq).toSeq).toSeq ===
+      scratch.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    def rows(ix: graft.operators.IvfPqIndex) =
+      ix.codes.select(col("id").cast("long"), col("cell").cast("long"),
+        col("codes").cast("string")).as[(Long, Long, String)].collect().toSeq.sorted
+    assert(rows(rebuilt) === rows(scratch))
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    assert(canon(VectorIndex.topK(rebuilt, queries, "vec_id", "embedding", 5, 4)) ===
+      canon(VectorIndex.topK(scratch, queries, "vec_id", "embedding", 5, 4)))
+  }
+
+  test("occupancySkew + retrainIfDrifted: healthy index untouched, drifted index rebuilt") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-g").toString + "/ix"
+    VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    val healthySkew = VectorIndex.occupancySkew(VectorIndex.read(spark, dir))
+    assert(healthySkew >= 1.0, s"skew below the balanced floor: $healthySkew")
+
+    // gate above the current skew: a no-op — nothing on disk may change
+    val before = new java.io.File(s"$dir/codes").listFiles().map(_.getName).toSet
+    assert(VectorIndex.retrainIfDrifted(spark, dir, emb, "vec_id", "embedding",
+      maxSkew = healthySkew + 0.01, nCells = 16, m = 16, ks = 32).isEmpty)
+    assert(new java.io.File(s"$dir/codes").listFiles().map(_.getName).toSet === before)
+
+    // gate below it: the remedy fires and the result is the scratch build
+    val rebuilt = VectorIndex.retrainIfDrifted(spark, dir, emb, "vec_id", "embedding",
+      maxSkew = math.max(1.0, healthySkew - 0.01), nCells = 16, m = 16, ks = 32)
+    assert(rebuilt.isDefined, "gate failed to fire above threshold")
+    assert(rebuilt.get.nRows === emb.count())
+  }
+
   test("serving only reads codes + centroids — never the embedding table") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-vix-p").toString + "/ix"
