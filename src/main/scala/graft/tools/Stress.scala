@@ -23,7 +23,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sections =
       if (args.isEmpty)
-        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "dix", "ops", "skew", "hotbucket", "bpe", "stream")
+        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "retrain", "dix", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
     val b = SparkSession.builder().master("local[32]")
@@ -264,6 +264,79 @@ object Stress {
         emb.filter(col("vec_id") % 800 === 0),
         "vec_id", "embedding", k = 10, nProbe = 16).count()
     }
+    }
+
+    if (want("retrain")) {
+    // Drift repair at 80k vectors: train on two thirds, then append a
+    // third forming a NEW MODE — a broad cloud (per-component offsets
+    // ~±0.1, comparable to the unit-vector signal) around one direction
+    // the frozen quantizer never saw, so it funnels into a handful of
+    // cells. Retraining samples ~1/3 of its seeds inside the mode and
+    // partitions it. The mode's ANGULAR radius matters: under
+    // inner-product assignment a cluster tighter than the quantizer's
+    // angular resolution concentrates under ANY seed set (the fixed
+    // seed-to-centroid alignment term dominates the intra-cloud term —
+    // two earlier cuts of this section, jitter 1e-5 and a 1-D offset
+    // family, proved it empirically). Sub-resolution piles are [[Dedup]]'s
+    // job before indexing, not retrain's. Measures the three costs that
+    // define the maintenance contract: the gate's no-op read (cheap
+    // enough to run nightly), the retrain itself (≈ one build — the
+    // periodic remedy), and the occupancy census the repair restores.
+    import graft.operators.VectorIndex
+    val rdir = java.nio.file.Files.createTempDirectory("graft-retrain-stress")
+      .toString + "/ix"
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val seed = broadcast(emb.filter(col("vec_id") === 40)
+      .select(col("embedding").as("seedv")))
+    val delta = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+      .crossJoin(seed)
+      .select(col("vec_id"),
+        // per-(row, component) offsets — a genuine 64-dim cloud. A 1-D
+        // family (one offset direction scaled per row) degenerates the
+        // same way duplicates do: max-inner-product sends a line segment
+        // to one winner under any quantizer.
+        expr("transform(seedv, (x, i) -> CAST(x + (CAST((vec_id * (i + 7)) % 101" +
+          " AS DOUBLE) - 50.0D) * 0.002D AS FLOAT))")
+          .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = base.select("vec_id", "embedding").unionByName(delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("retrain: base build+write (53k, 283 cells)") {
+      VectorIndex.write(VectorIndex.build(base, "vec_id", "embedding",
+        nCells = 283, m = 16, ks = 64, trainIters = 1), rdir)
+    }
+    t("retrain: append clustered 27k delta") {
+      VectorIndex.appendToDir(spark, rdir, delta, "vec_id", "embedding")
+    }
+    val skewDrifted = t("retrain: gate read (occupancySkew)") {
+      VectorIndex.occupancySkew(VectorIndex.read(spark, rdir))
+    }
+    // hot-mode queries: 100 vectors inside the appended cluster
+    val hotQ = delta.filter(col("vec_id") % 810 === 0)
+    val hotBefore = t("retrain: serve 100 hot-mode queries DRIFTED") {
+      VectorIndex.topK(VectorIndex.read(spark, rdir), hotQ,
+        "vec_id", "embedding", k = 10, nProbe = 16).count()
+    }
+    val rebuilt = t("retrain: retrainIfDrifted fires (full rebuild + swap)") {
+      VectorIndex.retrainIfDrifted(spark, rdir, full, "vec_id", "embedding",
+        maxSkew = 4.0, nCells = 283, m = 16, ks = 64, trainIters = 1)
+    }
+    require(rebuilt.isDefined, s"gate must fire at skew $skewDrifted")
+    val skewAfter = VectorIndex.occupancySkew(rebuilt.get)
+    val hotAfter = t("retrain: serve 100 hot-mode queries REPAIRED") {
+      VectorIndex.topK(VectorIndex.read(spark, rdir), hotQ,
+        "vec_id", "embedding", k = 10, nProbe = 16).count()
+    }
+    require(hotBefore == hotAfter, s"row counts moved: $hotBefore vs $hotAfter")
+    require(skewAfter < skewDrifted / 4,
+      f"retrain must repair the census: $skewDrifted%.1f -> $skewAfter%.1f")
+    val noop = t("retrain: gate no-op on the healthy index") {
+      VectorIndex.retrainIfDrifted(spark, rdir, full, "vec_id", "embedding",
+        maxSkew = skewAfter + 0.5, nCells = 283, m = 16, ks = 64, trainIters = 1)
+    }
+    require(noop.isEmpty, s"healthy index must not rebuild (skew $skewAfter)")
+    println(f"[stress] retrain skew: drifted $skewDrifted%.1f -> repaired $skewAfter%.1f")
+    delta.unpersist(); full.unpersist()
     }
 
     if (want("dix")) {
