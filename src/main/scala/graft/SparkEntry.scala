@@ -8,7 +8,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     RelationalQueries.all ++ PipelineQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
-      AnalyticsQueries.all ++ TemporalQueries.all ++ CurationQueries.all
+      AnalyticsQueries.all ++ TemporalQueries.all ++ CurationQueries.all ++
+      RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval serving: BM25 lexical ranking and hybrid
+  * lexical+vector fusion — the query side of a training-data platform
+  * (eval-set mining, near-duplicate probing, "find me documents like
+  * this" curation loops). The reference stops at batch analytics; these
+  * close the loop from the corpus statistics the engine already computes
+  * (term frequencies, document frequencies, embeddings) to a ranked
+  * answer per query.
+  *
+  * Determinism discipline (oracle-grade): every additive score term is
+  * rounded ONCE to integer micros and all sums/ranks run on BIGINTs, so
+  * results are bit-identical across engines and partitionings — same
+  * fixed-point contract as TextAnalysis.lmScore / Similarity's
+  * fixed-point dot ranking.
+  *
+  * Scale design: queries are orders of magnitude smaller than the corpus
+  * and ride broadcast joins; the corpus-side postings list is restricted
+  * to query terms BEFORE any shuffle (broadcast semi-join shape), so
+  * per-query cost follows the postings of its terms, not the corpus.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: rank documents against each query by
+    * sum over distinct query terms of
+    *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene's variant —
+    * nonnegative for every df). Per-(query,term,doc) scores are rounded
+    * to integer micros, summed as BIGINT, ranked (score desc, doc_id asc).
+    *
+    * Query-term multiplicity is collapsed (DISTINCT) — the standard
+    * web-query reading where repeating a word is not double weighting.
+    *
+    * Plan shape: tf/df/doclen are one aggregation pass each over the
+    * exploded term frame; the tiny query-term frame broadcasts into the
+    * postings join so only matching postings shuffle into the final
+    * per-(query, doc) aggregation. Corpus constants (N, avgdl) ride a
+    * broadcast 1-row frame — no driver collect.
+    *
+    * Output: (query_id, rank, doc_id, n_hit_terms, score_micros, score).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = TextAnalysis.termRows(docs, idCol, textCol, 1)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doclen = tf.groupBy(col(idCol)).agg(sum("__tf").as("__dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val consts = doclen.agg(
+      count(lit(1)).cast("long").as("__n_docs"),
+      sum("__dl").cast("long").as("__tot_len"))
+    val qTerms = queries.select(
+        col(queryIdCol).as("query_id"),
+        explode(Dedup.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    // restrict df to query terms first (both tiny), THEN broadcast the
+    // (query, term, df) frame into the corpus-sized postings join
+    val qTermDf = broadcast(qTerms.join(docFreq, "term"))
+    val idf = log(lit(1.0) +
+      (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfNorm = col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__dl") / (col("__tot_len").cast("double") / col("__n_docs"))))
+    val perTerm = tf
+      .join(qTermDf, "term")
+      .join(doclen, idCol)
+      .crossJoin(broadcast(consts))
+      .select(col("query_id"), col(idCol).as("doc_id"),
+        round(idf * tfNorm * lit(1e6), 0).cast("long").as("__m"))
+    val agg = perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum("__m").as("score_micros"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_hit_terms"), col("score_micros"),
+        (col("score_micros") / lit(1e6)).as("score"))
+  }
+
+  /** Reciprocal-rank fusion of two rankers' top-k lists:
+    * rrf(d) = Σ_r 1/(rrfK + rank_r(d)), summed over the rankers that
+    * returned d, each contribution rounded once to integer micros
+    * (rrfK = 60 and k ≤ 940 keep every 10^6/(rrfK+rank) off exact-half
+    * boundaries, so the round is engine-stable). Rank-based fusion is
+    * the standard answer to fusing incomparable score scales (BM25 sums
+    * vs cosine) without tuning.
+    *
+    * Inputs are (query_id, rank, doc_id) frames — top-k lists, i.e.
+    * already tiny (k rows per query) regardless of corpus size; the
+    * fusion is a full outer join + one aggregation on k·Q-row frames.
+    *
+    * Output: (query_id, rank, doc_id, lex_rank, vec_rank, rrf_micros)
+    * — absent-ranker ranks are 0, fused rank breaks ties on doc_id.
+    */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(rrfK + k < 1000000, "micros fixed-point needs rrfK + k < 10^6")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as(s"${tag}_rank"),
+        round(lit(1e6) / (lit(rrfK) + col("rank")), 0).cast("long").as(s"__$tag"))
+    val fused = side(lex, "lex")
+      .join(side(vec, "vec"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        (coalesce(col("__lex"), lit(0L)) + coalesce(col("__vec"), lit(0L)))
+          .as("rrf_micros"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_micros"))
+  }
+
+  /** Hybrid lexical+semantic retrieval over an id-aligned corpus
+    * (documents ⋈ embeddings on the same id space): each query doc's
+    * first `nQueryTokens` tokens form the lexical query, its embedding
+    * the semantic query; BM25 top-k and exact-dot top-k are fused with
+    * [[rrfFuse]]. The canonical RAG/serving read path composed entirely
+    * from oracled parts. `docQueryPred`/`vecQueryPred` must select the
+    * SAME id set on their respective frames (e.g. `id % 101 === 0`).
+    *
+    * The lexical ranker sees the query doc itself (it legitimately tops
+    * its own lexical ranking); the vector ranker excludes self-matches
+    * (bruteForceTopK's contract) — so a query's own id carries only the
+    * lexical contribution into the fusion. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 emb: DataFrame, vecIdCol: String, vecCol: String,
+                 docQueryPred: org.apache.spark.sql.Column,
+                 vecQueryPred: org.apache.spark.sql.Column,
+                 nQueryTokens: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    val queries = docs.filter(docQueryPred).select(
+      col(idCol).as("query_id"),
+      array_join(slice(Dedup.tokens(col(textCol)), 1, nQueryTokens), " ")
+        .as("qtext"))
+    val lex = bm25TopK(docs, idCol, textCol, queries, "query_id", "qtext", k)
+    val vec = Similarity.bruteForceTopK(emb, vecIdCol, vecCol, vecQueryPred, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    rrfFuse(lex, vec, k, rrfK)
+  }
+}

@@ -886,4 +886,77 @@ object TextAnalysis {
     if (guaranteed) top
     else exactTopK(rows) // exact on any data; only the shuffle got wider
   }
+
+  /** Per-group corpus drift: KL(P_group ‖ P_corpus) over the corpus
+    * unigram vocabulary, add-one smoothed on both sides —
+    *   p_g(t) = (gf+1)/(T_g+V),  q(t) = (cf+1)/(T+V),
+    *   KL = Σ_{t∈V} p_g(t)·(ln p_g(t) − ln q(t)).
+    * The distribution-shift observable for a training mix: a source (or
+    * an ingest day) whose unigram distribution drifts from the corpus
+    * shows up as a KL jump long before downstream eval metrics move —
+    * the text-side analogue of VectorIndex.cellOccupancy.
+    *
+    * Scale + determinism design: the Σ over the full vocabulary is split
+    * into present terms (gf > 0 — one per-(group,term) row, already
+    * materialized by the count aggregation) and ABSENT terms, whose
+    * p_g is the constant 1/(T_g+V): their Σ(ln p0 − ln q(t)) collapses to
+    * nAbsent·ln p0 − (Σ_V ln q − Σ_present ln q) using one corpus-wide
+    * Σ ln q — so the operator is O(corpus terms + per-group present
+    * terms), never V×G. All ln's are rounded once to integer micros and
+    * every cross-partition sum is BIGINT (lnScore discipline), the two
+    * closed-form absent/present contributions are each rounded once to
+    * integer picos — bit-identical across engines and partitionings.
+    *
+    * Output: (group, n_tokens, n_terms, kl_picos, kl) per group.
+    */
+  def distributionDrift(docs: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val rows = docs.select(col(groupCol).as("grp"),
+        explode(Dedup.tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cf = rows.groupBy(col("term")).agg(count(lit(1)).as("__cf"))
+    // corpus constants + Σ_V ln q (micros) in one pass over the vocab;
+    // ln q needs T and V, so fold the totals in via a broadcast 1-row frame
+    val tot = cf.agg(sum("__cf").cast("long").as("__t"),
+      count(lit(1)).cast("long").as("__v"))
+    val lnq = cf.crossJoin(broadcast(tot))
+      .select(col("term"), col("__cf"), col("__t"), col("__v"),
+        round(log((col("__cf") + lit(1.0)) / (col("__t") + col("__v")))
+          * lit(1e6), 0).cast("long").as("__lnq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lnqTot = lnq.agg(sum("__lnq").as("__lnq_all"),
+      first(col("__t")).as("__t"), first(col("__v")).as("__v"))
+    val gf = rows.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("__gf"))
+    val gTot = gf.groupBy(col("grp")).agg(
+      sum("__gf").cast("long").as("__tg"),
+      count(lit(1)).cast("long").as("__ng"))
+    // present terms: one rounded pico contribution per (group, term)
+    val present = gf
+      .join(lnq.select(col("term"), col("__lnq")), "term")
+      .join(broadcast(gTot), "grp")
+      .crossJoin(broadcast(tot))
+      .select(col("grp"),
+        round(((col("__gf") + lit(1.0)) / (col("__tg") + col("__v"))) *
+          (round(log((col("__gf") + lit(1.0)) / (col("__tg") + col("__v")))
+            * lit(1e6), 0) - col("__lnq")) * lit(1e6), 0)
+          .cast("long").as("__picos"),
+        col("__lnq"))
+    val presentAgg = present.groupBy(col("grp")).agg(
+      sum("__picos").as("__present_picos"),
+      sum("__lnq").as("__lnq_present"))
+    // absent terms: closed form on corpus-wide integers, rounded once
+    presentAgg
+      .join(broadcast(gTot), "grp")
+      .crossJoin(broadcast(lnqTot))
+      .select(col("grp").as(groupCol),
+        col("__tg").as("n_tokens"), col("__ng").as("n_terms"),
+        (col("__present_picos") +
+          round((lit(1.0) / (col("__tg") + col("__v"))) *
+            ((col("__v") - col("__ng")) *
+              round(log(lit(1.0) / (col("__tg") + col("__v"))) * lit(1e6), 0)
+              - (col("__lnq_all") - col("__lnq_present"))) * lit(1e6), 0)
+            .cast("long"))
+          .as("kl_picos"))
+      .withColumn("kl", col("kl_picos") / lit(1e12))
+  }
 }

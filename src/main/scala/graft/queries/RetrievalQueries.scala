@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Retrieval, TextAnalysis}
+
+/** Corpus serving + observability: BM25 lexical retrieval, hybrid
+  * lexical+vector RRF fusion, and unigram-distribution drift — the read
+  * path and the monitoring a curation platform runs over the corpus the
+  * batch side produces. All scores ride the integer fixed-point
+  * discipline (one round per additive term, BIGINT sums/ranks), so the
+  * DuckDB oracles re-derive them bit-for-bit.
+  */
+object RetrievalQueries {
+
+  /** Shared BM25 CTE chain up to `lex(query_id, doc_id, rnk,
+    * score_micros, n_hit_terms)`: every 101st document's first 4 tokens
+    * query the corpus; Lucene-variant idf, k1=1.2, b=0.75, per-term
+    * scores rounded once to integer micros (matches Retrieval.bm25TopK's
+    * evaluation order expression for expression). */
+  private val bm25Ctes =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |tr AS (SELECT doc_id, unnest(w) AS term FROM toks),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tr GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |             CAST(SUM(dl) AS BIGINT) AS tot_len FROM dl),
+      |qt AS (
+      |  SELECT DISTINCT query_id, term FROM (
+      |    SELECT doc_id AS query_id, unnest(list_slice(w, 1, 4)) AS term
+      |    FROM toks WHERE doc_id % 101 = 0)),
+      |per AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    CAST(round(
+      |      ln(1 + (c.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+      |      (tf.tf * (1.2 + 1.0) /
+      |        (tf.tf + 1.2 * ((1.0 - 0.75) +
+      |          0.75 * dl.dl / (CAST(c.tot_len AS DOUBLE) / c.n_docs)))) *
+      |      1000000, 0) AS BIGINT) AS m
+      |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id, c),
+      |lagg AS (
+      |  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+      |         CAST(SUM(m) AS BIGINT) AS score_micros
+      |  FROM per GROUP BY query_id, doc_id),
+      |lex AS (
+      |  SELECT query_id, doc_id, n_hit_terms, score_micros,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY score_micros DESC, doc_id) AS rnk
+      |  FROM lagg)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // BM25 top-10 lexical retrieval: every 101st doc's first-4-token
+    // query against the whole corpus. Broadcast query terms restrict the
+    // postings join before any shuffle — per-query cost follows the
+    // matched postings, not the corpus.
+    Q("q112_bm25_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val queries = docs.filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
+        Retrieval.bm25TopK(docs, "doc_id", "text",
+            queries, "query_id", "qtext", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $bm25Ctes
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+               n_hit_terms, score_micros,
+               CAST(score_micros AS DOUBLE) / 1000000 AS score
+             FROM lex WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    // Hybrid retrieval: BM25 top-10 ⊕ exact-dot top-10 (the id-aligned
+    // embedding of the same query doc), reciprocal-rank fused at
+    // rrfK=60. Rank-based fusion needs no score calibration, and both
+    // input lists are k-rows-per-query tiny regardless of corpus size.
+    Q("q113_hybrid_rrf",
+      (s, d) => Retrieval.hybridTopK(
+          Tables.documents(s, d), "doc_id", "text",
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          docQueryPred = col("doc_id") % 101 === 0,
+          vecQueryPred = col("vec_id") % 101 === 0,
+          nQueryTokens = 4, k = 10)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $bm25Ctes,
+             vq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 0),
+             vp AS (
+               SELECT vq.vec_id AS query_id, e.vec_id AS doc_id,
+                 SUM(CAST(floor(vq.embedding[i] * 1048576.0) AS BIGINT)
+                   * CAST(floor(e.embedding[i] * 1048576.0) AS BIGINT)) AS fp
+               FROM vq, embeddings e, range(1, 65) t(i)
+               WHERE e.vec_id <> vq.vec_id
+               GROUP BY 1, 2),
+             vec AS (
+               SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY fp DESC, doc_id) AS rnk
+               FROM vp),
+             l10 AS (SELECT query_id, doc_id, rnk FROM lex WHERE rnk <= 10),
+             v10 AS (SELECT query_id, doc_id, rnk FROM vec WHERE rnk <= 10),
+             f AS (
+               SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(l.rnk, 0) AS BIGINT) AS lex_rank,
+                 CAST(COALESCE(v.rnk, 0) AS BIGINT) AS vec_rank,
+                 COALESCE(CAST(round(1000000.0 / (60 + l.rnk), 0) AS BIGINT), 0) +
+                 COALESCE(CAST(round(1000000.0 / (60 + v.rnk), 0) AS BIGINT), 0)
+                   AS rrf_micros
+               FROM l10 l FULL OUTER JOIN v10 v
+                 ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+             fr AS (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micros DESC, doc_id) AS rnk
+               FROM f)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+               lex_rank, vec_rank, CAST(rrf_micros AS BIGINT) AS rrf_micros
+             FROM fr WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    // Per-source unigram-distribution drift: add-one-smoothed
+    // KL(source ‖ corpus) over the corpus vocabulary. The oracle
+    // re-derives the same present/absent decomposition the operator
+    // uses (closed-form absent side on corpus-wide integer sums), so the
+    // comparison is exact-integer end to end.
+    Q("q114_corpus_drift",
+      (s, d) => TextAnalysis.distributionDrift(
+          Tables.documents(s, d), "source", "text")
+        .orderBy(col("source")),
+      Some("""WITH rws AS (
+               SELECT source AS grp,
+                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+               FROM documents),
+             cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+                    FROM rws GROUP BY term),
+             tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t,
+                            CAST(COUNT(*) AS BIGINT) AS v FROM cf),
+             lnq AS (
+               SELECT term,
+                 CAST(round(ln((cf + 1.0) / (t + v)) * 1000000, 0) AS BIGINT) AS lnq
+               FROM cf, tot),
+             lnqtot AS (SELECT CAST(SUM(lnq) AS BIGINT) AS lnq_all FROM lnq),
+             gf AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS gf
+                    FROM rws GROUP BY grp, term),
+             gtot AS (SELECT grp, CAST(SUM(gf) AS BIGINT) AS tg,
+                             CAST(COUNT(*) AS BIGINT) AS ng
+                      FROM gf GROUP BY grp),
+             present AS (
+               SELECT g.grp,
+                 CAST(round(
+                   ((g.gf + 1.0) / (gt.tg + tot.v)) *
+                   (CAST(round(ln((g.gf + 1.0) / (gt.tg + tot.v)) * 1000000, 0)
+                      AS BIGINT) - l.lnq) * 1000000, 0) AS BIGINT) AS picos,
+                 l.lnq AS lnq
+               FROM gf g JOIN lnq l USING (term)
+               JOIN gtot gt ON gt.grp = g.grp, tot),
+             pagg AS (
+               SELECT grp, CAST(SUM(picos) AS BIGINT) AS present_picos,
+                      CAST(SUM(lnq) AS BIGINT) AS lnq_present
+               FROM present GROUP BY grp)
+             SELECT gt.grp AS source, gt.tg AS n_tokens, gt.ng AS n_terms,
+               CAST(pagg.present_picos +
+                 CAST(round(
+                   (1.0 / (gt.tg + tot.v)) *
+                   ((tot.v - gt.ng) *
+                      CAST(round(ln(1.0 / (gt.tg + tot.v)) * 1000000, 0) AS BIGINT)
+                    - (lt.lnq_all - pagg.lnq_present)) * 1000000, 0) AS BIGINT)
+                 AS BIGINT) AS kl_picos,
+               CAST(pagg.present_picos +
+                 CAST(round(
+                   (1.0 / (gt.tg + tot.v)) *
+                   ((tot.v - gt.ng) *
+                      CAST(round(ln(1.0 / (gt.tg + tot.v)) * 1000000, 0) AS BIGINT)
+                    - (lt.lnq_all - pagg.lnq_present)) * 1000000, 0) AS BIGINT)
+                 AS DOUBLE) / 1000000000000 AS kl
+             FROM pagg
+             JOIN gtot gt ON gt.grp = pagg.grp, tot, lnqtot lt
+             ORDER BY source""")),
+  )
+}
