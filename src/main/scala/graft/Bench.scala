@@ -70,8 +70,10 @@ object Bench {
     *   - values render at ADAPTIVE precision ([[fmtAdaptive]]): centisecond
     *     below 10 s, ≈1% relative above;
     *   - if the rendered line still exceeds the capture budget, error text
-    *     shrinks FIRST (167 → 47 → 12 chars, then entry count), and only
-    *     then does precision degrade — an errored round must not cost the
+    *     shrinks FIRST (167 → 47 → 12 chars, then entry count), then cpu
+    *     precision, then the per-query cpu element entirely (entries
+    *     degrade to `"qNN":[wall]`; cpu_total survives), and only then
+    *     does WALL precision degrade — an errored round must not cost the
     *     surviving walls their comparability (never drops a query).
     * The budget is checked in UTF-8 BYTES (what the driver's tail capture
     * actually counts), not UTF-16 chars; jsonSafe is ASCII-only so the two
@@ -87,11 +89,17 @@ object Bench {
     val keys = shortKeys(results.map(_.name))
     val (runMs, cpuNs, gcMs, shufNs) = agg
     val sorted = results.sortBy(r => (-r.wall, r.name))
+    // cpuDecimals = -1 drops the per-query cpu element entirely (entries
+    // become "qNN":[wall]) — the registry outgrew the budget's capacity
+    // for two numbers per query at 118 entries, and the triage signal
+    // cpu carries (stall vs thrash) degrades gracefully to the one
+    // cpu_total that always survives
     def render(decimals: Int, cpuDecimals: Int, errCap: Int, errMax: Int,
                keepCold: Boolean): String = {
       def f(d: Double) = fmtAdaptive(d, decimals)
       def fc(d: Double) = fmtAdaptive(d, cpuDecimals)
-      val qs = sorted.map(r => "\"" + keys(r.name) + "\":[" + f(r.wall) + "," + fc(r.cpu) + "]")
+      val qs = sorted.map(r => "\"" + keys(r.name) + "\":[" + f(r.wall) +
+          (if (cpuDecimals < 0) "" else "," + fc(r.cpu)) + "]")
         .mkString("{", ",", "}")
       // slowest-first like everything else; beyond errMax the entries drop
       // (the true count survives in "failed", the full texts on stderr)
@@ -121,10 +129,12 @@ object Bench {
       (2, 2, 167, Int.MaxValue, true), (2, 2, 47, Int.MaxValue, true),
       (2, 2, 12, Int.MaxValue, true), (2, 2, 12, 10, true), (2, 2, 12, 0, true),
       (2, 1, 12, 0, true), (2, 0, 12, 0, true), (2, 0, 12, 0, false),
-      (1, 1, 12, 0, true), (1, 0, 12, 0, false), (0, 0, 12, 0, false))
+      (2, -1, 12, 10, false), (2, -1, 12, 0, false),
+      (1, 1, 12, 0, true), (1, 0, 12, 0, false), (1, -1, 12, 0, false),
+      (0, 0, 12, 0, false), (0, -1, 12, 0, false))
     attempts.iterator.map { case (d, cd, e, m, kc) => render(d, cd, e, m, kc) }
       .find(utf8Len(_) <= captureBudgetBytes)
-      .getOrElse(render(0, 0, 12, 0, keepCold = false))
+      .getOrElse(render(0, -1, 12, 0, keepCold = false))
   }
 
   /** Self-heal target list: which queries deserve ONE more rep at the END

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** A built BM25 postings index: everything query-time retrieval needs
+  * WITHOUT touching corpus text again.
+  *
+  *  - `postings` — (term, id, tf): one row per distinct (document, term),
+  *    hash-partitioned on the term at write so a query batch's read
+  *    prunes to its terms' partitions.
+  *  - `doclen`   — (id, dl): the per-document token count BM25's length
+  *    normalization needs; the corpus-row-count frame (two longs/doc).
+  *  - `nDocs`/`totLen` — the corpus constants (documents with ≥1 token,
+  *    total token count), persisted in meta and maintained additively on
+  *    append — integer arithmetic, so the maintained values are EXACTLY
+  *    the rebuilt ones.
+  *
+  * The tokenizer ([[Dedup.tokens]]) is part of the artifact's contract:
+  * a query or append that tokenized differently would compute df/tf
+  * against the wrong term space. It takes no parameters here, so meta
+  * carries only the partition count.
+  */
+final case class Bm25Index(
+    postings: DataFrame,
+    doclen: DataFrame,
+    nDocs: Long,
+    totLen: Long,
+    nPb: Int = LexIndex.DefaultNPb)
+
+/** Index lifecycle for serving lexical retrieval: build the postings
+  * once over the curated corpus, persist, then answer each query batch
+  * touching only the matched terms' postings — the production form of
+  * [[Retrieval.bm25TopK]], which re-tokenizes the ENTIRE corpus per
+  * call. (Same lifecycle split as [[DedupIndex]] vs the one-shot dedup
+  * chain, and the standard inverted-index workflow, e.g. Lucene's
+  * index-then-search.)
+  *
+  * 100 TB design: a query batch reads (a) its terms' postings partitions
+  * — the pb = hash(term) layout turns the term restriction into a
+  * partition-pruned scan, so the read follows matched postings, not the
+  * corpus — and (b) the doclen frame for the length normalization of
+  * exactly the docs that matched (a semi-restricted shuffle join).
+  * Document frequencies are NOT persisted: df for a queried term is a
+  * count over that term's (already restricted) postings, so appends
+  * never have to rewrite a global df table — the classic df-staleness
+  * problem of incremental inverted indexes dissolves by deriving df at
+  * query time from data that is already in hand. Appending a new corpus
+  * slice is map-only over the delta (new parquet files, no rewrite, meta
+  * constants bumped additively) — the O(delta)-commit discipline of
+  * [[DedupIndex.appendToDir]].
+  *
+  * The whole chain is deterministic integer/double math shared with
+  * [[Retrieval.bm25TopK]] (the scoring tail IS the same expression tree,
+  * [[Retrieval.bm25Rank]]), so build → write → read → query is
+  * bit-identical to the one-shot operator: q116's oracle IS q112's SQL,
+  * re-derived through the persisted hop (and q117's through the append
+  * hop).
+  */
+object LexIndex {
+
+  /** Postings partition count: pb = pmod(hash(term), nPb). A query
+    * batch's distinct terms map to ≤ min(#terms, nPb) partitions and the
+    * scan prunes to those files. Like [[DedupIndex.DefaultNPb]]: size so
+    * corpus/nPb partitions are a few hundred MB at the target scale —
+    * pruning bites once nPb exceeds a batch's distinct-term count. */
+  val DefaultNPb = 64
+
+  private def pb(termc: org.apache.spark.sql.Column, nPb: Int) =
+    pmod(hash(termc), lit(nPb))
+
+  /** Tokenize and count the corpus. One wide shuffle (the (id, term)
+    * aggregation), paid once here instead of per query batch. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            nPb: Int = DefaultNPb): Bm25Index = {
+    val tf = TextAnalysis.termRows(docs, idCol, textCol, 1)
+      .groupBy(col(idCol).as("id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val doclen = tf.groupBy(col("id")).agg(sum("tf").cast("long").as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // nDocs counts docs with ≥1 token — bm25TopK's N (an all-whitespace
+    // doc has no postings and can never score; excluding it from N keeps
+    // the two paths' idf identical)
+    val Array(n, tot) = doclen
+      .agg(count(lit(1)).cast("long"), coalesce(sum("dl"), lit(0L)).cast("long"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    Bm25Index(tf.select(col("term"), col("id"), col("tf")), doclen, n, tot, nPb)
+  }
+
+  /** Persist: two parquet frames + one meta row. Postings repartitioned
+    * on pb before partitionBy — without it every write task emits a file
+    * into every partition dir (tasks × nPb small files; the DedupIndex
+    * shingle store measured that 3× slower to write and probe). */
+  def write(ix: Bm25Index, dir: String): Unit = {
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    ix.postings.withColumn("pb", pb(col("term"), ix.nPb))
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(s"$dir/postings")
+    ix.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    Seq((ix.nDocs, ix.totLen, ix.nPb))
+      .toDF("n_docs", "tot_len", "n_pb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def read(spark: SparkSession, dir: String): Bm25Index = {
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    Bm25Index(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclen"),
+      meta.getAs[Long]("n_docs"), meta.getAs[Long]("tot_len"),
+      meta.getAs[Int]("n_pb"))
+  }
+
+  /** Rank the indexed corpus against each query — bit-for-bit
+    * [[Retrieval.bm25TopK]]'s output (same scoring tail,
+    * [[Retrieval.bm25Rank]]), at query-batch cost:
+    *
+    *  1. the batch's distinct terms' pb values are collected (a driver
+    *     list bounded at nPb ints) and pushed as a static partition
+    *     filter, so the postings READ prunes to the terms' partitions;
+    *  2. the broadcast term frame restricts the surviving postings
+    *     before any shuffle — from here cost follows matched postings;
+    *  3. df per term = count over its restricted postings (all of that
+    *     term's rows are in hand by construction), so no df table exists
+    *     to go stale under appends;
+    *  4. corpus constants come from meta as literals — constant-folded
+    *     into the same doubles the one-shot path computes.
+    */
+  def query(ix: Bm25Index, queries: DataFrame,
+            queryIdCol: String, queryTextCol: String, k: Int,
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries.select(
+        col(queryIdCol).as("query_id"),
+        explode(Dedup.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pruned =
+      if (ix.postings.columns.contains("pb")) {
+        val pbs = qTerms.select(pb(col("term"), ix.nPb).as("pb")).distinct()
+          .collect().map(_.getAs[Int]("pb")).toSeq
+        ix.postings.filter(col("pb").isin(pbs: _*))
+      } else ix.postings
+    val matched = pruned
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .select(col("term"), col("id").as("doc_id"), col("tf").as("__tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docFreq = matched.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val qTermDf = broadcast(qTerms.join(docFreq, "term"))
+    Retrieval.bm25Rank(matched
+      .join(qTermDf, "term")
+      .join(ix.doclen.select(col("id").as("doc_id"), col("dl").as("__dl")), "doc_id")
+      .withColumn("__n_docs", lit(ix.nDocs))
+      .withColumn("__tot_len", lit(ix.totLen)), k, k1, b)
+  }
+
+  /** Index a delta corpus slice into the at-rest index at `dir`:
+    * tokenize/count ONLY the delta, commit new parquet files under the
+    * two frames, bump the meta constants additively — O(delta) compute,
+    * no existing file rewritten. Ids must be new (the corpus append
+    * contract); appending is exactly equivalent to having built over the
+    * union because per-doc postings/doclen rows are independent of every
+    * other document, and df/N/avgdl are derived (query time / additive
+    * integers), never frozen. Returns docs appended. */
+  def appendToDir(spark: SparkSession, dir: String, docs: DataFrame,
+                  idCol: String, textCol: String): Long = {
+    val ix = read(spark, dir)
+    val delta = build(docs, idCol, textCol, ix.nPb)
+    delta.postings.withColumn("pb", pb(col("term"), ix.nPb))
+      .repartition(col("pb"))
+      .write.partitionBy("pb").mode("append").parquet(s"$dir/postings")
+    delta.doclen.write.mode("append").parquet(s"$dir/doclen")
+    import spark.implicits._
+    Seq((ix.nDocs + delta.nDocs, ix.totLen + delta.totLen, ix.nPb))
+      .toDF("n_docs", "tot_len", "n_pb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    delta.nDocs
+  }
+}

@@ -61,17 +61,28 @@ object Retrieval {
     // restrict df to query terms first (both tiny), THEN broadcast the
     // (query, term, df) frame into the corpus-sized postings join
     val qTermDf = broadcast(qTerms.join(docFreq, "term"))
+    bm25Rank(tf
+      .join(qTermDf, "term")
+      .join(doclen, idCol)
+      .crossJoin(broadcast(consts))
+      .withColumnRenamed(idCol, "doc_id"), k, k1, b)
+  }
+
+  /** The BM25 scoring/ranking tail shared by [[bm25TopK]] and
+    * `LexIndex.query` — bit-identity between the one-shot and the
+    * persisted-index paths holds by CONSTRUCTION because both feed this
+    * one expression tree. Input frame columns: query_id, doc_id, __tf,
+    * __dl, __df, __n_docs, __tot_len (the constants as columns — a
+    * broadcast 1-row frame or literals, caller's choice). */
+  private[operators] def bm25Rank(perTermIn: DataFrame, k: Int,
+                                  k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val tfNorm = col("__tf") * lit(k1 + 1.0) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("__dl") / (col("__tot_len").cast("double") / col("__n_docs"))))
-    val perTerm = tf
-      .join(qTermDf, "term")
-      .join(doclen, idCol)
-      .crossJoin(broadcast(consts))
-      .select(col("query_id"), col(idCol).as("doc_id"),
-        round(idf * tfNorm * lit(1e6), 0).cast("long").as("__m"))
+    val perTerm = perTermIn.select(col("query_id"), col("doc_id"),
+      round(idf * tfNorm * lit(1e6), 0).cast("long").as("__m"))
     val agg = perTerm.groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_hit_terms"), sum("__m").as("score_micros"))
     val w = Window.partitionBy(col("query_id"))

@@ -64,14 +64,24 @@ object Similarity {
     * against every candidate (partitioned, huge). Deterministic tiebreak on
     * neighbor id. Self-matches excluded. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, k: Int): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
-    val queries = emb.filter(queryPred)
+                     queryPred: Column, k: Int): DataFrame =
+    bruteForceTopKFrames(emb, emb.filter(queryPred), idCol, vecCol, k,
+      emb.count())
+
+  /** [[bruteForceTopK]] with the corpus and query frames decoupled — the
+    * exact path of [[filteredTopK]], where the candidate corpus is a
+    * filtered subset but queries come from the full id space. `nTotal`
+    * is the candidate count for the refine's sampled bound. */
+  private[operators] def bruteForceTopKFrames(
+      corpus: DataFrame, queryRows: DataFrame, idCol: String,
+      vecCol: String, k: Int, nTotal: Long): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val queries = queryRows
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qv"))
     // spread: the streamed side of the broadcast join carries O(N·Q) dot
     // work; inheriting a single-split scan's partitioning would run it on
     // one core (the round-7 sf1 sweep measured exactly that — cpu ≈ wall)
-    val cands = spread(emb.select(col(idCol).as("neighbor_id"),
+    val cands = spread(corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("__cv")))
     // rank on the NEGATED fixed-point dot: |fp| ≤ 2^46 so fp/2^40 is an
     // exact double — the (-fp asc, id) and (dot desc, id) orders agree
@@ -82,7 +92,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adist",
         -GraftFunctions.longArrayDot(col("__qv"), col("__cv")))
-    refinedTopK(scored, k, emb.count())
+    refinedTopK(scored, k, nTotal)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (-col("adist") / lit(1099511627776.0d)).as("dot"))
   }
@@ -511,7 +521,65 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              trainIters: Int = 0): DataFrame = {
+              trainIters: Int = 0): DataFrame =
+    ivfTopKImpl(emb, idCol, vecCol, queryPred, k, nCells, nProbe,
+      trainIters, allowed = None)
+
+  /** Filtered IVF top-k: [[ivfTopK]] restricted to neighbors whose id is
+    * in `allowed` (a one-column id frame — e.g. "label IN (2,3,5)" or a
+    * metadata semi-join from the documents table). The filter engages
+    * INSIDE the probed cells — candidates outside the allowed set are
+    * dropped before any dot is scored — and the INDEX is untouched: the
+    * quantizer and cell assignment cover the full corpus, because a
+    * persisted index serves every filter, not one (and queries need not
+    * satisfy the filter themselves).
+    *
+    * This is the in-filter strategy of filtered vector search: cost is
+    * (N·nProbe/nCells)·selectivity score evaluations, recall conditional
+    * on probed cells is EXACT over the allowed set (no post-filter
+    * under-fill amplification — a post-filter on an unfiltered top-k
+    * would need k/selectivity ranks to survive). A query whose probed
+    * cells hold fewer than k allowed vectors legitimately returns fewer
+    * rows. For highly selective filters, brute force over the survivors
+    * is cheaper and exact — [[filteredTopK]] makes that call. */
+  def ivfTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, allowed: DataFrame, k: Int,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      trainIters: Int = 0): DataFrame =
+    ivfTopKImpl(emb, idCol, vecCol, queryPred, k, nCells, nProbe,
+      trainIters, allowed = Some(allowed))
+
+  /** Adaptive filtered top-k: count the allowed set once (a one-column
+    * aggregate over the id frame — metadata-scan cheap), then brute-force
+    * the survivors exactly when they number ≤ `bruteCutoff`, else serve
+    * via [[ivfTopKFiltered]]. The standard two-regime plan of filtered
+    * vector search: a selective filter ("this source, last week") kills
+    * the value of the index — scoring the survivors directly is exact and
+    * cheaper than probing cells that are mostly filtered out — while a
+    * broad filter ("everything but PII-flagged") keeps the index's
+    * N/nCells advantage. The cutoff is a per-deployment constant (how
+    * many exact dots one executor wave absorbs), not data-derived. */
+  def filteredTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, allowed: DataFrame, k: Int,
+                   nCells: Int = 16, nProbe: Int = 4,
+                   trainIters: Int = 0,
+                   bruteCutoff: Long = 65536): DataFrame = {
+    val ids = allowed.select(col(allowed.columns.head).as(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ids.count()
+    if (n <= bruteCutoff)
+      bruteForceTopKFrames(emb.join(ids, Seq(idCol), "left_semi"),
+        emb.filter(queryPred), idCol, vecCol, k, n)
+    else
+      ivfTopKFiltered(emb, idCol, vecCol, queryPred, ids, k,
+        nCells, nProbe, trainIters)
+  }
+
+  private def ivfTopKImpl(emb: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, k: Int,
+                          nCells: Int, nProbe: Int,
+                          trainIters: Int,
+                          allowed: Option[DataFrame]): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
     // one centroid set shared by index assignment AND query probing — a
@@ -541,7 +609,18 @@ object Similarity {
     // partition). probedCells is queries×nProbe rows of two longs —
     // broadcastable by contract (the probe set is the small side of an IVF
     // lookup). The query vector then attaches by broadcast as before.
-    val scored = index
+    // the allowed-set semi join restricts candidates BEFORE any scoring;
+    // assignment/probing above ran on the full corpus (the index serves
+    // every filter). Persisted when filtered: the frame feeds both the
+    // scoring join and the refine's candidate count.
+    val candIndex = allowed match {
+      case Some(a) =>
+        val ids = a.select(col(a.columns.head).as(idCol)).distinct()
+        index.join(ids, Seq(idCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => index
+    }
+    val scored = candIndex
       .select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"), col("cell"))
       .join(broadcast(probedCells), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -549,10 +628,11 @@ object Similarity {
       .withColumn("adist",
         -GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")))
     // negated-fp ranking + sampled-bound refine (see bruteForceTopK note);
-    // candidate estimate = N·nProbe/nCells, and index is already persisted
-    // so the count is a cache scan
+    // candidate estimate = N_allowed·nProbe/nCells, and the frame is
+    // persisted (index itself, or the filtered sliver) so the count is a
+    // cache scan
     refinedTopK(scored, k,
-        math.max(1L, index.count() * nProbe / math.max(nCells, 1)))
+        math.max(1L, candIndex.count() * nProbe / math.max(nCells, 1)))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (-col("adist") / lit(1099511627776.0d)).as("dot"))
   }

@@ -179,5 +179,60 @@ object RetrievalQueries {
              FROM pagg
              JOIN gtot gt ON gt.grp = pagg.grp, tot, lnqtot lt
              ORDER BY source""")),
+
+    // Persisted BM25 INDEX: postings/doclen built and written once, then
+    // q112's queries are answered from the reloaded index at
+    // query-batch cost (partition-pruned postings read, query-time df).
+    // LexIndex.query must be bit-identical to the one-shot bm25TopK —
+    // the oracle is q112's SQL: the persistence hop is required to be
+    // value-neutral.
+    Q("q116_lex_index",
+      (s, d) => {
+        import graft.operators.LexIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q116").toString + "/lix"
+        val docs = Tables.documents(s, d)
+        LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
+        val queries = docs.filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
+        LexIndex.query(LexIndex.read(s, dir), queries,
+            "query_id", "qtext", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $bm25Ctes
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+               n_hit_terms, score_micros,
+               CAST(score_micros AS DOUBLE) / 1000000 AS score
+             FROM lex WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    // Index APPEND then query: the index is built WITHOUT the doc_id %
+    // 5 = 1 slice, which is then appended at rest (new parquet files
+    // only, meta constants bumped additively). Oracle is again q112's
+    // full-corpus SQL — a lost delta file, a stale df (df is derived at
+    // query time precisely so appends can't stale it), or a drifted
+    // N/totLen would all break the hash.
+    Q("q117_lex_index_append",
+      (s, d) => {
+        import graft.operators.LexIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q117").toString + "/lix"
+        val docs = Tables.documents(s, d)
+        LexIndex.write(LexIndex.build(
+          docs.filter(col("doc_id") % 5 =!= 1), "doc_id", "text"), dir)
+        LexIndex.appendToDir(s, dir,
+          docs.filter(col("doc_id") % 5 === 1), "doc_id", "text")
+        val queries = docs.filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
+        LexIndex.query(LexIndex.read(s, dir), queries,
+            "query_id", "qtext", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $bm25Ctes
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+               n_hit_terms, score_micros,
+               CAST(score_micros AS DOUBLE) / 1000000 AS score
+             FROM lex WHERE rnk <= 10 ORDER BY query_id, rank""")),
   )
 }

@@ -982,6 +982,66 @@ object SimilarityQueries {
              SELECT 'retrained' AS phase, CAST(cell AS BIGINT) AS cell,
                CAST(COUNT(*) AS BIGINT) AS n
              FROM ar GROUP BY 2
-             ORDER BY phase, cell"""))
+             ORDER BY phase, cell""")),
+
+    // Filtered vector search, in-filter strategy: q35's IVF index and
+    // probes, but candidates restricted to an allowed id set (label ∈
+    // {2,3,5}) INSIDE the probed cells, before any dot is scored. The
+    // index itself is untouched — one persisted index serves every
+    // filter — so the oracle is q35's SQL with one extra semi-join on
+    // the candidate side. Queries need not satisfy the filter (vec_id %
+    // 40 spans all labels). The adaptive exact-vs-IVF routing around
+    // this operator (Similarity.filteredTopK) is covered in
+    // SimilaritySpec, where both regimes are asserted against exact
+    // filtered brute force.
+    Q("q115_filtered_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKFiltered(emb, "vec_id", "embedding",
+            col("vec_id") % 40 === 0,
+            emb.filter(col("label").isin(2, 3, 5)).select(col("vec_id")),
+            k = 10, nCells = 32, nProbe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (
+               SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             ct AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM q
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             dall AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM q, ct c),
+             asg AS (
+               SELECT vec_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn FROM dall)
+               WHERE rn = 1),
+             pb AS (
+               SELECT vec_id AS query_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn
+                 FROM dall WHERE vec_id % 40 = 0)
+               WHERE rn <= 8),
+             cd AS (
+               SELECT pb.query_id, asg.vec_id AS neighbor_id
+               FROM pb JOIN asg USING (cell)
+               JOIN embeddings lb ON lb.vec_id = asg.vec_id
+               WHERE asg.vec_id <> pb.query_id AND lb.label IN (2, 3, 5)),
+             sc AS (
+               SELECT cd.query_id, cd.neighbor_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) / 1099511627776.0 AS dotx
+               FROM cd JOIN q a ON a.vec_id = cd.query_id
+                       JOIN q b ON b.vec_id = cd.neighbor_id),
+             r AS (SELECT query_id, neighbor_id, dotx,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dotx DESC, neighbor_id) AS rnk FROM sc)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+               CAST(dotx AS DOUBLE) AS dot
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""))
   )
 }

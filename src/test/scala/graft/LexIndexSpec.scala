@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, LexIndex, Retrieval}
+import graft.sources.Tables
+
+/** Persisted BM25 index semantics: the persistence hop is value-neutral
+  * (query ≡ one-shot bm25TopK bit-for-bit), appends are O(delta) and
+  * leave existing data files byte-untouched while serving exactly like a
+  * build over the union, and the query-time postings read prunes to the
+  * query terms' partitions. */
+class LexIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def queriesOf(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit_terms"),
+      r.getAs[Long]("score_micros"), r.getAs[Double]("score"))).sortBy(t => (t._1, t._2))
+
+  test("build → write → read → query ≡ one-shot bm25TopK, bit for bit") {
+    val docs = Tables.documents(spark, sf)
+    val qs = queriesOf(docs)
+    val oneShot = canon(Retrieval.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 10))
+    val inMem = canon(LexIndex.query(LexIndex.build(docs, "doc_id", "text"),
+      qs, "query_id", "qtext", k = 10))
+    assert(inMem === oneShot)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lix").toString + "/ix"
+    LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
+    val reloaded = canon(LexIndex.query(LexIndex.read(spark, dir),
+      qs, "query_id", "qtext", k = 10))
+    assert(reloaded === oneShot)
+    // the postings store is pb-partitioned and the read prunes on it
+    val pbDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("pb="))
+    assert(pbDirs.nonEmpty)
+    val plan = LexIndex.query(LexIndex.read(spark, dir),
+        qs, "query_id", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [pb"),
+      "query-term pb values not pushed as a partition filter")
+  }
+
+  test("append: existing data files untouched, meta exact, ≡ build over the union") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % 5 =!= 1)
+    val delta = docs.filter(col("doc_id") % 5 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lix-a").toString + "/ix"
+    LexIndex.write(LexIndex.build(base, "doc_id", "text"), dir)
+
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      // commit markers are re-touched by append by design — only DATA
+      // files must stay byte-identical; meta is rewritten by contract
+      walk(new java.io.File(dir))
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .filterNot(_.getPath.contains("/meta"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+    val appended = LexIndex.appendToDir(spark, dir, delta, "doc_id", "text")
+    val after = snapshot()
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"pre-existing file rewritten: $p")
+    }
+    assert(after.size > before.size, "append committed no new file")
+
+    // maintained constants are EXACTLY the rebuilt ones
+    val rx = LexIndex.read(spark, dir)
+    val full = LexIndex.build(docs, "doc_id", "text")
+    assert(appended > 0L && rx.nDocs === full.nDocs && rx.totLen === full.totLen)
+
+    // the appended index answers exactly like one built over the union
+    val qs = queriesOf(docs)
+    assert(canon(LexIndex.query(rx, qs, "query_id", "qtext", k = 10)) ===
+      canon(Retrieval.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)))
+  }
+
+  test("df derives at query time: an appended doc shifts idf of existing matches") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lix-d").toString + "/ix"
+    LexIndex.write(LexIndex.build(base, "doc_id", "text"), dir)
+    val qs = Seq((9L, "alpha")).toDF("query_id", "qtext")
+    val preScores = LexIndex.query(LexIndex.read(spark, dir),
+        qs, "query_id", "qtext", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micros")).toMap
+    LexIndex.appendToDir(spark, dir,
+      Seq((4L, "alpha alpha")).toDF("doc_id", "text"), "doc_id", "text")
+    val post = LexIndex.query(LexIndex.read(spark, dir),
+        qs, "query_id", "qtext", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micros")).toMap
+    // doc 4 is now retrievable, and docs 1/2's scores MOVED (df and N both
+    // changed) — a frozen-df index would have returned preScores unchanged
+    assert(post.contains(4L))
+    assert(post(1L) != preScores(1L) && post(2L) != preScores(2L))
+  }
+}

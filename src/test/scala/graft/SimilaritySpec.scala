@@ -394,4 +394,80 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out2 == out.toSet)
   }
+
+  // ------------------------------------------------- filtered vector search
+
+  /** 60 deterministic 8-dim vectors for the filtered-search tests. */
+  private def filterFixture = {
+    import spark.implicits._
+    (0L until 60L).map(i =>
+        (i, Seq.tabulate(8)(j => math.sin(i * 17 + j * 3 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  /** Independent exact filtered top-k reference: fixed-point dots
+    * (floor(x·2^20) longs), rank (dot desc, id asc), self excluded,
+    * neighbors restricted to `allowed`. */
+  private def exactFilteredRef(queries: Seq[Long], allowed: Long => Boolean,
+                               k: Int): Map[Long, Seq[Long]] = {
+    val vs = (0L until 60L).map { i =>
+      i -> Array.tabulate(8)(j =>
+        math.floor(math.sin(i * 17 + j * 3 + 1).toFloat * 1048576.0).toLong)
+    }.toMap
+    queries.map { q =>
+      val ranked = vs.keys.toSeq
+        .filter(n => n != q && allowed(n))
+        .map(n => (n, vs(q).zip(vs(n)).map { case (a, b) => a * b }.sum))
+        .sortBy { case (n, d) => (-d, n) }
+        .take(k).map(_._1)
+      q -> ranked
+    }.toMap
+  }
+
+  test("filteredTopK brute branch: exact over the allowed set only") {
+    val queries = Seq(0L, 7L, 40L)
+    val out = graft.operators.Similarity.filteredTopK(filterFixture,
+        "vec_id", "embedding", col("vec_id").isin(queries: _*),
+        filterFixture.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+        k = 5, bruteCutoff = 1000)
+      .collect()
+    assert(out.forall(_.getAs[Long]("neighbor_id") % 3 == 0))
+    val ref = exactFilteredRef(queries, _ % 3 == 0, 5)
+    val got = out.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    }
+    assert(got == ref)
+    // query 0 is itself allowed (0 % 3 == 0) but never its own neighbor;
+    // queries 7 and 40 are OUTSIDE the allowed set and still answered
+    assert(got(0L).nonEmpty && !got(0L).contains(0L))
+    assert(got(7L).nonEmpty && got(40L).nonEmpty)
+  }
+
+  test("ivfTopKFiltered with nProbe = nCells: exact filtered brute force") {
+    val queries = Seq(0L, 7L, 40L)
+    val out = graft.operators.Similarity.ivfTopKFiltered(filterFixture,
+        "vec_id", "embedding", col("vec_id").isin(queries: _*),
+        filterFixture.filter(col("vec_id") % 3 === 0).select(col("vec_id")),
+        k = 5, nCells = 6, nProbe = 6)
+      .collect()
+    val got = out.groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    }
+    assert(got == exactFilteredRef(queries, _ % 3 == 0, 5))
+  }
+
+  test("filteredTopK routing: cutoff 0 forces the IVF branch; full probe agrees with brute") {
+    val queries = Seq(12L, 31L)
+    def run(cutoff: Long) = graft.operators.Similarity.filteredTopK(
+        filterFixture, "vec_id", "embedding", col("vec_id").isin(queries: _*),
+        filterFixture.filter(col("vec_id") >= 30).select(col("vec_id")),
+        k = 4, nCells = 6, nProbe = 6, bruteCutoff = cutoff)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("dot"))).toSet
+    val viaIvf = run(0L)     // 30 allowed ids > 0 → IVF branch
+    val viaBrute = run(1000L)
+    assert(viaIvf == viaBrute) // full probing makes the IVF branch exact
+    assert(viaIvf.forall(_._3 >= 30))
+  }
 }
