@@ -385,7 +385,25 @@ object VectorIndex {
     * then exact-rank through the sampled-bound refine. Output:
     * (query_id, rank, neighbor_id, adist), smaller adist = closer. */
   def topK(ix: IvfPqIndex, queries: DataFrame, idCol: String, vecCol: String,
-           k: Int, nProbe: Int): DataFrame = {
+           k: Int, nProbe: Int): DataFrame =
+    topKImpl(ix, queries, idCol, vecCol, k, nProbe, allowed = None)
+
+  /** Filtered serve against the persisted index: [[topK]] with candidates
+    * restricted to ids in `allowed` (a one-column id frame) INSIDE the
+    * probed cells, before any ADC distance is computed — the in-filter
+    * strategy of `Similarity.ivfTopKFiltered` applied to the PQ serving
+    * path. The index artifacts (quantizers, codes, tombstones) are
+    * untouched: one persisted index serves every filter, and the filter
+    * composes with deletes (a tombstoned id is gone from `codes` before
+    * the filter ever sees it). Queries need not satisfy the filter. */
+  def topKFiltered(ix: IvfPqIndex, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nProbe: Int,
+                   allowed: DataFrame): DataFrame =
+    topKImpl(ix, queries, idCol, vecCol, k, nProbe, Some(allowed))
+
+  private def topKImpl(ix: IvfPqIndex, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nProbe: Int,
+                       allowed: Option[DataFrame]): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val lit = Similarity.cbLiteral(ix.codebook)
     val qv = queries.select(col(idCol).as("query_id"),
@@ -399,14 +417,25 @@ object VectorIndex {
       .select(col("query_id"), col("cent_id").as("cell"))
     val qtabs = qv.select(col("query_id"),
       call_function("graft_pqtab", col("__qvec"), lit).as("__tab"))
-    val scored = ix.codes
+    // allowed-set semi join BEFORE the probe join: candidates outside the
+    // filter never reach the ADC scorer. Persisted when filtered — the
+    // frame feeds both the scoring join and the refine's candidate count.
+    val (codes, nCand) = allowed match {
+      case Some(a) =>
+        val ids = a.select(col(a.columns.head).as("id")).distinct()
+        val c = ix.codes.join(ids, Seq("id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (c, c.count())
+      case None => (ix.codes, ix.nRows)
+    }
+    val scored = codes
       .join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("id"))
       .join(broadcast(qtabs), "query_id")
       .withColumn("adist", call_function("graft_pqadc", col("__tab"), col("codes")))
       .withColumnRenamed("id", "neighbor_id")
     Similarity.refinedTopK(scored, k,
-      math.max(1L, ix.nRows * nProbe / math.max(ix.nCells, 1)))
+      math.max(1L, nCand * nProbe / math.max(ix.nCells, 1)))
   }
 
   /** Streaming serve: score each micro-batch of query vectors against the

@@ -1042,6 +1042,30 @@ object SimilarityQueries {
                        ORDER BY dotx DESC, neighbor_id) AS rnk FROM sc)
              SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
                CAST(dotx AS DOUBLE) AS dot
-             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""))
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    // Filtered serve against the PERSISTED index: q103's build → write →
+    // read lifecycle, but the query carries a metadata filter (label ∈
+    // {2,3,5}) applied to candidates inside the probed cells, before any
+    // ADC distance is computed. The index artifacts are untouched — one
+    // persisted index serves every filter — so the oracle is q100's SQL
+    // with the filter on the candidate side only (the same injection
+    // point as q107's tombstone exclusion, which this composes with).
+    Q("q118_filtered_pq_serve",
+      (s, d) => {
+        import graft.operators.VectorIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q118").toString + "/ivfpq"
+        val emb = Tables.embeddings(s, d)
+        VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+          nCells = 32, m = 16, ks = 64, trainIters = 1), dir)
+        VectorIndex.topKFiltered(VectorIndex.read(s, dir),
+            emb.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+            k = 10, nProbe = 8,
+            allowed = emb.filter(col("label").isin(2, 3, 5)).select(col("vec_id")))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqOracleTrainedOn(None, Some(
+        "asg.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (2, 3, 5))"))))
   )
 }

@@ -23,7 +23,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sections =
       if (args.isEmpty)
-        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "retrain", "dix", "ops", "skew", "hotbucket", "bpe", "stream")
+        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "retrain", "dix", "lex", "fvs", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
     val b = SparkSession.builder().master("local[32]")
@@ -414,6 +414,86 @@ object Stress {
       require(kept == one, s"probe kept $kept != one-shot $one")
       println(s"[stress] dix10 kept=$kept (probe ≡ one-shot)")
     } else println(s"[stress] dix10 skipped: $sf10docs not present")
+    }
+
+    if (want("lex")) {
+    // Persisted BM25 index vs one-shot bm25TopK at sf10 (500k docs):
+    // what building the postings once buys each query batch. The
+    // one-shot re-tokenizes and re-counts the CORPUS per call; the
+    // indexed query reads only the query terms' pb partitions and
+    // derives df from the postings already in hand.
+    val sf10docs = "/dev/shm/sf10"
+    if (new java.io.File(s"$sf10docs/documents.parquet").exists()) {
+      val dd = Tables.documents(spark, sf10docs)
+      def qbatch(mod: Int) = dd.filter(col("doc_id") % mod === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("score_micros"))).sortBy(x => (x._1, x._2)).toSeq
+      println(s"[stress] lex corpus=${dd.count()} qbatch=${qbatch(10000).count()}")
+      val one = t("lex one-shot bm25TopK (50-query batch)") {
+        canon(graft.operators.Retrieval.bm25TopK(dd, "doc_id", "text",
+          qbatch(10000), "query_id", "qtext", k = 10))
+      }
+      val ldir = java.nio.file.Files.createTempDirectory("graft-lex-st").toString + "/ix"
+      t("lex build+write (once per corpus)") {
+        graft.operators.LexIndex.write(
+          graft.operators.LexIndex.build(dd, "doc_id", "text"), ldir)
+      }
+      val rx = graft.operators.LexIndex.read(spark, ldir)
+      val served = t("lex indexed query (per-batch cost)") {
+        canon(graft.operators.LexIndex.query(rx, qbatch(10000),
+          "query_id", "qtext", k = 10))
+      }
+      require(served == one, "indexed query != one-shot bm25TopK")
+      println(s"[stress] lex served=${served.size} rows (indexed ≡ one-shot)")
+      t("lex indexed query (5-query micro-batch)") {
+        canon(graft.operators.LexIndex.query(rx, qbatch(100000),
+          "query_id", "qtext", k = 10))
+      }
+    } else println(s"[stress] lex skipped: $sf10docs not present")
+    }
+
+    if (want("fvs")) {
+    // Filtered vector search at sf10 (500k × 64-dim): the in-filter IVF
+    // (candidates semi-joined to the allowed set inside probed cells)
+    // vs exact brute force over the survivors — the two regimes
+    // filteredTopK routes between. Broad filter (labels 2/3/5, ~30%):
+    // the index's N/nCells advantage survives filtering. Narrow filter
+    // (~0.1%): brute force over survivors is exact and cheap — probing
+    // cells that are 99.9% filtered out buys nothing.
+    val sf10dir = "/dev/shm/sf10"
+    if (new java.io.File(s"$sf10dir/embeddings.parquet").exists()) {
+      val emb = Tables.embeddings(spark, sf10dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val broad = emb.filter(col("label").isin(2, 3, 5)).select(col("vec_id"))
+      val narrow = emb.filter(col("label") === 7 && col("vec_id") % 256 === 0)
+        .select(col("vec_id"))
+      println(s"[stress] fvs corpus=${emb.count()} broad=${broad.count()} narrow=${narrow.count()}")
+      val qp = col("vec_id") % 25000 === 0 // 20 queries
+      val bf = t("fvs broad: filteredTopK (routes to in-filter IVF)") {
+        graft.operators.Similarity.filteredTopK(emb, "vec_id", "embedding",
+          qp, broad, k = 10, nCells = 256, nProbe = 32,
+          bruteCutoff = 65536).count()
+      }
+      val bu = t("fvs broad: unfiltered ivfTopK + post-filter (the naive plan)") {
+        val lab = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+        graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
+            qp, k = 34, nCells = 256, nProbe = 32) // k/selectivity ranks needed
+          .join(lab, "neighbor_id")
+          .filter(col("label").isin(2, 3, 5)).count()
+      }
+      println(s"[stress] fvs broad rows: in-filter=$bf post-filter=$bu" +
+        " (post-filter must over-fetch k/selectivity and still under-fills)")
+      val nf = t("fvs narrow: filteredTopK (routes to exact brute force)") {
+        graft.operators.Similarity.filteredTopK(emb, "vec_id", "embedding",
+          qp, narrow, k = 10, nCells = 256, nProbe = 32,
+          bruteCutoff = 65536).count()
+      }
+      println(s"[stress] fvs narrow rows=$nf (exact over survivors)")
+    } else println(s"[stress] fvs skipped: $sf10dir not present")
     }
 
     if (want("ops")) {

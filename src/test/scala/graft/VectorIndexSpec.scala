@@ -315,4 +315,43 @@ class VectorIndexSpec extends SparkSpec {
     assert(plan.contains("codes") && !plan.contains("embeddings.parquet"),
       s"serve plan should scan the index, not the corpus:\n$plan")
   }
+
+  test("topKFiltered: all-ids filter ≡ unfiltered; results ⊆ allowed; composes with deletes") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-f").toString + "/ix"
+    VectorIndex.write(
+      VectorIndex.build(emb, "vec_id", "embedding",
+        nCells = 16, m = 16, ks = 32, trainIters = 1), dir)
+    val ix = VectorIndex.read(spark, dir)
+    val qp = col("vec_id") % 50 === 0
+
+    // degenerate filter (every id allowed) is the unfiltered serve exactly
+    assert(canon(VectorIndex.topKFiltered(ix, emb.filter(qp),
+        "vec_id", "embedding", k = 5, nProbe = 4,
+        allowed = emb.select(col("vec_id")))) ===
+      canon(VectorIndex.topK(ix, emb.filter(qp),
+        "vec_id", "embedding", k = 5, nProbe = 4)))
+
+    // real filter: every neighbor allowed; ranks dense from 1 per query
+    val allowed = emb.filter(col("label") < 3).select(col("vec_id"))
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val out = VectorIndex.topKFiltered(ix, emb.filter(qp),
+        "vec_id", "embedding", k = 5, nProbe = 4, allowed = allowed)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => allowedIds(r.getAs[Long]("neighbor_id"))))
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length))
+    }
+
+    // deletes compose: a tombstoned id never serves even when allowed
+    val victim = out.head.getAs[Long]("neighbor_id")
+    VectorIndex.deleteIds(spark, dir,
+      emb.filter(col("vec_id") === victim).select("vec_id"), "vec_id")
+    val after = VectorIndex.topKFiltered(VectorIndex.read(spark, dir),
+        emb.filter(qp), "vec_id", "embedding", k = 5, nProbe = 4,
+        allowed = allowed)
+      .collect()
+    assert(!after.exists(_.getAs[Long]("neighbor_id") == victim))
+  }
 }
