@@ -7,11 +7,15 @@ import org.apache.spark.storage.StorageLevel
 /** A built BM25 postings index: everything query-time retrieval needs
   * WITHOUT touching corpus text again.
   *
-  *  - `postings` — (term, id, tf): one row per distinct (document, term),
-  *    hash-partitioned on the term at write so a query batch's read
-  *    prunes to its terms' partitions.
-  *  - `doclen`   — (id, dl): the per-document token count BM25's length
-  *    normalization needs; the corpus-row-count frame (two longs/doc).
+  *  - `postings` — (term, id, tf, dl): one row per distinct (document,
+  *    term), hash-partitioned on the term at write so a query batch's
+  *    read prunes to its terms' partitions. The document length rides
+  *    INLINE on every posting (the classic inverted-index norm-in-the-
+  *    posting design): +8 bytes/row buys queries out of a corpus-sized
+  *    doclen shuffle join — scoring needs nothing but the matched rows.
+  *  - `doclen`   — (id, dl): the per-document token count, kept as its
+  *    own frame for the meta constants and append bookkeeping (and as
+  *    the join fallback for a pre-inline index layout).
   *  - `nDocs`/`totLen` — the corpus constants (documents with ≥1 token,
   *    total token count), persisted in meta and maintained additively on
   *    append — integer arithmetic, so the maintained values are EXACTLY
@@ -86,7 +90,10 @@ object LexIndex {
     val Array(n, tot) = doclen
       .agg(count(lit(1)).cast("long"), coalesce(sum("dl"), lit(0L)).cast("long"))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    Bm25Index(tf.select(col("term"), col("id"), col("tf")), doclen, n, tot, nPb)
+    // dl inline: one corpus-sized join here, paid once per build instead
+    // of once per query batch
+    Bm25Index(tf.join(doclen, "id")
+      .select(col("term"), col("id"), col("tf"), col("dl")), doclen, n, tot, nPb)
   }
 
   /** Persist: two parquet frames + one meta row. Postings repartitioned
@@ -96,8 +103,13 @@ object LexIndex {
   def write(ix: Bm25Index, dir: String): Unit = {
     val spark = ix.postings.sparkSession
     import spark.implicits._
+    // sortWithinPartitions(term): each row group's min/max term stats
+    // become tight, so query's pushed `term IN (...)` filter skips the
+    // row groups (and dictionary pages) of every unmatched term — the
+    // partition layout prunes FILES, the sort prunes WITHIN them
     ix.postings.withColumn("pb", pb(col("term"), ix.nPb))
       .repartition(col("pb"))
+      .sortWithinPartitions(col("term"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$dir/postings")
     ix.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
     Seq((ix.nDocs, ix.totLen, ix.nPb))
@@ -114,15 +126,28 @@ object LexIndex {
       meta.getAs[Int]("n_pb"))
   }
 
+  /** Terms-per-batch bound for the static pushdown in [[query]]: below
+    * it the batch's distinct terms are collected (driver list bounded by
+    * the batch's own size — the query side is small by contract, the
+    * same boundedness argument as DedupIndex.probe's candidate-partition
+    * collect) and pushed as `term IN (...)` + `pb IN (...)` STATIC scan
+    * filters, so parquet prunes partitions by pb and row groups by the
+    * term min/max stats the sorted write laid down. Past the bound the
+    * restriction falls back to a broadcast semi-join — correct at any
+    * batch size, but the scan reads every row group of the touched
+    * partitions (measured 30.9 s vs one-shot's 22.6 s on a 500k-doc
+    * corpus — the fallback alone is NOT an index win; the pushdown is). */
+  val MaxPushTerms = 20000
+
   /** Rank the indexed corpus against each query — bit-for-bit
     * [[Retrieval.bm25TopK]]'s output (same scoring tail,
     * [[Retrieval.bm25Rank]]), at query-batch cost:
     *
-    *  1. the batch's distinct terms' pb values are collected (a driver
-    *     list bounded at nPb ints) and pushed as a static partition
-    *     filter, so the postings READ prunes to the terms' partitions;
-    *  2. the broadcast term frame restricts the surviving postings
-    *     before any shuffle — from here cost follows matched postings;
+    *  1. the batch's distinct terms (≤ [[MaxPushTerms]]) are pushed as
+    *     static `term IN`/`pb IN` scan filters — the postings READ
+    *     prunes to the query terms' row groups, not files-then-scan-all;
+    *  2. the broadcast term frame restricts surviving postings before
+    *     any shuffle — from here cost follows matched postings;
     *  3. df per term = count over its restricted postings (all of that
     *     term's rows are in hand by construction), so no df table exists
     *     to go stale under appends;
@@ -137,21 +162,52 @@ object LexIndex {
         explode(Dedup.tokens(col(queryTextCol))).as("term"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pruned =
-      if (ix.postings.columns.contains("pb")) {
-        val pbs = qTerms.select(pb(col("term"), ix.nPb).as("pb")).distinct()
-          .collect().map(_.getAs[Int]("pb")).toSeq
-        ix.postings.filter(col("pb").isin(pbs: _*))
-      } else ix.postings
-    val matched = pruned
+    // one bounded collect yields the term list AND its pb values (pb is
+    // computed by the same Spark expression the write used, never
+    // re-implemented driver-side)
+    val termsLocal: Option[Seq[(String, Int)]] = {
+      val t = qTerms.select(col("term"), pb(col("term"), ix.nPb).as("pb"))
+        .distinct().limit(MaxPushTerms + 1).collect()
+      if (t.length <= MaxPushTerms)
+        Some(t.map(r => (r.getString(0), r.getInt(1))).toSeq)
+      else None
+    }
+    val hasPb = ix.postings.columns.contains("pb")
+    val pruned = termsLocal match {
+      case Some(ts) =>
+        val byTerm = ix.postings.filter(col("term").isin(ts.map(_._1): _*))
+        if (hasPb) byTerm.filter(col("pb").isin(ts.map(_._2).distinct: _*))
+        else byTerm
+      case None =>
+        if (hasPb) {
+          val pbs = qTerms.select(pb(col("term"), ix.nPb).as("pb")).distinct()
+            .collect().map(_.getAs[Int]("pb")).toSeq
+          ix.postings.filter(col("pb").isin(pbs: _*))
+        } else ix.postings
+    }
+    val restricted = pruned
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
-      .select(col("term"), col("id").as("doc_id"), col("tf").as("__tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dl comes inline from the posting rows; the doclen join only exists
+    // as the fallback for a pre-inline index layout
+    val matched = (
+      if (restricted.columns.contains("dl"))
+        restricted.select(col("term"), col("id").as("doc_id"),
+          col("tf").as("__tf"), col("dl").as("__dl"))
+      else restricted
+        .select(col("term"), col("id").as("doc_id"), col("tf").as("__tf"))
+        .join(ix.doclen.select(col("id").as("doc_id"), col("dl").as("__dl")),
+          "doc_id")
+      ).persist(StorageLevel.MEMORY_AND_DISK)
     val docFreq = matched.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val qTermDf = broadcast(qTerms.join(docFreq, "term"))
-    Retrieval.bm25Rank(matched
+    // spread before the broadcast fan-out: the pruned scan hands matched
+    // only a few partitions (its bytes are small), but the qTerms join
+    // expands every posting once PER QUERY carrying that term — measured
+    // 34 s vs 14 s for the one-shot path at sf10 because 77M fanned-out
+    // rows aggregated on ~8 tasks while the one-shot's cached tf frame
+    // had all 64 (the q35 straggler shape, at the other end of the plan)
+    Retrieval.bm25Rank(Scale.spread(matched)
       .join(qTermDf, "term")
-      .join(ix.doclen.select(col("id").as("doc_id"), col("dl").as("__dl")), "doc_id")
       .withColumn("__n_docs", lit(ix.nDocs))
       .withColumn("__tot_len", lit(ix.totLen)), k, k1, b)
   }
@@ -170,6 +226,7 @@ object LexIndex {
     val delta = build(docs, idCol, textCol, ix.nPb)
     delta.postings.withColumn("pb", pb(col("term"), ix.nPb))
       .repartition(col("pb"))
+      .sortWithinPartitions(col("term")) // row-group stats, like write()
       .write.partitionBy("pb").mode("append").parquet(s"$dir/postings")
     delta.doclen.write.mode("append").parquet(s"$dir/doclen")
     import spark.implicits._

@@ -959,4 +959,53 @@ object TextAnalysis {
           .as("kl_picos"))
       .withColumn("kl", col("kl_picos") / lit(1e12))
   }
+
+  /** Intra-document repetition statistics — the Gopher/RefinedWeb
+    * repetition quality filters, token-based: machine-generated and
+    * boilerplate-stuffed documents betray themselves by repeating
+    * themselves, BEFORE any cross-document comparison (this is the
+    * per-doc complement of the cross-doc span dedup in
+    * [[Dedup.duplicateSpans]]).
+    *
+    * Per document:
+    *   - `n_tokens`, `n_distinct_tokens`
+    *   - `dup_token_ratio`  = 1 − distinct/total tokens
+    *   - `dup_ngram_ratio`  = 1 − distinct/total n-gram occurrences
+    *     (0 when the doc is shorter than n tokens)
+    *   - `top_ngram_ratio`  = the most frequent n-gram's share of all
+    *     n-gram occurrences, max(count)/total — bounded (0,1], and the
+    *     count alone, so no tiebreak is ever needed and no per-doc
+    *     window exists in the plan
+    * Ratios are rounded to 6 decimals (the repo-wide double-stability
+    * contract for oracle compare).
+    *
+    * Scale design: two hash aggregations over the exploded term frames
+    * (per-(doc,term) then per-doc), both map-side partial; the top
+    * n-gram is a max(struct(cnt, term)) aggregate, NOT a per-doc window
+    * — nothing in the plan materializes a per-document sort, and no
+    * frame is wider than the doc's own distinct terms. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val uni = termRows(docs, idCol, textCol, 1)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_distinct_tokens"))
+    val ng = termRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("__g_total"),
+        count(lit(1)).as("__g_distinct"),
+        max(col("__c")).as("__c_top"))
+    uni.join(ng, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        round(lit(1.0) - col("n_distinct_tokens") / col("n_tokens"), 6)
+          .as("dup_token_ratio"),
+        coalesce(
+          round(lit(1.0) - col("__g_distinct") / col("__g_total"), 6),
+          lit(0.0)).as("dup_ngram_ratio"),
+        coalesce(
+          round(col("__c_top") / col("__g_total"), 6),
+          lit(0.0)).as("top_ngram_ratio"))
+  }
 }

@@ -1102,7 +1102,47 @@ object TextQueries {
             threshold = 0.1, maxBucketSize = 100)
           .orderBy(col("doc_id"))
       },
-      Some(incrementalDedupOracle))
+      Some(incrementalDedupOracle)),
+
+    // Intra-document repetition stats (the Gopher repetition filters,
+    // token-based): per-doc duplicate-token, duplicate-bigram, and
+    // top-bigram-coverage ratios — a repetitive doc flags itself with no
+    // cross-document comparison (q105's span dedup is the cross-doc
+    // complement). Two hash aggregations, no per-doc window.
+    Q("q119_repetition_stats",
+      (s, d) => graft.operators.TextAnalysis.repetitionStats(
+          Tables.documents(s, d), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (
+               SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             uni AS (
+               SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens
+               FROM toks),
+             bg AS (
+               SELECT doc_id, w[CAST(t.i AS INT)] || ' ' ||
+                              w[CAST(t.i AS INT) + 1] AS term
+               FROM toks, UNNEST(range(1, len(w))) AS t(i)
+               WHERE len(w) >= 2),
+             ngr AS (
+               SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+               FROM bg GROUP BY 1, 2),
+             ngd AS (
+               SELECT doc_id, CAST(SUM(c) AS BIGINT) AS g_total,
+                 CAST(COUNT(*) AS BIGINT) AS g_distinct,
+                 CAST(MAX(c) AS BIGINT) AS c_top
+               FROM ngr GROUP BY 1)
+             SELECT u.doc_id, u.n_tokens, u.n_distinct_tokens,
+               round(1.0 - CAST(u.n_distinct_tokens AS DOUBLE) / u.n_tokens, 6)
+                 AS dup_token_ratio,
+               COALESCE(round(1.0 - CAST(g.g_distinct AS DOUBLE) / g.g_total, 6),
+                 0.0) AS dup_ngram_ratio,
+               COALESCE(round(CAST(g.c_top AS DOUBLE) / g.g_total, 6),
+                 0.0) AS top_ngram_ratio
+             FROM uni u LEFT JOIN ngd g USING (doc_id)
+             ORDER BY u.doc_id"""))
   )
 
   /** One BPE round as DuckDB CTEs (count pairs → argmax → rewrite), chained

@@ -26,6 +26,10 @@ object Stress {
         Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "retrain", "dix", "lex", "fvs", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
+    // stress sections that persist indexes (dix/lex/vindex) allocate work
+    // dirs via createTempDirectory — route them to tmpfs like Bench/Verify
+    // do, or they time this box's stalling virtio disk, not the operator
+    graft.Bench.routeTmpdir()
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       // single-file testdata needs small splits for scan parallelism — see

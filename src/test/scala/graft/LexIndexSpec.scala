@@ -45,6 +45,10 @@ class LexIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [pb"),
       "query-term pb values not pushed as a partition filter")
+    // the term list itself is pushed as a static scan filter (the sorted
+    // write gives row groups tight term min/max stats for it to prune)
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"query terms not pushed into the postings scan:\n${plan.take(2000)}")
   }
 
   test("append: existing data files untouched, meta exact, ≡ build over the union") {

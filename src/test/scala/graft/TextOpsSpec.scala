@@ -360,6 +360,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 1.0)))
     assert(out(3L) == ((3L, 1L, 1.0 / 3.0)))
   }
+
+  test("repetitionStats: hand-computed ratios on planted repetition shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // all unique: every ratio 0, bigrams all distinct
+      (2L, "a a a a"),        // one token: 3 dup tokens, one bigram type ×3
+      (3L, "x y x y x"),      // alternating: 2 bigram types over 4 occurrences
+      (4L, "solo")            // shorter than a bigram: n-gram ratios 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def ratios(id: Long) = (out(id).getAs[Long]("n_tokens"),
+      out(id).getAs[Long]("n_distinct_tokens"),
+      out(id).getAs[Double]("dup_token_ratio"),
+      out(id).getAs[Double]("dup_ngram_ratio"),
+      out(id).getAs[Double]("top_ngram_ratio"))
+    assert(ratios(1L) == ((4L, 4L, 0.0, 0.0, round6(1.0 / 3)))) // top "a b" 1 of 3
+    assert(ratios(2L) == ((4L, 1L, 0.75, round6(1 - 1.0 / 3), 1.0)))
+    // "x y x y x": tokens 5/2 distinct; bigrams x_y×2, y_x×2 → dup 1-2/4
+    assert(ratios(3L) == ((5L, 2L, 0.6, 0.5, 0.5)))
+    assert(ratios(4L) == ((1L, 1L, 0.0, 0.0, 0.0)))
+  }
+
+  private def round6(d: Double): Double = math.rint(d * 1e6) / 1e6
 }
 
 private object TestDocs {
