@@ -235,4 +235,36 @@ object LexIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     delta.nDocs
   }
+
+  /** Maintenance rewrite: every append leaves one more file per touched
+    * pb partition, each sorted only WITHIN ITSELF — so a query term's
+    * rows spread across k append files cost k row-group reads, and the
+    * global term sort the pushdown pruning feeds on decays. Compact
+    * rewrites each frame (postings re-sorted per partition, doclen
+    * squashed) behind a stage-then-rename swap, value-neutral by
+    * construction — the same single-maintainer cadence as
+    * [[DedupIndex.compact]] / Kafka's log cleaner. Meta is untouched
+    * (compaction moves no corpus mass). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(new org.apache.hadoop.fs.Path(dir).toUri, conf)
+    def swap(frame: String)(writeStage: (DataFrame, String) => Unit): Unit = {
+      val cur = spark.read.parquet(s"$dir/$frame")
+      writeStage(cur, s"$dir/_stage/c-$frame")
+      val live = new org.apache.hadoop.fs.Path(dir, frame)
+      val old = new org.apache.hadoop.fs.Path(dir, s"$frame.old")
+      fc.rename(live, old, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fc.rename(new org.apache.hadoop.fs.Path(s"$dir/_stage/c-$frame"), live)
+      fs.delete(old, true)
+    }
+    val nPb = spark.read.parquet(s"$dir/meta").collect().head.getAs[Int]("n_pb")
+    swap("postings")((df, p) => df.drop("pb")
+      .withColumn("pb", pb(col("term"), nPb)).repartition(col("pb"))
+      .sortWithinPartitions(col("term"))
+      .write.partitionBy("pb").mode("overwrite").parquet(p))
+    swap("doclen")((df, p) => df.coalesce(1).write.mode("overwrite").parquet(p))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
+  }
 }

@@ -88,6 +88,32 @@ class LexIndexSpec extends SparkSpec {
         qs, "query_id", "qtext", k = 10)))
   }
 
+  test("compact: value-neutral, one file per postings partition, meta untouched") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lix-c").toString + "/ix"
+    LexIndex.write(LexIndex.build(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text"), dir)
+    LexIndex.appendToDir(spark, dir,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val qs = queriesOf(docs)
+    val before = canon(LexIndex.query(LexIndex.read(spark, dir),
+      qs, "query_id", "qtext", k = 10))
+    val metaBefore = spark.read.parquet(s"$dir/meta").collect().toSeq
+    def dataFiles(sub: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles("postings").groupBy(_.getParent).values.exists(_.size > 1),
+      "append should have left a multi-file partition for compact to squash")
+    LexIndex.compact(spark, dir)
+    assert(dataFiles("postings").groupBy(_.getParent).values.forall(_.size == 1))
+    assert(canon(LexIndex.query(LexIndex.read(spark, dir),
+      qs, "query_id", "qtext", k = 10)) === before)
+    assert(spark.read.parquet(s"$dir/meta").collect().toSeq === metaBefore)
+  }
+
   test("df derives at query time: an appended doc shifts idf of existing matches") {
     import spark.implicits._
     val base = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta"))
