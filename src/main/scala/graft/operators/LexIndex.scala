@@ -199,17 +199,17 @@ object LexIndex {
           "doc_id")
       ).persist(StorageLevel.MEMORY_AND_DISK)
     val docFreq = matched.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val qTermDf = broadcast(qTerms.join(docFreq, "term"))
-    // spread before the broadcast fan-out: the pruned scan hands matched
-    // only a few partitions (its bytes are small), but the qTerms join
-    // expands every posting once PER QUERY carrying that term — measured
-    // 34 s vs 14 s for the one-shot path at sf10 because 77M fanned-out
-    // rows aggregated on ~8 tasks while the one-shot's cached tf frame
-    // had all 64 (the q35 straggler shape, at the other end of the plan)
+    // spread before the per-query fan-out inside bm25Rank: the pruned scan
+    // hands matched only a few partitions (its bytes are small), but the
+    // qTerms join expands every posting once PER QUERY carrying that term
+    // — measured 34 s vs 14 s for the one-shot path at sf10 because 77M
+    // fanned-out rows aggregated on ~8 tasks while the one-shot's cached
+    // tf frame had all 64 (the q35 straggler shape, at the other end of
+    // the plan)
     Retrieval.bm25Rank(Scale.spread(matched)
-      .join(qTermDf, "term")
+      .join(broadcast(docFreq), "term")
       .withColumn("__n_docs", lit(ix.nDocs))
-      .withColumn("__tot_len", lit(ix.totLen)), k, k1, b)
+      .withColumn("__tot_len", lit(ix.totLen)), qTerms, k, k1, b)
   }
 
   /** Index a delta corpus slice into the at-rest index at `dir`:

@@ -50,7 +50,6 @@ object Retrieval {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val doclen = tf.groupBy(col(idCol)).agg(sum("__tf").as("__dl"))
-    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val consts = doclen.agg(
       count(lit(1)).cast("long").as("__n_docs"),
       sum("__dl").cast("long").as("__tot_len"))
@@ -58,31 +57,44 @@ object Retrieval {
         col(queryIdCol).as("query_id"),
         explode(Dedup.tokens(col(queryTextCol))).as("term"))
       .distinct()
-    // restrict df to query terms first (both tiny), THEN broadcast the
-    // (query, term, df) frame into the corpus-sized postings join
-    val qTermDf = broadcast(qTerms.join(docFreq, "term"))
-    bm25Rank(tf
-      .join(qTermDf, "term")
+    // semi-restrict the postings to query terms first; df per term is then
+    // a count over rows already in hand (same value as a full-corpus df)
+    val restricted = tf
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val qDf = restricted.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    bm25Rank(restricted
+      .join(broadcast(qDf), "term")
       .join(doclen, idCol)
       .crossJoin(broadcast(consts))
-      .withColumnRenamed(idCol, "doc_id"), k, k1, b)
+      .withColumnRenamed(idCol, "doc_id"), qTerms, k, k1, b)
   }
 
   /** The BM25 scoring/ranking tail shared by [[bm25TopK]] and
     * `LexIndex.query` — bit-identity between the one-shot and the
     * persisted-index paths holds by CONSTRUCTION because both feed this
-    * one expression tree. Input frame columns: query_id, doc_id, __tf,
-    * __dl, __df, __n_docs, __tot_len (the constants as columns — a
-    * broadcast 1-row frame or literals, caller's choice). */
-  private[operators] def bm25Rank(perTermIn: DataFrame, k: Int,
-                                  k1: Double, b: Double): DataFrame = {
+    * one expression tree.
+    *
+    * `termDocIn`: one row per matched (term, doc) with __tf, __dl, __df,
+    * __n_docs, __tot_len (the constants as columns — a broadcast 1-row
+    * frame or literals, caller's choice). `qTerms`: the distinct
+    * (query_id, term) frame, broadcast-small by the query-batch contract.
+    *
+    * The score of a (term, doc) pair is QUERY-INDEPENDENT, so the
+    * log/divide/round math runs once per matched posting, BEFORE the
+    * per-query fan-out join — with q queries sharing a term, the fanned
+    * rows carry a precomputed BIGINT instead of re-deriving the double
+    * expression q times. */
+  private[operators] def bm25Rank(termDocIn: DataFrame, qTerms: DataFrame,
+                                  k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val tfNorm = col("__tf") * lit(k1 + 1.0) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("__dl") / (col("__tot_len").cast("double") / col("__n_docs"))))
-    val perTerm = perTermIn.select(col("query_id"), col("doc_id"),
+    val perDoc = termDocIn.select(col("term"), col("doc_id"),
       round(idf * tfNorm * lit(1e6), 0).cast("long").as("__m"))
+    val perTerm = perDoc.join(broadcast(qTerms), "term")
+      .select(col("query_id"), col("doc_id"), col("__m"))
     val agg = perTerm.groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_hit_terms"), sum("__m").as("score_micros"))
     val w = Window.partitionBy(col("query_id"))

@@ -14,10 +14,14 @@ import graft.operators.{Dedup, Retrieval, TextAnalysis}
 object RetrievalQueries {
 
   /** Shared BM25 CTE chain up to `lex(query_id, doc_id, rnk,
-    * score_micros, n_hit_terms)`: every 101st document's first 4 tokens
-    * query the corpus; Lucene-variant idf, k1=1.2, b=0.75, per-term
-    * scores rounded once to integer micros (matches Retrieval.bm25TopK's
-    * evaluation order expression for expression). */
+    * score_micros, n_hit_terms)`: every 101st document UNDER id 50500
+    * (≤ 500 queries at ANY scale factor — a serving benchmark holds the
+    * batch fixed while the corpus grows; an unbounded `% 101` batch
+    * scaled the per-(query,doc) aggregation to ~2B groups at sf10 and
+    * OOM-killed the sweep) queries the corpus with its first 4 tokens;
+    * Lucene-variant idf, k1=1.2, b=0.75, per-term scores rounded once to
+    * integer micros (matches Retrieval.bm25TopK's evaluation order
+    * expression for expression). */
   private val bm25Ctes =
     """toks AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -32,7 +36,7 @@ object RetrievalQueries {
       |qt AS (
       |  SELECT DISTINCT query_id, term FROM (
       |    SELECT doc_id AS query_id, unnest(list_slice(w, 1, 4)) AS term
-      |    FROM toks WHERE doc_id % 101 = 0)),
+      |    FROM toks WHERE doc_id % 101 = 0 AND doc_id < 50500)),
       |per AS (
       |  SELECT qt.query_id, tf.doc_id,
       |    CAST(round(
@@ -62,7 +66,7 @@ object RetrievalQueries {
     Q("q112_bm25_topk",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val queries = docs.filter(col("doc_id") % 101 === 0)
+        val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
           .select(col("doc_id").as("query_id"),
             array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
         Retrieval.bm25TopK(docs, "doc_id", "text",
@@ -83,12 +87,13 @@ object RetrievalQueries {
       (s, d) => Retrieval.hybridTopK(
           Tables.documents(s, d), "doc_id", "text",
           Tables.embeddings(s, d), "vec_id", "embedding",
-          docQueryPred = col("doc_id") % 101 === 0,
-          vecQueryPred = col("vec_id") % 101 === 0,
+          docQueryPred = col("doc_id") % 101 === 0 && col("doc_id") < 50500,
+          vecQueryPred = col("vec_id") % 101 === 0 && col("vec_id") < 50500,
           nQueryTokens = 4, k = 10)
         .orderBy(col("query_id"), col("rank")),
       Some(s"""WITH $bm25Ctes,
-             vq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 0),
+             vq AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 101 = 0 AND vec_id < 50500),
              vp AS (
                SELECT vq.vec_id AS query_id, e.vec_id AS doc_id,
                  SUM(CAST(floor(vq.embedding[i] * 1048576.0) AS BIGINT)
@@ -193,7 +198,7 @@ object RetrievalQueries {
           .createTempDirectory("graft-q116").toString + "/lix"
         val docs = Tables.documents(s, d)
         LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
-        val queries = docs.filter(col("doc_id") % 101 === 0)
+        val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
           .select(col("doc_id").as("query_id"),
             array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
         LexIndex.query(LexIndex.read(s, dir), queries,
@@ -222,7 +227,7 @@ object RetrievalQueries {
           docs.filter(col("doc_id") % 5 =!= 1), "doc_id", "text"), dir)
         LexIndex.appendToDir(s, dir,
           docs.filter(col("doc_id") % 5 === 1), "doc_id", "text")
-        val queries = docs.filter(col("doc_id") % 101 === 0)
+        val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
           .select(col("doc_id").as("query_id"),
             array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
         LexIndex.query(LexIndex.read(s, dir), queries,
