@@ -321,15 +321,69 @@ object Similarity {
 
   // ------------------------------------------------------------ IVF variant
 
-  /** Deterministic coarse centroids for an IVF index: the `nCells` corpus
-    * vectors with the smallest md5(id) — a seeded random sample, no RNG
-    * state, no iterative training. (Production IVF would train centroids;
-    * random coarse quantizers are the standard zero-training baseline.) */
+  /** Exact fixed-point L2 normalization of the long-vector column `c` to
+    * the 2²⁰ sphere, in place: c_i ← trunc(c_i·2²⁰ / ⌊√Σc_i²⌋). Every step
+    * is exact integer arithmetic, so both engines reproduce it bit-for-bit:
+    * Σc_i² ≤ 64·2⁴³ < 2⁵³ is exactly representable as a double, and for
+    * such ss `floor(sqrt(double))` IS the integer sqrt (a non-square's root
+    * sits ≥ ~2⁻²⁵ from the nearest integer while the correctly-rounded
+    * sqrt errs ≤ ~2⁻²⁹) — the ±1 CASE adjustment is belt-and-braces, and
+    * the same expression evaluates identically in DuckDB. Division is
+    * trunc-toward-zero on both sides (Spark `div`; the oracle emulates it
+    * over `//` with a sign CASE). A zero vector passes through unchanged;
+    * a null (no Lloyd update for the cell) stays null. */
+  private[operators] def normalizeCol(df: DataFrame, c: String): DataFrame =
+    df.withColumn("__nss", expr(s"aggregate($c, 0L, (a, x) -> a + x * x)"))
+      .withColumn("__nr0", expr("CAST(floor(sqrt(CAST(__nss AS DOUBLE))) AS BIGINT)"))
+      .withColumn("__nr", expr(
+        "CASE WHEN (__nr0 + 1) * (__nr0 + 1) <= __nss THEN __nr0 + 1 " +
+        "WHEN __nr0 * __nr0 > __nss THEN __nr0 - 1 ELSE __nr0 END"))
+      .withColumn(c, expr(
+        s"CASE WHEN __nr <= 0 THEN $c " +
+        s"ELSE transform($c, x -> (x * 1048576L) div __nr) END"))
+      .drop("__nss", "__nr0", "__nr")
+
+  /** Deterministic SPHERICAL coarse centroids for an IVF index: the
+    * `nCells` corpus vectors with the smallest md5(id) — a seeded random
+    * sample — each normalized to the fixed-point unit sphere
+    * ([[normalizeCol]]).
+    *
+    * Both halves of that sentence are load-bearing at scale, and both were
+    * MEASURED on the STRESS retrain fixture (80k vectors, a 27k-vector
+    * dense appended mode, 283 cells):
+    *
+    *  - The md5 sample is kept because it is MASS-PROPORTIONAL: a region
+    *    holding 1/3 of the corpus draws ~1/3 of the seeds, which is what
+    *    balances cell occupancy. The "better" seedings the k-means
+    *    literature suggests are mass-blind and measurably WORSE here:
+    *    farthest-first (k-center/Gonzalez) plants one seed per region
+    *    regardless of its mass and drove the fixture's repaired skew to
+    *    96 (the whole mode in ~1 cell); greedy gain-maximization (the
+    *    deterministic k-means++ analog) still under-seeds dense low-
+    *    variance modes (skew 35), because splitting a tight heavy cloud
+    *    barely moves the similarity objective while occupancy wants it
+    *    split by MASS.
+    *  - Normalization fixes the actual failure: under max-inner-product
+    *    assignment a raw member seed with 10% extra norm out-pulls every
+    *    equally-close unit seed, so the hottest-norm seed in a dense mode
+    *    wins disproportionately — the measured skew floor of ~13 that
+    *    r8's STRESS section documented. Projecting seeds (and Lloyd
+    *    means, see [[ivfTrainCentroids]]) onto the 2²⁰ sphere makes MIPS
+    *    argmax ≡ cosine argmax, and the same fixture repairs to skew 4.3
+    *    untrained / 3.5 after one spherical Lloyd round.
+    *
+    * Everything stays exact integer math and plan-shape cheap: the sample
+    * is a distributed TakeOrderedAndProject (no driver collect, no global
+    * sort) and the normalization is three codegen'd column expressions, so
+    * the DuckDB oracles re-derive seed + normalization exactly
+    * (SimilarityQueries.seedCtes). */
   def ivfCentroids(quantized: DataFrame, idCol: String, nCells: Int): DataFrame =
-    quantized
-      .select(col(idCol).as("cent_id"), col("__qv").as("__cv"))
-      .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
-      .limit(nCells) // sort+limit → TakeOrderedAndProject: distributed top-k, no global sort
+    normalizeCol(
+      quantized
+        .select(col(idCol).as("cent_id"), col("__qv").as("__cv"))
+        .orderBy(md5(col("cent_id").cast("string")), col("cent_id"))
+        .limit(nCells), // sort+limit → TakeOrderedAndProject: distributed top-k, no global sort
+      "__cv")
 
   /** In-plan quantizer budget for the literal assignment path: the collected
     * matrix rides with the task binary (one broadcast per stage), so it is
@@ -406,12 +460,20 @@ object Similarity {
     * already partitioned (the normal cluster case — no hidden shuffle). */
   private def spread(df: DataFrame): DataFrame = Scale.spread(df)
 
-  /** Lloyd-trained coarse centroids: `iters` k-means rounds (dot-product
-    * assignment ≡ cosine on unit vectors, element-wise integer-mean update)
-    * over the md5-sample seed. Fully deterministic and DataFrame-only:
-    * means are exact integer division of exact long sums (never a
-    * float mean, whose value would depend on reduction order), so the
-    * trained quantizer is bit-stable across runs and partitionings. A cell
+  /** Lloyd-trained coarse centroids: `iters` SPHERICAL k-means rounds
+    * (dot-product assignment, element-wise integer-mean update, then the
+    * mean projected back onto the fixed-point unit sphere) over the
+    * md5-sample seed. The re-normalization is what keeps training from
+    * UNBALANCING the quantizer: an un-normalized integer mean of a tight
+    * cluster keeps more norm than the mean of a diffuse one, and under
+    * MIPS argmax the high-norm centroid then absorbs ever more of the
+    * corpus round over round (measured on the STRESS retrain fixture:
+    * raw-mean Lloyd drives skew 13 → 37 → 56 across rounds; spherical
+    * holds 4.3 → 3.5). Fully deterministic and DataFrame-only: means are
+    * exact integer division of exact long sums (never a float mean, whose
+    * value would depend on reduction order) and the projection is
+    * [[normalizeCol]]'s exact isqrt recipe, so the trained quantizer is
+    * bit-stable across runs and partitionings. A cell
     * that attracts no vectors keeps its previous centroid. Per round:
     * one broadcast assignment + one (cell, pos) aggregation over the
     * posexploded vectors — at extreme corpus scale run it on a sample;
@@ -428,7 +490,7 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(expr("transform(array_sort(collect_list(struct(__pos, __mv))), s -> s.__mv)")
           .as("__new_cv"))
-      cents = cents.join(means, Seq("cent_id"), "left")
+      cents = normalizeCol(cents.join(means, Seq("cent_id"), "left"), "__new_cv")
         .select(col("cent_id"), coalesce(col("__new_cv"), col("__cv")).as("__cv"))
         .localCheckpoint() // tiny frame; truncate the per-round plan growth
     }
@@ -696,10 +758,11 @@ object Similarity {
     // rank-k window plans as WindowGroupLimit, no per-cell sort
     val wSeed = Window.partitionBy(col("cell1"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    var cents2 = a1
+    var cents2 = normalizeCol(a1
       .withColumn("__rn", row_number().over(wSeed))
       .filter(col("__rn") <= nCellsL2)
-      .select(col("cell1"), col(idCol).as("cent_id"), col("__qv").as("__cv"))
+      .select(col("cell1"), col(idCol).as("cent_id"), col("__qv").as("__cv")),
+      "__cv") // spherical leaves, same rationale as ivfCentroids
     // Per-cell Lloyd refinement of the leaf quantizer — the same exact-
     // integer recipe as ivfTrainCentroids (long sums, integer division,
     // position-sorted rebuild) grouped by (cell1, cent_id), so the trained
@@ -717,7 +780,8 @@ object Similarity {
         .groupBy(col("cell1"), col("cent_id"))
         .agg(expr("transform(array_sort(collect_list(struct(__pos, __mv))), s -> s.__mv)")
           .as("__new_cv"))
-      cents2 = cents2.join(means, Seq("cell1", "cent_id"), "left")
+      cents2 = normalizeCol(cents2.join(means, Seq("cell1", "cent_id"), "left"),
+          "__new_cv")
         .select(col("cell1"), col("cent_id"),
           coalesce(col("__new_cv"), col("__cv")).as("__cv"))
         .localCheckpoint() // tiny frame; truncate per-round plan growth

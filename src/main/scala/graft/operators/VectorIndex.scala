@@ -48,7 +48,8 @@ final case class IvfPqIndex(
   */
 object VectorIndex {
 
-  /** Train + encode: coarse centroids (md5-seeded, [[Similarity.ivfCentroids]]),
+  /** Train + encode: coarse centroids (deterministic spherical md5 sample,
+    * [[Similarity.ivfCentroids]]),
     * Lloyd-trained PQ codebook, then ONE map-only pass assigning each vector
     * to its best cell and compressing it to M codes. */
   def build(emb: DataFrame, idCol: String, vecCol: String,

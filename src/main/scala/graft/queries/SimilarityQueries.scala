@@ -15,6 +15,48 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
+  /** Oracle-side re-derivation of [[Similarity.normalizeCol]]'s exact
+    * fixed-point projection onto the 2²⁰ sphere: given `src(cent_id, cv,
+    * extras…)`, emits `<out>_ss` (sum of squares + floor-sqrt), `<out>_r`
+    * (the ±1-adjusted integer sqrt) and `<out>(cent_id, cv, extras…)` with
+    * cv ← trunc(cv_i·2²⁰ / isqrt(Σcv_i²)). `floor(sqrt(double))` is exact
+    * for ss < 2⁵³ (see the operator's scaladoc); the sign CASE emulates
+    * Spark's trunc-toward-zero `div` over DuckDB's floor `//`. */
+  private[queries] def normCtes(src: String, out: String,
+                                extras: Seq[String] = Nil): String = {
+    val ex = extras.map(e => s"$e, ").mkString
+    s"""${out}_ss AS (
+               SELECT ${ex}cent_id, cv,
+                 CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS ss,
+                 CAST(floor(sqrt(CAST(CAST(list_sum(list_transform(cv, x -> x * x))
+                   AS BIGINT) AS DOUBLE))) AS BIGINT) AS r0
+               FROM $src),
+             ${out}_r AS (
+               SELECT ${ex}cent_id, cv,
+                 CASE WHEN (r0 + 1) * (r0 + 1) <= ss THEN r0 + 1
+                      WHEN r0 * r0 > ss THEN r0 - 1 ELSE r0 END AS r
+               FROM ${out}_ss),
+             $out AS (
+               SELECT ${ex}cent_id,
+                 CASE WHEN r <= 0 THEN cv
+                      ELSE list_transform(cv, x -> CASE WHEN x < 0
+                        THEN -((-x * 1048576) // r)
+                        ELSE (x * 1048576) // r END) END AS cv
+               FROM ${out}_r)"""
+  }
+
+  /** Oracle-side re-derivation of [[Similarity.ivfCentroids]]'s spherical
+    * coarse seeding: the k md5-smallest vectors of `src(vec_id, qv)`, each
+    * normalized to the fixed-point unit sphere ([[normCtes]]). Emits
+    * `<out>_raw` plus the normalization chain ending in
+    * `<out>(cent_id, cv)` — a drop-in replacement for the pre-spherical
+    * `ORDER BY md5 ... LIMIT k` seed CTE. */
+  private[queries] def seedCtes(src: String, k: Int, out: String): String =
+    s"""${out}_raw AS (
+               SELECT vec_id AS cent_id, qv AS cv FROM $src
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+             ${normCtes(s"${out}_raw", out)}"""
+
   /** Shared by q100 (inline IVF-PQ), q103 (build → write → read → serve
     * through `VectorIndex`), and — with a training filter — q104 (build on
     * a base slice, `VectorIndex.appendToDir` the rest): all three are the
@@ -87,9 +129,7 @@ object SimilarityQueries {
                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                               ORDER BY dist, code) AS rn FROM d1)
                WHERE rn = 1),
-             ct AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM $trainSrc
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             ${seedCtes(trainSrc, 32, "ct")},
              dall AS (
                SELECT q.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
@@ -311,24 +351,25 @@ object SimilarityQueries {
              ORDER BY dot DESC, vec_a, vec_b""")),
 
     // IVF-partitioned approximate top-k — the second ANN scale path
-    // (cell-partitioned index vs overlapping LSH buckets). md5-sample
-    // centroids, integer-dot argmax assignment, nProbe closest cells,
-    // exact re-score: every step is deterministic integer math, so the
-    // oracle re-derives the whole index + probe pipeline (q59 playbook).
-    // SimilaritySpec additionally asserts nProbe=nCells degenerates to
-    // the exact brute-force result.
+    // (cell-partitioned index vs overlapping LSH buckets). Spherical
+    // centroid seeds (mass-proportional md5 sample, each projected onto
+    // the fixed-point unit sphere — what keeps cell occupancy balanced
+    // under MIPS; see ivfCentroids' measured rationale), integer-dot
+    // argmax assignment, nProbe closest cells, exact re-score: every step
+    // is deterministic integer math, so the oracle re-derives the whole
+    // index + probe pipeline (q59 playbook; seed + exact-isqrt
+    // normalization via seedCtes). SimilaritySpec additionally
+    // asserts nProbe=nCells degenerates to the exact brute-force result.
     Q("q35_ivf_topk",
       (s, d) => Similarity.ivfTopK(
           Tables.embeddings(s, d), "vec_id", "embedding",
           col("vec_id") % 40 === 0, k = 10, nCells = 32, nProbe = 8)
         .orderBy(col("query_id"), col("rank")),
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
                SELECT vec_id, list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
-             ct AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             ${seedCtes("q", 32, "ct")},
              dall AS (
                SELECT q.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
@@ -363,23 +404,22 @@ object SimilarityQueries {
              FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
 
     // Hierarchical (two-level) IVF top-k — the scale path past flat IVF's
-    // √N broadcast wall. md5-deterministic at both quantizer levels, so
-    // the oracle re-derives L1 seeding, L1 assignment, per-cell L2
-    // seeding (rank-by-md5 within cell), L2 assignment, two-stage
-    // probing, and the exact re-score.
+    // √N broadcast wall. Deterministic at both quantizer levels (L1 =
+    // spherical md5 sample, L2 = rank-by-md5 within cell, also
+    // normalized), so the oracle re-derives L1 seeding, L1 assignment,
+    // per-cell L2 seeding + normalization, two-stage probing, and the
+    // exact re-score.
     Q("q94_ivf2_topk",
       (s, d) => Similarity.ivfTopK2(
           Tables.embeddings(s, d), "vec_id", "embedding",
           col("vec_id") % 40 === 0, k = 10,
           nCellsL1 = 8, nCellsL2 = 16, nProbeL1 = 6, nProbeL2 = 32)
         .orderBy(col("query_id"), col("rank")),
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
                SELECT vec_id, list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
-             c1 AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             ${seedCtes("q", 8, "c1")},
              d1 AS (
                SELECT q.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
@@ -390,13 +430,14 @@ object SimilarityQueries {
                  SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
                    ORDER BY d DESC, cent_id) AS rn FROM d1)
                WHERE rn = 1),
-             c2 AS (
+             c2_raw AS (
                SELECT cell1, vec_id AS cent_id, qv AS cv FROM (
                  SELECT a1.cell1, a1.vec_id, q.qv,
                    row_number() OVER (PARTITION BY a1.cell1
                      ORDER BY md5(CAST(a1.vec_id AS VARCHAR)), a1.vec_id) AS rn
                  FROM a1 JOIN q USING (vec_id))
                WHERE rn <= 16),
+             ${normCtes("c2_raw", "c2", Seq("cell1"))},
              d2 AS (
                SELECT a1.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
@@ -450,14 +491,12 @@ object SimilarityQueries {
       (s, d) => Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id",
           "embedding", nCells = 16, trainIters = 1)
         .orderBy(col("vec_id")),
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
                SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
-             seed AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             ${seedCtes("q", 16, "seed")},
              d1 AS (
                SELECT q.vec_id, q.qv, s.cent_id,
                  CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -482,9 +521,10 @@ object SimilarityQueries {
              newc AS (
                SELECT cent_id, list(mv ORDER BY pos) AS cv
                FROM mdiv GROUP BY cent_id),
+             ${normCtes("newc", "newcn")},
              cents1 AS (
                SELECT s.cent_id, COALESCE(n.cv, s.cv) AS cv
-               FROM seed s LEFT JOIN newc n ON n.cent_id = s.cent_id),
+               FROM seed s LEFT JOIN newcn n ON n.cent_id = s.cent_id),
              d2 AS (
                SELECT q.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -503,14 +543,12 @@ object SimilarityQueries {
       (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
           "embedding", nCells = 16, trainIters = 1, threshold = 0.4)
         .orderBy(col("vec_id")),
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
                SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
-             seed AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             ${seedCtes("q", 16, "seed")},
              d1 AS (
                SELECT q.vec_id, q.qv, s.cent_id,
                  CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -535,9 +573,10 @@ object SimilarityQueries {
              newc AS (
                SELECT cent_id, list(mv ORDER BY pos) AS cv
                FROM mdiv GROUP BY cent_id),
+             ${normCtes("newc", "newcn")},
              cents1 AS (
                SELECT s.cent_id, COALESCE(n.cv, s.cv) AS cv
-               FROM seed s LEFT JOIN newc n ON n.cent_id = s.cent_id),
+               FROM seed s LEFT JOIN newcn n ON n.cent_id = s.cent_id),
              d2 AS (
                SELECT q.vec_id, q.qv, c.cent_id,
                  CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -669,14 +708,12 @@ object SimilarityQueries {
       (s, d) => Similarity.diverseSample(Tables.embeddings(s, d), "vec_id",
           "embedding", nCells = 16, trainIters = 1, perCell = 8)
         .orderBy(col("vec_id")),
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
                SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
-             seed AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             ${seedCtes("q", 16, "seed")},
              d1 AS (
                SELECT q.vec_id, q.qv, s.cent_id,
                  CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -701,9 +738,10 @@ object SimilarityQueries {
              newc AS (
                SELECT cent_id, list(mv ORDER BY pos) AS cv
                FROM mdiv GROUP BY cent_id),
+             ${normCtes("newc", "newcn")},
              cents1 AS (
                SELECT s.cent_id, COALESCE(n.cv, s.cv) AS cv
-               FROM seed s LEFT JOIN newc n ON n.cent_id = s.cent_id),
+               FROM seed s LEFT JOIN newcn n ON n.cent_id = s.cent_id),
              d2 AS (
                SELECT q.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -799,7 +837,7 @@ object SimilarityQueries {
              FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
 
     // IVF-PQ: the composed production serving shape — q35's coarse-cell
-    // probing (md5-sampled centroids, integer-dot argmax, nProbe closest
+    // probing (spherical md5-sample seeds, integer-dot argmax, nProbe closest
     // cells) restricting the candidate set, q99's PQ codes + ADC lookups
     // scoring it. The oracle is the mechanical composition of the two
     // chains: candidates come from the probed-cell join, the ADC score
@@ -920,9 +958,10 @@ object SimilarityQueries {
     // Drift OBSERVABLE: the per-cell occupancy census that gates q110's
     // retrain, for the same drift state (trained on two thirds, full
     // corpus assigned) and after the repair (trained on everything). Only
-    // the coarse quantizer participates — seeds are the md5-ordered top
-    // nCells of the TRAINING slice, assignment the integer-dot argmax over
-    // the full corpus — so the oracle re-derives both censuses exactly.
+    // the coarse quantizer participates — seeds are the spherical md5
+    // sample of the TRAINING slice, assignment the integer-dot argmax
+    // over the full corpus — so the oracle re-derives both censuses
+    // exactly (two seedCtes chains, one per training slice).
     // `occupancySkew` (max/mean of the `n` column) is the scalar a nightly
     // `retrainIfDrifted` gates on; VectorIndexSpec pins the gate itself.
     Q("q111_cell_occupancy",
@@ -943,18 +982,14 @@ object SimilarityQueries {
             col("n").cast("long"))
           .orderBy(col("phase"), col("cell"))
       },
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
                SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
              tq AS (SELECT vec_id, qv FROM q WHERE vec_id % 3 <> 0),
-             ctf AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM tq
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
-             ctr AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             ${seedCtes("tq", 32, "ctf")},
+             ${seedCtes("q", 32, "ctr")},
              df AS (
                SELECT q.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
@@ -1003,13 +1038,11 @@ object SimilarityQueries {
             k = 10, nCells = 32, nProbe = 8)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
                SELECT vec_id, list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
                FROM embeddings),
-             ct AS (
-               SELECT vec_id AS cent_id, qv AS cv FROM q
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+             ${seedCtes("q", 32, "ct")},
              dall AS (
                SELECT q.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
