@@ -90,7 +90,7 @@ object DedupIndex {
     * partitions. */
   val DefaultNPb = 64
 
-  private def pb(idc: org.apache.spark.sql.Column, nPb: Int) =
+  private[operators] def pb(idc: org.apache.spark.sql.Column, nPb: Int) =
     pmod(hash(idc), lit(nPb))
 
   /** Persist: three parquet frames + one meta row. All string/integer
@@ -115,7 +115,25 @@ object DedupIndex {
   }
 
   def read(spark: SparkSession, dir: String): MinHashIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    // meta's params (shingle_n/k/bands/n_pb) are immutable per index, so
+    // ANY complete snapshot is correct; n_docs is advisory. Epoch appends
+    // rewrite the file in place, so a read racing a refresh can land
+    // mid-overwrite — retry the listing rather than fail the read.
+    val meta = {
+      var out: Option[org.apache.spark.sql.Row] = None
+      var attempts = 0
+      while (out.isEmpty && attempts < 5) {
+        attempts += 1
+        try out = spark.read.parquet(s"$dir/meta").collect().headOption
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (attempts >= 5) throw e else Thread.sleep(100)
+        }
+        if (out.isEmpty && attempts < 5) Thread.sleep(100)
+      }
+      out.getOrElse(
+        throw new IllegalStateException(s"unreadable index meta at $dir/meta"))
+    }
     MinHashIndex(
       spark.read.parquet(s"$dir/sigs"),
       spark.read.parquet(s"$dir/hashes"),
@@ -284,7 +302,7 @@ object DedupIndex {
     * destination — the idempotent-commit primitive [[gateEpoch]] builds
     * on (same recipe as `VectorIndex.appendEpoch`): a replay re-stages
     * the same rows onto the same name, so crashed commits converge. */
-  private def commitOne(spark: SparkSession, df: DataFrame, stageDir: String,
+  private[operators] def commitOne(spark: SparkSession, df: DataFrame, stageDir: String,
                         dst: org.apache.hadoop.fs.Path): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dst.getFileSystem(conf)
@@ -302,7 +320,7 @@ object DedupIndex {
     * delta partitioned, then rename each partition's single file onto
     * `<root>/pb=X/<tag>-0.parquet`. Destinations are deterministic given
     * the delta, so replays converge file-by-file. */
-  private def commitShingles(spark: SparkSession, df: DataFrame,
+  private[operators] def commitShingles(spark: SparkSession, df: DataFrame,
                              stageDir: String, dstRoot: String,
                              tag: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -371,13 +389,25 @@ object DedupIndex {
     commitShingles(spark, delta.shingles.withColumn("pb", pb(col("id"), ix.nPb)),
       s"$dir/_stage/e$epochId-shingles", s"$dir/shingles", s"e$epochId")
     delta.sigs.unpersist(); delta.shingles.unpersist()
-    val n = spark.read.parquet(s"$dir/hashes").count()
-    Seq((ix.shingleN, ix.k, ix.bands, n, ix.nPb))
-      .toDF("shingle_n", "k", "bands", "n_docs", "n_pb")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    val out = fs.create(marker, false)
-    try out.write(s"e$epochId".getBytes("UTF-8")) finally out.close()
-    true
+    // best-effort: a reader racing this overwrite retries ([[read]]), and
+    // losing the refresh only staleness n_docs (advisory) — params are
+    // immutable and every rewrite carries the same values
+    try {
+      val n = spark.read.parquet(s"$dir/hashes").count()
+      Seq((ix.shingleN, ix.k, ix.bands, n, ix.nPb))
+        .toDF("shingle_n", "k", "bands", "n_docs", "n_pb")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      val out = fs.create(marker, false)
+      try out.write(s"e$epochId".getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      // a concurrent writer of the SAME epoch won the marker race — its
+      // frames derive from the same committed kept file with the same
+      // frozen params, so the content is identical (see [[DedupIndexOcc]])
+      case _: java.io.IOException => false
+    }
   }
 
   /** The streaming at-ingest dedup gate: every micro-batch of documents

@@ -412,7 +412,7 @@ object Similarity {
     * collects here are eager but BOUNDED: a 1-row dim probe, then at most
     * cap/dim+1 rows; past the cap nothing big was materialized and the
     * lazy join form is returned instead. */
-  private[operators] def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(q: DataFrame, idCol: String, cents: DataFrame): DataFrame = {
     val head = cents.select(col("__cv")).limit(1).collect()
     require(head.nonEmpty, "assignCells: empty centroid set")
     val dim = math.max(head.head.getSeq[Long](0).length, 1)
@@ -1065,7 +1065,7 @@ object Similarity {
     cb
   }
 
-  private[operators] def cbLiteral(cb: Array[Array[Array[Long]]]): Column =
+  private[graft] def cbLiteral(cb: Array[Array[Array[Long]]]): Column =
     typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** PQ-encode the corpus: (id, codes array<bigint>) — each vector

@@ -208,8 +208,21 @@ object VectorIndex {
     val dSub = cbRows.map(_.getInt(2)).max + 1
     val cb = Array.ofDim[Long](m, ks, dSub)
     cbRows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3))
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
     val raw = spark.read.parquet(s"$dir/codes")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    // meta is a convenience cache (it saves serving a corpus recount), not
+    // a source of truth: under concurrent maintenance ([[VectorIndexOcc]])
+    // its best-effort refresh can be briefly torn or stale, so a read that
+    // cannot parse it heals by recounting — codes row count, centroid
+    // count — exactly what every writer's refresh derives it from.
+    val (metaRows, metaCells) =
+      try {
+        val m = spark.read.parquet(s"$dir/meta").collect()
+        if (m.nonEmpty) (m.head.getAs[Long]("n_rows"), m.head.getAs[Int]("n_cells"))
+        else (raw.count(), cents.count().toInt)
+      } catch {
+        case scala.util.control.NonFatal(_) => (raw.count(), cents.count().toInt)
+      }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // subtract tombstones (deleteIds guarantees they are distinct and live;
@@ -219,12 +232,7 @@ object VectorIndex {
         val t = spark.read.parquet(s"$dir/_tombstones")
         (raw.join(broadcast(t), Seq("id"), "left_anti"), t.count())
       } else (raw, 0L)
-    IvfPqIndex(
-      codes,
-      spark.read.parquet(s"$dir/centroids"),
-      cb,
-      meta.getAs[Long]("n_rows") - dead,
-      meta.getAs[Int]("n_cells"))
+    IvfPqIndex(codes, cents, cb, metaRows - dead, metaCells)
   }
 
   /** Append new vectors to an existing index WITHOUT retraining — FAISS's
@@ -271,7 +279,12 @@ object VectorIndex {
         call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(ix.codebook))
           .as("codes"))
       .write.mode("append").parquet(s"$dir/codes")
-    Seq((ix.nRows + q.count(), ix.nCells)).toDF("n_rows", "n_cells")
+    // meta's n_rows is the RAW codes row count (appendEpoch/vacuum/read all
+    // treat it that way) — recount from parquet footers rather than adding
+    // the delta to ix.nRows, which is tombstone-SUBTRACTED and would make
+    // read() double-subtract dead rows after an append with pending deletes
+    val n = spark.read.parquet(s"$dir/codes").count()
+    Seq((n, ix.nCells)).toDF("n_rows", "n_cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     q.unpersist()
     read(spark, dir)
@@ -321,12 +334,26 @@ object VectorIndex {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
     fc.rename(part.head, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-    val n = spark.read.parquet(s"$dir/codes").count()
-    Seq((n, ix.nCells)).toDF("n_rows", "n_cells")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    val out = fs.create(marker, false)
-    try out.write(s"e$epochId".getBytes("UTF-8")) finally out.close()
-    true
+    // best-effort meta refresh: two writers landing epochs in the same
+    // generation (an appender's handoff re-apply racing a maintainer's
+    // carry, see [[VectorIndexOcc]]) may overwrite meta concurrently; a
+    // torn meta is healed by [[read]]'s recount, so losing this write is
+    // benign while failing the whole epoch for it would not be
+    try {
+      val n = spark.read.parquet(s"$dir/codes").count()
+      Seq((n, ix.nCells)).toDF("n_rows", "n_cells")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      val out = fs.create(marker, false)
+      try out.write(s"e$epochId".getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      // a concurrent writer of the SAME epoch won the marker race: the
+      // rows it committed are identical by determinism (same delta, same
+      // frozen quantizers, same deterministic file name) — a no-op replay
+      case _: java.io.IOException => false
+    }
   }
 
   /** Continuous index maintenance: every micro-batch of fresh vectors is
