@@ -75,12 +75,23 @@ object LexIndex {
     pmod(hash(termc), lit(nPb))
 
   /** Tokenize and count the corpus. One wide shuffle (the (id, term)
-    * aggregation), paid once here instead of per query batch. */
+    * aggregation), paid once here instead of per query batch.
+    *
+    * Postings are POSITIONAL: each (id, term) row also carries the sorted
+    * token offsets of that term in the document — the classic positional
+    * posting list that upgrades the index from bag-of-words BM25 to
+    * phrase/proximity queries ([[phraseTopK]]) without a second artifact.
+    * BM25 queries never read the column (parquet prunes it at the scan,
+    * asserted in LexIndexSpec), so the upgrade costs ranking nothing;
+    * storage grows by one int per token occurrence — the standard
+    * positional-index price (Lucene pays the same in its .pos files). */
   def build(docs: DataFrame, idCol: String, textCol: String,
             nPb: Int = DefaultNPb): Bm25Index = {
-    val tf = TextAnalysis.termRows(docs, idCol, textCol, 1)
+    val tf = docs
+      .select(col(idCol), posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "term")))
       .groupBy(col(idCol).as("id"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("__pos"))).as("positions"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val doclen = tf.groupBy(col("id")).agg(sum("tf").cast("long").as("dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -93,7 +104,8 @@ object LexIndex {
     // dl inline: one corpus-sized join here, paid once per build instead
     // of once per query batch
     Bm25Index(tf.join(doclen, "id")
-      .select(col("term"), col("id"), col("tf"), col("dl")), doclen, n, tot, nPb)
+      .select(col("term"), col("id"), col("tf"), col("dl"), col("positions")),
+      doclen, n, tot, nPb)
   }
 
   /** Persist: two parquet frames + one meta row. Postings repartitioned
@@ -139,6 +151,35 @@ object LexIndex {
     * corpus — the fallback alone is NOT an index win; the pushdown is). */
   val MaxPushTerms = 20000
 
+  /** The shared pushdown of [[query]] and [[phraseTopK]]: one bounded
+    * collect yields the batch's term list AND its pb values (pb computed
+    * by the same Spark expression the write used, never re-implemented
+    * driver-side), pushed as static `term IN`/`pb IN` scan filters below
+    * [[MaxPushTerms]], with the broadcast semi-join fallback above it. */
+  private def prunedPostings(ix: Bm25Index, qTerms: DataFrame): DataFrame = {
+    val termsLocal: Option[Seq[(String, Int)]] = {
+      val t = qTerms.select(col("term"), pb(col("term"), ix.nPb).as("pb"))
+        .distinct().limit(MaxPushTerms + 1).collect()
+      if (t.length <= MaxPushTerms)
+        Some(t.map(r => (r.getString(0), r.getInt(1))).toSeq)
+      else None
+    }
+    val hasPb = ix.postings.columns.contains("pb")
+    val pruned = termsLocal match {
+      case Some(ts) =>
+        val byTerm = ix.postings.filter(col("term").isin(ts.map(_._1): _*))
+        if (hasPb) byTerm.filter(col("pb").isin(ts.map(_._2).distinct: _*))
+        else byTerm
+      case None =>
+        if (hasPb) {
+          val pbs = qTerms.select(pb(col("term"), ix.nPb).as("pb")).distinct()
+            .collect().map(_.getAs[Int]("pb")).toSeq
+          ix.postings.filter(col("pb").isin(pbs: _*))
+        } else ix.postings
+    }
+    pruned.join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+  }
+
   /** Rank the indexed corpus against each query — bit-for-bit
     * [[Retrieval.bm25TopK]]'s output (same scoring tail,
     * [[Retrieval.bm25Rank]]), at query-batch cost:
@@ -162,31 +203,7 @@ object LexIndex {
         explode(Dedup.tokens(col(queryTextCol))).as("term"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one bounded collect yields the term list AND its pb values (pb is
-    // computed by the same Spark expression the write used, never
-    // re-implemented driver-side)
-    val termsLocal: Option[Seq[(String, Int)]] = {
-      val t = qTerms.select(col("term"), pb(col("term"), ix.nPb).as("pb"))
-        .distinct().limit(MaxPushTerms + 1).collect()
-      if (t.length <= MaxPushTerms)
-        Some(t.map(r => (r.getString(0), r.getInt(1))).toSeq)
-      else None
-    }
-    val hasPb = ix.postings.columns.contains("pb")
-    val pruned = termsLocal match {
-      case Some(ts) =>
-        val byTerm = ix.postings.filter(col("term").isin(ts.map(_._1): _*))
-        if (hasPb) byTerm.filter(col("pb").isin(ts.map(_._2).distinct: _*))
-        else byTerm
-      case None =>
-        if (hasPb) {
-          val pbs = qTerms.select(pb(col("term"), ix.nPb).as("pb")).distinct()
-            .collect().map(_.getAs[Int]("pb")).toSeq
-          ix.postings.filter(col("pb").isin(pbs: _*))
-        } else ix.postings
-    }
-    val restricted = pruned
-      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val restricted = prunedPostings(ix, qTerms)
     // dl comes inline from the posting rows; the doclen join only exists
     // as the fallback for a pre-inline index layout
     val matched = (
@@ -210,6 +227,66 @@ object LexIndex {
       .join(broadcast(docFreq), "term")
       .withColumn("__n_docs", lit(ix.nDocs))
       .withColumn("__tot_len", lit(ix.totLen)), qTerms, k, k1, b)
+  }
+
+  /** Phrase-match top-k over the positional postings: per query, rank the
+    * documents containing the phrase's tokens CONSECUTIVELY by phrase
+    * frequency (number of occurrences), deterministic doc-id tiebreak.
+    * Output: (query_id, rank, doc_id, pf).
+    *
+    * The relational form of Lucene's PhraseQuery: anchors = the offset-0
+    * term's positions in each candidate document; an anchor p matches
+    * when every phrase offset j finds its term at p + j
+    * (`array_contains` on the posting's position list — codegen'd, no
+    * per-position explode except the anchor's own list). Candidates are
+    * first restricted to documents containing ALL phrase terms (an
+    * aggregation over the already-pruned postings), so a stopword anchor
+    * term cannot explode anchors across the corpus — cost follows the
+    * documents that could possibly match, which is the selective-phrase
+    * contract.
+    *
+    * The scan side reuses [[prunedPostings]]: the phrase's terms push
+    * down as the same static `term IN`/`pb IN` filters BM25 queries get,
+    * so the positional read touches the phrase terms' row groups only.
+    * Every step is integer/array arithmetic on the persisted offsets —
+    * q120 re-derives the whole pipeline (tokenize-with-positions, anchor
+    * join, consecutive-match count, rank) in DuckDB and hash-matches. */
+  def phraseTopK(ix: Bm25Index, queries: DataFrame, queryIdCol: String,
+                 phraseCol: String, k: Int): DataFrame = {
+    require(ix.postings.columns.contains("positions"),
+      "phraseTopK needs a positional index (rebuild with this version's build)")
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        posexplode(Dedup.tokens(col(phraseCol))).as(Seq("offset", "term")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qLen = qTerms.groupBy(col("query_id"))
+      .agg(countDistinct(col("offset")).as("__m"))
+    val matched = prunedPostings(ix, qTerms)
+      .select(col("term"), col("id").as("doc_id"), col("positions"))
+      .join(broadcast(qTerms), "term")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // documents containing every phrase offset — the anchor-explosion guard
+    val full = matched.groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("offset")).as("__have"))
+      .join(broadcast(qLen), "query_id")
+      .filter(col("__have") === col("__m"))
+      .select(col("query_id"), col("doc_id"))
+    val anchors = matched.filter(col("offset") === 0)
+      .join(full, Seq("query_id", "doc_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), explode(col("positions")).as("__p"))
+    val pf = matched
+      .join(anchors, Seq("query_id", "doc_id"))
+      .filter(array_contains(col("positions"), col("__p") + col("offset")))
+      .groupBy(col("query_id"), col("doc_id"), col("__p"))
+      .agg(countDistinct(col("offset")).as("__nhit"))
+      .join(broadcast(qLen), "query_id")
+      .filter(col("__nhit") === col("__m"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("pf"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("pf").desc, col("doc_id"))
+    pf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("pf"))
   }
 
   /** Index a delta corpus slice into the at-rest index at `dir`:

@@ -239,5 +239,76 @@ object RetrievalQueries {
                n_hit_terms, score_micros,
                CAST(score_micros AS DOUBLE) / 1000000 AS score
              FROM lex WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    // Phrase-match top-k over POSITIONAL postings: the persisted index
+    // carries each (doc, term)'s sorted token offsets, and every query
+    // doc's tokens 2..4 must occur CONSECUTIVELY in a matching document
+    // (ranked by phrase frequency, doc-id tiebreak). The read path is the
+    // same pushed `term IN`/`pb IN` pruned scan as q116's BM25 queries —
+    // positions change what a posting row carries, not how it is found —
+    // and the whole match is integer/array arithmetic over persisted
+    // offsets, so the oracle re-derives tokenize-with-positions, the
+    // anchor join, the consecutive-match count, and the rank.
+    Q("q120_phrase_topk",
+      (s, d) => {
+        import graft.operators.LexIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q120").toString + "/lix"
+        val docs = Tables.documents(s, d)
+        LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
+        val queries = docs
+          .filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
+          .filter(size(Dedup.tokens(col("text"))) >= 4)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Dedup.tokens(col("text")), 2, 3), " ").as("phrase"))
+        LexIndex.phraseTopK(LexIndex.read(s, dir), queries,
+            "query_id", "phrase", k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             tp AS (
+               SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+               FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+             qp AS (
+               SELECT doc_id AS query_id, list_slice(w, 2, 4) AS ph
+               FROM toks
+               WHERE doc_id % 101 = 0 AND doc_id < 50500 AND len(w) >= 4),
+             qt AS (
+               SELECT query_id, CAST(i - 1 AS BIGINT) AS off, ph[i] AS term
+               FROM qp, UNNEST(range(1, len(ph) + 1)) AS t(i)),
+             qm AS (SELECT query_id, CAST(COUNT(DISTINCT off) AS BIGINT) AS m
+                    FROM qt GROUP BY 1),
+             cand AS (
+               SELECT qt.query_id, tp.doc_id, qt.off, tp.pos
+               FROM qt JOIN tp USING (term)),
+             fd AS (
+               SELECT c.query_id, c.doc_id
+               FROM cand c JOIN qm ON qm.query_id = c.query_id
+               GROUP BY c.query_id, c.doc_id, qm.m
+               HAVING COUNT(DISTINCT c.off) = qm.m),
+             anch AS (
+               SELECT c.query_id, c.doc_id, c.pos AS p
+               FROM cand c JOIN fd f
+                 ON f.query_id = c.query_id AND f.doc_id = c.doc_id
+               WHERE c.off = 0),
+             hit AS (
+               SELECT c.query_id, c.doc_id, a.p,
+                 CAST(COUNT(DISTINCT c.off) AS BIGINT) AS nhit
+               FROM anch a JOIN cand c
+                 ON c.query_id = a.query_id AND c.doc_id = a.doc_id
+                AND c.pos = a.p + c.off
+               GROUP BY 1, 2, 3),
+             pfq AS (
+               SELECT h.query_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS pf
+               FROM hit h JOIN qm ON qm.query_id = h.query_id
+               WHERE h.nhit = qm.m GROUP BY 1, 2),
+             r AS (SELECT query_id, doc_id, pf,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY pf DESC, doc_id) AS rnk
+                   FROM pfq)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, pf
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
   )
 }

@@ -134,4 +134,44 @@ class LexIndexSpec extends SparkSpec {
     assert(post.contains(4L))
     assert(post(1L) != preScores(1L) && post(2L) != preScores(2L))
   }
+
+  test("phraseTopK: consecutive-only matches, phrase-frequency rank, pruned positional scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),         // phrase once
+      (2L, "alpha beta gamma alpha beta gamma"), // phrase twice -> ranks first
+      (3L, "alpha gamma beta delta"),         // all terms, never consecutive
+      (4L, "beta gamma alpha"),               // all terms, wrong order
+      (5L, "alpha beta epsilon gamma"),       // broken by an extra token
+      (6L, "zeta eta theta")                  // no phrase terms at all
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lix-ph").toString + "/ix"
+    LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
+    val qs = Seq((100L, "alpha beta gamma")).toDF("query_id", "phrase")
+    val out = LexIndex.phraseTopK(LexIndex.read(spark, dir), qs,
+      "query_id", "phrase", k = 10)
+    val rows = out.collect().map(r => (r.getAs[Long]("rank"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("pf"))).sortBy(_._1).toSeq
+    // only docs 1 and 2 contain the CONSECUTIVE phrase; 2 (pf=2) outranks 1
+    assert(rows == Seq((1L, 2L, 2L), (2L, 1L, 1L)), s"got $rows")
+    // the positional read keeps the BM25 pushdown: phrase terms reach the
+    // scan as static term IN + pb partition filters
+    val plan = LexIndex.phraseTopK(LexIndex.read(spark, dir), qs,
+        "query_id", "phrase", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [pb"),
+      "phrase-term pb values not pushed as a partition filter")
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"phrase terms not pushed into the postings scan:\n${plan.take(2000)}")
+    // ...and BM25 queries do NOT pay for positions: their postings scan
+    // prunes the column (ReadSchema carries term/id/tf/dl only)
+    val bm25Plan = LexIndex.query(LexIndex.read(spark, dir),
+        Seq((100L, "alpha beta")).toDF("query_id", "qtext"),
+        "query_id", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    val readSchemas = bm25Plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(_.contains("tf")), "no postings ReadSchema found")
+    assert(!readSchemas.exists(_.contains("positions")),
+      s"BM25 scan reads the positions column it never uses:\n${readSchemas.mkString("\n")}")
+  }
 }
