@@ -40,6 +40,9 @@ object Verify {
       // this the 90+-query dump accumulates them until execution memory
       // starves (same rationale as Bench's per-query cleanup)
       spark.catalog.clearCache()
+      // and drop the query's scratch index dirs — the parquet dump above
+      // fully materialized the result, so nothing references them
+      Scratch.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -607,9 +607,16 @@ object Similarity {
   def ivfTopKFiltered(emb: DataFrame, idCol: String, vecCol: String,
                       queryPred: Column, allowed: DataFrame, k: Int,
                       nCells: Int = 16, nProbe: Int = 4,
-                      trainIters: Int = 0): DataFrame =
+                      trainIters: Int = 0): DataFrame = {
+    // prepare (distinct ids, count) ONCE here — the impl trusts them, so
+    // the id frame is neither re-distinct-ed nor re-counted downstream,
+    // and nothing is cached (the distinct projection is computed twice —
+    // count action + the semi-join at materialization — which beats a
+    // persisted copy that nothing can ever unpersist; ADVICE r8)
+    val ids = allowed.select(col(allowed.columns.head).as(idCol)).distinct()
     ivfTopKImpl(emb, idCol, vecCol, queryPred, k, nCells, nProbe,
-      trainIters, allowed = Some(allowed))
+      trainIters, allowed = Some((ids, ids.count())))
+  }
 
   /** Adaptive filtered top-k: count the allowed set once (a one-column
     * aggregate over the id frame — metadata-scan cheap), then brute-force
@@ -627,21 +634,28 @@ object Similarity {
                    trainIters: Int = 0,
                    bruteCutoff: Long = 65536): DataFrame = {
     val ids = allowed.select(col(allowed.columns.head).as(idCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = ids.count()
     if (n <= bruteCutoff)
       bruteForceTopKFrames(emb.join(ids, Seq(idCol), "left_semi"),
         emb.filter(queryPred), idCol, vecCol, k, n)
     else
-      ivfTopKFiltered(emb, idCol, vecCol, queryPred, ids, k,
-        nCells, nProbe, trainIters)
+      // reuse the distinct + count already derived for the regime choice —
+      // no second distinct, no second count, no cached copy
+      ivfTopKImpl(emb, idCol, vecCol, queryPred, k, nCells, nProbe,
+        trainIters, allowed = Some((ids, n)))
   }
 
+  /** `allowed`, when present, is CALLER-PREPARED: a distinct one-column id
+    * frame plus its count ([[ivfTopKFiltered]]/[[filteredTopK]] derive
+    * both exactly once). The count feeds only the refine-sample modulus;
+    * ids missing from the corpus make it a mild overestimate, which is
+    * safe — a larger modulus samples fewer candidates, so the k-th bound
+    * is looser and strictly MORE rows survive to the exact ranking. */
   private def ivfTopKImpl(emb: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, k: Int,
                           nCells: Int, nProbe: Int,
                           trainIters: Int,
-                          allowed: Option[DataFrame]): DataFrame = {
+                          allowed: Option[(DataFrame, Long)]): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val q = emb.select(col(idCol), quantize(col(vecCol)).as("__qv"))
     // one centroid set shared by index assignment AND query probing — a
@@ -673,14 +687,15 @@ object Similarity {
     // lookup). The query vector then attaches by broadcast as before.
     // the allowed-set semi join restricts candidates BEFORE any scoring;
     // assignment/probing above ran on the full corpus (the index serves
-    // every filter). Persisted when filtered: the frame feeds both the
-    // scoring join and the refine's candidate count.
-    val candIndex = allowed match {
-      case Some(a) =>
-        val ids = a.select(col(a.columns.head).as(idCol)).distinct()
-        index.join(ids, Seq(idCol), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case None => index
+    // every filter). The filtered sliver is NOT persisted: its expensive
+    // input `index` is, so refinedTopK's two consumers recompute only a
+    // cache-scan + semi-join, and no cache entry outlives the call (the
+    // old persist here plus filteredTopK's made two never-unpersisted
+    // copies per filtered query — ADVICE r8). The candidate count comes
+    // threaded from the caller, never from a count() over the sliver.
+    val (candIndex, nAllowed) = allowed match {
+      case Some((ids, n)) => (index.join(ids, Seq(idCol), "left_semi"), n)
+      case None           => (index, -1L)
     }
     val scored = candIndex
       .select(col(idCol).as("neighbor_id"), col("__qv").as("__cvec"), col("cell"))
@@ -690,11 +705,11 @@ object Similarity {
       .withColumn("adist",
         -GraftFunctions.longArrayDot(col("__qvec"), col("__cvec")))
     // negated-fp ranking + sampled-bound refine (see bruteForceTopK note);
-    // candidate estimate = N_allowed·nProbe/nCells, and the frame is
-    // persisted (index itself, or the filtered sliver) so the count is a
-    // cache scan
+    // candidate estimate = N_allowed·nProbe/nCells — the allowed count is
+    // caller-threaded, the unfiltered count a scan of the persisted index
+    val total = if (nAllowed >= 0) nAllowed else index.count()
     refinedTopK(scored, k,
-        math.max(1L, candIndex.count() * nProbe / math.max(nCells, 1)))
+        math.max(1L, total * nProbe / math.max(nCells, 1)))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (-col("adist") / lit(1099511627776.0d)).as("dot"))
   }

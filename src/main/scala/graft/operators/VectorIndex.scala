@@ -446,14 +446,19 @@ object VectorIndex {
     val qtabs = qv.select(col("query_id"),
       call_function("graft_pqtab", col("__qvec"), lit).as("__tab"))
     // allowed-set semi join BEFORE the probe join: candidates outside the
-    // filter never reach the ADC scorer. Persisted when filtered — the
-    // frame feeds both the scoring join and the refine's candidate count.
+    // filter never reach the ADC scorer. The sliver is NOT persisted —
+    // `codes` is a parquet scan the unfiltered path already streams twice
+    // through refinedTopK without caching, and a persisted sliver has no
+    // unpersist point in a lazy serving call (ADVICE r8: it leaked one
+    // cached copy per filtered query). The refine-sample modulus uses the
+    // ALLOWED count (one aggregate over the id frame) instead of counting
+    // the sliver; ids absent from codes make it a mild overestimate, which
+    // only loosens the sampled bound — strictly more survivors reach the
+    // exact ranking, results identical.
     val (codes, nCand) = allowed match {
       case Some(a) =>
         val ids = a.select(col(a.columns.head).as("id")).distinct()
-        val c = ix.codes.join(ids, Seq("id"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (c, c.count())
+        (ix.codes.join(ids, Seq("id"), "left_semi"), ids.count())
       case None => (ix.codes, ix.nRows)
     }
     val scored = codes

@@ -151,7 +151,7 @@ object PipelineQueries {
     // duplication, or byte corruption in the log path breaks the hash match.
     Q("q96_log_roundtrip",
       (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("graft-log-q96").toString
+        val root = graft.Scratch.tempDir("graft-log-q96")
         Tables.events(s, d).filter(col("event_id") % 20 === 0)
           .select(
             col("event_id").cast("string").cast("binary").as("key"),
@@ -195,8 +195,7 @@ object PipelineQueries {
     Q("q97_zorder_skipping",
       (s, d) => {
         import graft.pipeline.{DataSkipping, Medallion}
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q97").toString + "/gold_orders"
+        val root = graft.Scratch.tempDir("graft-q97") + "/gold_orders"
         val src = Tables.orders(s, d).select(
           col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val files = math.max(8, s.sparkContext.defaultParallelism)

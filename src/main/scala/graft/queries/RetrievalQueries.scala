@@ -194,8 +194,7 @@ object RetrievalQueries {
     Q("q116_lex_index",
       (s, d) => {
         import graft.operators.LexIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q116").toString + "/lix"
+        val dir = graft.Scratch.tempDir("graft-q116") + "/lix"
         val docs = Tables.documents(s, d)
         LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
         val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
@@ -220,8 +219,7 @@ object RetrievalQueries {
     Q("q117_lex_index_append",
       (s, d) => {
         import graft.operators.LexIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q117").toString + "/lix"
+        val dir = graft.Scratch.tempDir("graft-q117") + "/lix"
         val docs = Tables.documents(s, d)
         LexIndex.write(LexIndex.build(
           docs.filter(col("doc_id") % 5 =!= 1), "doc_id", "text"), dir)
@@ -252,8 +250,7 @@ object RetrievalQueries {
     Q("q120_phrase_topk",
       (s, d) => {
         import graft.operators.LexIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q120").toString + "/lix"
+        val dir = graft.Scratch.tempDir("graft-q120") + "/lix"
         val docs = Tables.documents(s, d)
         LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
         val queries = docs

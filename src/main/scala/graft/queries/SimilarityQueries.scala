@@ -861,8 +861,7 @@ object SimilarityQueries {
     Q("q103_pq_persist_serve",
       (s, d) => {
         import graft.operators.VectorIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q103").toString + "/ivfpq"
+        val dir = graft.Scratch.tempDir("graft-q103") + "/ivfpq"
         val emb = Tables.embeddings(s, d)
         val built = VectorIndex.build(emb, "vec_id", "embedding",
           nCells = 32, m = 16, ks = 64, trainIters = 1)
@@ -886,8 +885,7 @@ object SimilarityQueries {
     Q("q104_index_append",
       (s, d) => {
         import graft.operators.VectorIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q104").toString + "/ivfpq"
+        val dir = graft.Scratch.tempDir("graft-q104") + "/ivfpq"
         val emb = Tables.embeddings(s, d)
         val built = VectorIndex.build(emb.filter(col("vec_id") % 3 =!= 0),
           "vec_id", "embedding", nCells = 32, m = 16, ks = 64, trainIters = 1)
@@ -912,8 +910,7 @@ object SimilarityQueries {
     Q("q107_index_delete",
       (s, d) => {
         import graft.operators.VectorIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q107").toString + "/ivfpq"
+        val dir = graft.Scratch.tempDir("graft-q107") + "/ivfpq"
         val emb = Tables.embeddings(s, d)
         VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
           nCells = 32, m = 16, ks = 64, trainIters = 1), dir)
@@ -940,8 +937,7 @@ object SimilarityQueries {
     Q("q110_index_retrain",
       (s, d) => {
         import graft.operators.VectorIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q110").toString + "/ivfpq"
+        val dir = graft.Scratch.tempDir("graft-q110") + "/ivfpq"
         val emb = Tables.embeddings(s, d)
         VectorIndex.write(VectorIndex.build(emb.filter(col("vec_id") % 3 =!= 0),
           "vec_id", "embedding", nCells = 32, m = 16, ks = 64, trainIters = 1), dir)
@@ -1087,8 +1083,7 @@ object SimilarityQueries {
     Q("q118_filtered_pq_serve",
       (s, d) => {
         import graft.operators.VectorIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q118").toString + "/ivfpq"
+        val dir = graft.Scratch.tempDir("graft-q118") + "/ivfpq"
         val emb = Tables.embeddings(s, d)
         VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
           nCells = 32, m = 16, ks = 64, trainIters = 1), dir)

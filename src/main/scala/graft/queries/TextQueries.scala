@@ -1067,8 +1067,7 @@ object TextQueries {
     Q("q108_dedup_index",
       (s, d) => {
         import graft.operators.DedupIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q108").toString + "/dix"
+        val dir = graft.Scratch.tempDir("graft-q108") + "/dix"
         val docs = Tables.documents(s, d)
         DedupIndex.write(DedupIndex.build(
           docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
@@ -1089,8 +1088,7 @@ object TextQueries {
     Q("q109_dedup_index_append",
       (s, d) => {
         import graft.operators.DedupIndex
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q109").toString + "/dix"
+        val dir = graft.Scratch.tempDir("graft-q109") + "/dix"
         val docs = Tables.documents(s, d)
         DedupIndex.write(DedupIndex.build(
           docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),

@@ -26,7 +26,7 @@ object DixProf {
     val dd = Tables.documents(spark, "/dev/shm/sf1")
     val corpus = dd.filter(col("doc_id") % 5 =!= 0)
     val batch = dd.filter(col("doc_id") % 100 === 0)
-    val dir = java.nio.file.Files.createTempDirectory("dixprof").toString + "/ix"
+    val dir = graft.Scratch.tempDir("dixprof") + "/ix"
     t("build+write") {
       DedupIndex.write(DedupIndex.build(corpus, "doc_id", "text"), dir)
     }

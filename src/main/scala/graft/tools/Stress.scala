@@ -237,7 +237,7 @@ object Stress {
     // for a 2k-query batch and a 100-query "micro-batch" (the foreachBatch
     // unit of the streaming serve — streaming ≡ batch equivalence itself
     // is pinned in VectorIndexSpec).
-    val vdir = java.nio.file.Files.createTempDirectory("graft-vix-stress").toString
+    val vdir = graft.Scratch.tempDir("graft-vix-stress")
     val ix = t("vindex build 80k (283 cells, m=16)") {
       graft.operators.VectorIndex.build(emb, "vec_id", "embedding",
         nCells = 283, m = 16, ks = 64, trainIters = 1)
@@ -287,8 +287,7 @@ object Stress {
     // enough to run nightly), the retrain itself (≈ one build — the
     // periodic remedy), and the occupancy census the repair restores.
     import graft.operators.VectorIndex
-    val rdir = java.nio.file.Files.createTempDirectory("graft-retrain-stress")
-      .toString + "/ix"
+    val rdir = graft.Scratch.tempDir("graft-retrain-stress") + "/ix"
     val base = emb.filter(col("vec_id") % 3 =!= 0)
     val seed = broadcast(emb.filter(col("vec_id") === 40)
       .select(col("embedding").as("seedv")))
@@ -360,7 +359,7 @@ object Stress {
           shingleN = 3, k = 8, bands = 4, threshold = 0.1,
           maxBucketSize = 100).filter(col("keep")).count()
       }
-      val ddir = java.nio.file.Files.createTempDirectory("graft-dix-st").toString + "/ix"
+      val ddir = graft.Scratch.tempDir("graft-dix-st") + "/ix"
       t("dix build+write (once per corpus)") {
         graft.operators.DedupIndex.write(
           graft.operators.DedupIndex.build(corpus, "doc_id", "text"), ddir)
@@ -405,7 +404,7 @@ object Stress {
           shingleN = 3, k = 8, bands = 4, threshold = 0.1,
           maxBucketSize = 100).filter(col("keep")).count()
       }
-      val ddir = java.nio.file.Files.createTempDirectory("graft-dix10").toString + "/ix"
+      val ddir = graft.Scratch.tempDir("graft-dix10") + "/ix"
       t("dix10 build+write (once per corpus)") {
         graft.operators.DedupIndex.write(
           graft.operators.DedupIndex.build(corpus, "doc_id", "text"), ddir)
@@ -441,7 +440,7 @@ object Stress {
         canon(graft.operators.Retrieval.bm25TopK(dd, "doc_id", "text",
           qbatch(10000), "query_id", "qtext", k = 10))
       }
-      val ldir = java.nio.file.Files.createTempDirectory("graft-lex-st").toString + "/ix"
+      val ldir = graft.Scratch.tempDir("graft-lex-st") + "/ix"
       t("lex build+write (once per corpus)") {
         graft.operators.LexIndex.write(
           graft.operators.LexIndex.build(dd, "doc_id", "text"), ldir)
@@ -803,7 +802,7 @@ object Stress {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val root = java.nio.file.Files.createTempDirectory("stress-stream").toString
+      val root = graft.Scratch.tempDir("stress-stream")
       val in = s"$root/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       def cdcLine(kind: String, oid: Long, cust: Long, n: Int, pid: Long): String = {
@@ -880,7 +879,7 @@ object Stress {
     // commit), batch consume through the scan, an admission-controlled
     // streaming drain, and the O(#segments) producer append check as the
     // segment count grows (the cost production log-rolling bounds).
-    val logRoot = java.nio.file.Files.createTempDirectory("stress-log").toString
+    val logRoot = graft.Scratch.tempDir("stress-log")
     val nRec = 2000000L
     val nParts = 8
     val produceDf = spark.range(nRec).select(
