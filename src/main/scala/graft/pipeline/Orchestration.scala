@@ -191,4 +191,167 @@ object Orchestration {
         "gold_layer_dim_products_scd2" -> "gold_layer_fact_orders",
         "gold_layer_fact_orders" -> "show_gold_layer_data"))
   }
+
+  // ------------------------------------------------- index maintenance DAG
+
+  /** Vector-index branch parameters: the index dir, the raw embedding store
+    * a retrain re-encodes from ([[graft.operators.VectorIndex.retrain]] —
+    * PQ codes are lossy, so the rebuild needs the originals the lakehouse
+    * retains anyway), the drift gate `maxSkew` (occupancy skew above which
+    * a retrain fires), and the quantizer shape a retrain rebuilds at. */
+  final case class VectorMaint(dir: String,
+                               emb: org.apache.spark.sql.DataFrame,
+                               idCol: String, vecCol: String,
+                               maxSkew: Double = 8.0,
+                               nCells: Int = 32, m: Int = 16, ks: Int = 64,
+                               trainIters: Int = 1)
+
+  /** Data files under `path` (recursive) — the fragmentation observable for
+    * the compaction gates: epoch appends add one file per frame per epoch,
+    * and read cost follows file count (row-group opens, decayed sort). */
+  private def dataFileCount(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+  }
+
+  /** The nightly index-maintenance job as a first-class DAG — the same
+    * gate-read → conditional remedy → verify shape every serving-index
+    * deployment runs on a schedule, with [[Dag]]'s retry and failure-
+    * isolation semantics (a failed vector branch must not stop the lex
+    * compaction, and a failed remedy SKIPS its verify rather than
+    * green-lighting an unverified index). Remedies are the existing
+    * maintenance operators; this wires them into the orchestration layer
+    * the way `medallionDag` wires the batch stages.
+    *
+    * Branches (any subset, independent):
+    *   - vector (`VectorIndex`): census (occupancy skew + live/tombstone
+    *     counts) → vacuum (no-op without tombstones) → retrain-if-drifted
+    *     (gated on `maxSkew`) → verify (reload; skew repaired, no stage/
+    *     swap leftovers, index serves).
+    *   - dedup (`DedupIndex`) and lex (`LexIndex`): census (file counts
+    *     per frame) → compact when fragmentation exceeds
+    *     `compactFileThreshold` → verify (reload; store counts intact,
+    *     fragmentation actually reduced when the remedy ran).
+    *
+    * Every stage is idempotent under retry: census/verify are reads, and
+    * the remedies commit via staged-write + rename swap, so a retry after
+    * a mid-stage crash re-runs the whole remedy against a consistent tree
+    * (the single-maintainer contract; concurrent maintainers use the
+    * [[graft.operators.VectorIndexOcc]]/[[graft.operators.DedupIndexOcc]]
+    * generation protocol instead). */
+  def indexMaintenanceDag(spark: org.apache.spark.sql.SparkSession,
+                          vector: Option[VectorMaint] = None,
+                          dedupDir: Option[String] = None,
+                          lexDir: Option[String] = None,
+                          compactFileThreshold: Int = 8,
+                          retries: Int = 1): Dag = {
+    import graft.operators.{DedupIndex, LexIndex, VectorIndex}
+    def stage(name: String)(body: => Any) = Stage(name, () => body, retries)
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    val vectorStages = vector.toSeq.flatMap { v =>
+      def tombstones: Long = {
+        val t = new org.apache.hadoop.fs.Path(v.dir, "_tombstones")
+        if (t.getFileSystem(hconf).exists(t))
+          spark.read.parquet(t.toString).count()
+        else 0L
+      }
+      Seq(
+        stage("vector_census") {
+          val ix = VectorIndex.read(spark, v.dir)
+          Map("skew" -> VectorIndex.occupancySkew(ix),
+            "live_rows" -> ix.nRows, "cells" -> ix.nCells,
+            "tombstones" -> tombstones)
+        },
+        stage("vector_vacuum") {
+          // reclaim is worth a codes rewrite only when deletes accrued;
+          // vacuum() itself is a no-op without a tombstone set
+          Map("reclaimed_rows" -> VectorIndex.vacuum(spark, v.dir))
+        },
+        stage("vector_retrain_if_drifted") {
+          val r = VectorIndex.retrainIfDrifted(spark, v.dir, v.emb,
+            v.idCol, v.vecCol, v.maxSkew, v.nCells, v.m, v.ks, v.trainIters)
+          Map("retrained" -> r.isDefined)
+        },
+        stage("vector_verify") {
+          val ix = VectorIndex.read(spark, v.dir)
+          val skew = VectorIndex.occupancySkew(ix)
+          require(ix.nRows > 0, s"vector index empty after maintenance: ${v.dir}")
+          require(skew <= v.maxSkew,
+            f"occupancy skew $skew%.1f still above gate ${v.maxSkew}%.1f after retrain")
+          require(tombstones == 0L, "tombstones survived vacuum+retrain")
+          val fs = new org.apache.hadoop.fs.Path(v.dir).getFileSystem(hconf)
+          for (leftover <- Seq("_stage", "codes.old", "centroids.old"))
+            require(!fs.exists(new org.apache.hadoop.fs.Path(v.dir, leftover)),
+              s"swap leftover after maintenance: ${v.dir}/$leftover")
+          Map("skew" -> skew, "live_rows" -> ix.nRows)
+        })
+    }
+
+    def compactBranch(kind: String, dir: String, frames: Seq[String],
+                      compactFn: () => Unit,
+                      verifyFn: () => Unit): Seq[Stage] = Seq(
+      stage(s"${kind}_census") {
+        frames.map(f => f -> dataFileCount(spark, s"$dir/$f")).toMap
+      },
+      stage(s"${kind}_compact") {
+        // conditional remedy: re-read the gate (idempotent under retry).
+        // The ideal layout is one file per partition (pb-partitioned
+        // frames keep nPb files by design), so the post-condition is
+        // monotone reduction, not an absolute count.
+        val before = frames.map(f => dataFileCount(spark, s"$dir/$f")).max
+        if (before > compactFileThreshold) {
+          compactFn()
+          val after = frames.map(f => dataFileCount(spark, s"$dir/$f")).max
+          require(after <= before,
+            s"$kind compact increased fragmentation: $before -> $after files")
+          s"compacted ($before -> $after files)"
+        } else s"noop (max $before files <= $compactFileThreshold)"
+      },
+      stage(s"${kind}_verify") {
+        verifyFn()
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+        for (leftover <- "_stage" +: frames.map(_ + ".old"))
+          require(!fs.exists(new org.apache.hadoop.fs.Path(dir, leftover)),
+            s"swap leftover after maintenance: $dir/$leftover")
+        Map("max_files" -> frames.map(f => dataFileCount(spark, s"$dir/$f")).max)
+      })
+
+    val dedupStages = dedupDir.toSeq.flatMap { dir =>
+      compactBranch("dedup", dir, Seq("sigs", "hashes", "shingles"),
+        () => DedupIndex.compact(spark, dir),
+        () => {
+          // value invariant: every signed doc is in the exact-hash corpus
+          // (docs shorter than one shingle carry a hash but no signature,
+          // so sigs ⊆ hashes; compaction moves layout, never rows)
+          val sigs = spark.read.parquet(s"$dir/sigs").select("id").distinct().count()
+          val hashes = spark.read.parquet(s"$dir/hashes").select("id").distinct().count()
+          require(sigs <= hashes, s"sigs/hashes corpus drift: $sigs vs $hashes")
+        })
+    }
+    val lexStages = lexDir.toSeq.flatMap { dir =>
+      compactBranch("lex", dir, Seq("postings", "doclen"),
+        () => LexIndex.compact(spark, dir),
+        () => {
+          val docsInPostings = spark.read.parquet(s"$dir/postings")
+            .select("id").distinct().count()
+          val doclen = spark.read.parquet(s"$dir/doclen").count()
+          require(docsInPostings <= doclen,
+            s"postings reference $docsInPostings docs but doclen has $doclen")
+        })
+    }
+
+    def chain(names: Seq[Stage]): Seq[(String, String)] =
+      names.map(_.name).sliding(2).collect { case Seq(a, b) => a -> b }.toSeq
+    Dag(vectorStages ++ dedupStages ++ lexStages,
+      chain(vectorStages) ++ chain(dedupStages) ++ chain(lexStages))
+  }
 }
