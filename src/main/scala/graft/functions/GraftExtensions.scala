@@ -122,5 +122,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MisraGries(exprs.head, cap)
       }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
+    // manifest-driven file skipping for every scan of an indexed dir —
+    // including SQL text over temp views (see graft.plans.ManifestPruneRule)
+    ext.injectOptimizerRule(session => graft.plans.ManifestPruneRule(session))
   }
 }

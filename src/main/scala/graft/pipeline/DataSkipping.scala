@@ -93,6 +93,9 @@ object DataSkipping {
         s"scan reported file paths outside $qualified — cannot relativize")
       val n = out.count().toInt
       out.write.mode("overwrite").parquet(s"$dir/$ManifestDir")
+      // planner-side caches must see the fresh manifest (same-JVM writers)
+      graft.plans.ManifestPruneRule.invalidate(dir)
+      graft.plans.ManifestPruneRule.invalidate(qualified)
       n
     } finally out.unpersist()
   }
@@ -125,6 +128,28 @@ object DataSkipping {
             .select(col("file"))
             .collect().map(_.getString(0)).toSeq
       }
+    }
+
+  /** Dir-relative paths of files the manifest PROVES cannot contain a row
+    * matching the already-RESOLVED `cond` — the planner-side entry point
+    * used by [[graft.plans.ManifestPruneRule]], which holds an optimizer
+    * plan's resolved filter condition (so no re-analysis hop is needed).
+    * Empty when no manifest exists or nothing is excludable. Inverted
+    * sense vs [[prunedFiles]] deliberately: a Catalyst rule must KEEP any
+    * file the manifest does not know (appended after indexing), so it
+    * subtracts the definitely-rejected set from the live listing instead
+    * of trusting the manifest as a complete catalog. */
+  private[graft] def rejectedFiles(spark: SparkSession, dir: String,
+                                   cond: Expression): Seq[String] =
+    manifest(spark, dir) match {
+      case None => Nil
+      case Some(m) =>
+        val statCols = m.columns.collect { case c if c.startsWith("min_") =>
+          c.stripPrefix("min_") }.toSet
+        // keep on null: only a definitive FALSE from the stats predicate
+        // rejects a file
+        m.filter(!coalesce(pruningPredicate(cond, statCols), lit(true)))
+          .select(col("file")).collect().map(_.getString(0)).toSeq
     }
 
   /** Run `pred` through the analyzer against an empty relation carrying the

@@ -105,4 +105,32 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(kmv == 10L) // 1000 rows, 10 distinct hashes, set semantics
     }
   }
+
+  test("SQL over versioned gold skips manifest-rejected files in the executed plan") {
+    withExtSession { s =>
+      import graft.pipeline.{DataSkipping, Medallion}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sql-gold").toString + "/tbl"
+      val df = s.range(1000).select(col("id").as("k"),
+        (col("id") % 13).cast("double").as("v"))
+      Medallion.publishGold(s, df.repartitionByRange(4, col("k")), root)
+      assert(DataSkipping.indexGoldCurrent(s, root, Seq("k")) == 4)
+      // plain SQL text over a view of the published table — no
+      // readGoldSkipping call anywhere in this path
+      Medallion.readGold(s, root).createOrReplaceTempView("gold_tbl")
+      val q = s.sql("SELECT k, v FROM gold_tbl WHERE k >= 900 ORDER BY k")
+      val loc = q.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+      }
+      assert(loc.exists(_.isInstanceOf[graft.plans.PrunedFileIndex]),
+        "gold SQL read must plan through the manifest-pruned file index")
+      assert(loc.get.inputFiles.length == 1,
+        s"k>=900 selects one of 4 range-split files, planned ${loc.get.inputFiles.length}")
+      assert(q.collect().map(_.getLong(0)).toSeq == (900L until 1000L))
+    }
+  }
 }
