@@ -59,33 +59,9 @@ object DataSkipping {
     * next step past that. */
   def writeManifest(spark: SparkSession, dir: String,
                     statsCols: Seq[String]): Int = {
-    require(statsCols.nonEmpty, "statsCols must name at least one column")
-    val df = spark.read.parquet(dir)
-    statsCols.foreach { c =>
-      require(df.columns.contains(c), s"no column $c in $dir (have: ${df.columns.mkString(",")})")
-    }
     val fs = hadoopFs(spark, dir)
     val qualified = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
-    val aggs = statsCols.flatMap { c =>
-      val (mn, mx) = df.schema(c).dataType match {
-        case StringType =>
-          (substring(min(col(c)), 1, MaxStringStat),
-            when(length(max(col(c))) <= MaxStringStat, max(col(c))))
-        case _ => (min(col(c)), max(col(c)))
-      }
-      Seq(mn.as(s"min_$c"), mx.as(s"max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
-    }
-    val stats = df
-      .select(col("_metadata.file_path").as("__path") +: statsCols.map(col): _*)
-      .groupBy(col("__path"))
-      .agg(count(lit(1)).as("nrows"), aggs: _*)
-      // path relative to dir, so the manifest survives a directory move
-      // (gold retention renames nothing, but tooling may relocate tables)
-      .withColumn("file",
-        when(col("__path").startsWith(qualified + "/"),
-          expr(s"substr(__path, ${qualified.length + 2})")))
-      .drop("__path")
+    val stats = fileStats(spark.read.parquet(dir), dir, qualified, statsCols)
     val out = stats.coalesce(1).cache()
     try {
       val bad = out.filter(col("file").isNull).count()
@@ -98,6 +74,96 @@ object DataSkipping {
       graft.plans.ManifestPruneRule.invalidate(qualified)
       n
     } finally out.unpersist()
+  }
+
+  /** The shared per-file stats aggregation of [[writeManifest]] and
+    * [[appendManifest]] — one distributed pass over `src`, grouped on the
+    * hidden `_metadata.file_path`, relativized against `qualified`. Both
+    * writers MUST build stats through here: a min/max/truncation rule that
+    * drifted between full and incremental indexing would poison pruning. */
+  private def fileStats(src: DataFrame, dir: String, qualified: String,
+                        statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "statsCols must name at least one column")
+    statsCols.foreach { c =>
+      require(src.columns.contains(c), s"no column $c in $dir (have: ${src.columns.mkString(",")})")
+    }
+    val aggs = statsCols.flatMap { c =>
+      val (mn, mx) = src.schema(c).dataType match {
+        case StringType =>
+          (substring(min(col(c)), 1, MaxStringStat),
+            when(length(max(col(c))) <= MaxStringStat, max(col(c))))
+        case _ => (min(col(c)), max(col(c)))
+      }
+      Seq(mn.as(s"min_$c"), mx.as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    src
+      .select(col("_metadata.file_path").as("__path") +: statsCols.map(col): _*)
+      .groupBy(col("__path"))
+      .agg(count(lit(1)).as("nrows"), aggs: _*)
+      // path relative to dir, so the manifest survives a directory move
+      // (gold retention renames nothing, but tooling may relocate tables)
+      .withColumn("file",
+        when(col("__path").startsWith(qualified + "/"),
+          expr(s"substr(__path, ${qualified.length + 2})")))
+      .drop("__path")
+  }
+
+  /** Extend an existing manifest with stats for files APPENDED since it was
+    * written — the maintenance move for K1-style partitioned appends, where
+    * re-running [[writeManifest]] would rescan the whole table to index a
+    * day's delta. Only the new files are read (explicit-path scan), their
+    * stats are unioned with the existing manifest rows, and the result
+    * swaps in via stage-then-rename (readers mid-swap see the old complete
+    * manifest; the [[graft.plans.ManifestPruneRule]] contract keeps
+    * correctness either way — un-indexed files are always scanned, so a
+    * lagging manifest only costs skipping opportunity, never rows).
+    * Returns the number of newly indexed files; 0 when nothing is new.
+    * Falls back to a full [[writeManifest]] when no manifest exists. */
+  def appendManifest(spark: SparkSession, dir: String,
+                     statsCols: Seq[String]): Int = {
+    val fs = hadoopFs(spark, dir)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val qualified = root.toString
+    manifest(spark, dir) match {
+      case None => writeManifest(spark, dir, statsCols)
+      case Some(m) =>
+        val existingCols = m.columns.collect { case c if c.startsWith("min_") =>
+          c.stripPrefix("min_") }.toSet
+        require(existingCols == statsCols.toSet,
+          s"stats columns changed (${existingCols.mkString(",")} -> " +
+            s"${statsCols.mkString(",")}): rewrite with writeManifest")
+        val mRows = m.collect() // driver-scale by the manifest contract
+        val known = mRows.map(_.getAs[String]("file")).toSet
+        val fresh = listDataFiles(fs, root).filterNot(known)
+        if (fresh.isEmpty) 0
+        else {
+          val src = spark.read.parquet(fresh.map(r => s"$qualified/$r"): _*)
+          val newStats = fileStats(src, dir, qualified, statsCols)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            require(newStats.filter(col("file").isNull).count() == 0,
+              s"scan reported file paths outside $qualified — cannot relativize")
+            val merged = spark.createDataFrame(
+                java.util.Arrays.asList(mRows: _*), m.schema)
+              .unionByName(newStats.select(m.columns.map(col): _*))
+            val staged = s"$dir/${ManifestDir}_stage"
+            merged.coalesce(1).write.mode("overwrite").parquet(staged)
+            // the two-rename swap every index maintainer here uses: readers
+            // mid-swap retry against a complete tree, never a partial one
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
+              spark.sparkContext.hadoopConfiguration)
+            val liveP = new org.apache.hadoop.fs.Path(dir, ManifestDir)
+            val oldP = new org.apache.hadoop.fs.Path(dir, ManifestDir + ".old")
+            fc.rename(liveP, oldP, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            fc.rename(new org.apache.hadoop.fs.Path(staged), liveP)
+            fs.delete(oldP, true)
+            graft.plans.ManifestPruneRule.invalidate(dir)
+            graft.plans.ManifestPruneRule.invalidate(qualified)
+            fresh.size
+          } finally newStats.unpersist()
+        }
+    }
   }
 
   /** The stats manifest of `dir`, if one was written. */
@@ -113,22 +179,51 @@ object DataSkipping {
     * the manifest frame, so literal/stat type coercion, date and decimal
     * comparison, and collation all follow engine semantics instead of
     * hand-rolled comparators — the same design as Delta's data-skipping
-    * reader, which rewrites data predicates into stats predicates. */
+    * reader, which rewrites data predicates into stats predicates.
+    *
+    * SUBTRACTIVE, like [[graft.plans.ManifestPruneRule]]: the survivor set
+    * is the LIVE listing minus files the manifest definitively rejects, so
+    * a file appended after indexing (not yet in the manifest) is always
+    * scanned. A manifest-as-catalog reading would silently drop such rows
+    * — the one way a "pruning never changes results" contract can break —
+    * which is exactly the window between a K1 append landing and its
+    * [[appendManifest]] running. A lagging manifest costs skipping
+    * opportunity, never rows. */
   def prunedFiles(spark: SparkSession, dir: String,
                   pred: Column): Option[Seq[String]] =
     manifest(spark, dir).map { m =>
       val statCols = m.columns.collect { case c if c.startsWith("min_") =>
         c.stripPrefix("min_") }.toSet
-      val all = m.select(col("file")).collect().map(_.getString(0)).toSeq
-      if (all.isEmpty) all
-      else resolvedPredicate(spark, s"$dir/${all.head}", pred) match {
-        case None => all // unresolvable against this schema: keep everything
+      val fs = hadoopFs(spark, dir)
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      val live = listDataFiles(fs, root)
+      if (live.isEmpty) live
+      else resolvedPredicate(spark, s"$dir/${live.head}", pred) match {
+        case None => live // unresolvable against this schema: keep everything
         case Some(cond) =>
-          m.filter(pruningPredicate(cond, statCols))
-            .select(col("file"))
-            .collect().map(_.getString(0)).toSeq
+          val rejected = m
+            .filter(!coalesce(pruningPredicate(cond, statCols), lit(true)))
+            .select(col("file")).collect().map(_.getString(0)).toSet
+          live.filterNot(rejected)
       }
     }
+
+  /** Data files under `root` (recursive, dir-relative paths), skipping
+    * metadata directories and dotfiles — Spark's own listing rules. Shared
+    * by [[prunedFiles]] (the live side of subtractive pruning) and
+    * [[appendManifest]] (the delta discovery). */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val qualified = root.toString
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val rel = it.next().getPath.toString.stripPrefix(qualified + "/")
+      if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        out += rel
+    }
+    out.toSeq
+  }
 
   /** Dir-relative paths of files the manifest PROVES cannot contain a row
     * matching the already-RESOLVED `cond` — the planner-side entry point

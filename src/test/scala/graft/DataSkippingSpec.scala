@@ -181,6 +181,33 @@ class DataSkippingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Scale.zorderBy(df, Seq("a", "b"), 2, bitsPerDim = 32))
   }
 
+  test("appendManifest indexes only the delta; merged manifest ≡ a full rebuild") {
+    val d = tmp("graft-append-man") + "/t"
+    spark.range(2048).select(col("id").as("a"), (col("id") % 5).cast("string").as("tag"))
+      .repartitionByRange(4, col("a")).write.parquet(d)
+    assert(DataSkipping.writeManifest(spark, d, Seq("a", "tag")) == 4)
+    // day-2 append: a new id range lands as new files the manifest missed
+    spark.range(2048, 3072).select(col("id").as("a"), lit("cat_new").as("tag"))
+      .repartitionByRange(2, col("a")).write.mode("append").parquet(d)
+    // until re-indexed, pruning must still return the appended rows
+    // (subtractive contract: unknown files are kept)
+    assert(DataSkipping.readSkipping(spark, d, col("a") >= 2048).count() == 1024)
+    assert(DataSkipping.appendManifest(spark, d, Seq("a", "tag")) == 2)
+    assert(DataSkipping.appendManifest(spark, d, Seq("a", "tag")) == 0,
+      "nothing new: incremental indexing must be idempotent")
+    val merged = DataSkipping.manifest(spark, d).get.orderBy("file").collect().toSeq
+    // the incremental result must be byte-for-byte what a full rescan builds
+    DataSkipping.writeManifest(spark, d, Seq("a", "tag"))
+    val full = DataSkipping.manifest(spark, d).get.orderBy("file").collect().toSeq
+    assert(merged == full, "incremental manifest diverged from full rebuild")
+    // and the freshly indexed delta actually prunes
+    assert(DataSkipping.prunedFiles(spark, d, col("a") >= 2560).get.size == 1)
+    // changed stats columns must refuse rather than silently drift
+    intercept[IllegalArgumentException] {
+      DataSkipping.appendManifest(spark, d, Seq("a"))
+    }
+  }
+
   test("gold integration: index the committed version, skip through readGoldSkipping") {
     val root = tmp("graft-gold-skip") + "/tbl"
     val df = spark.range(1000).select(col("id").as("k"),
