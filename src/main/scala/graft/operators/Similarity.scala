@@ -1222,4 +1222,42 @@ object Similarity {
     val ix = VectorIndex.build(emb, idCol, vecCol, nCells, m, ks, trainIters)
     VectorIndex.topK(ix, emb.filter(queryPred), idCol, vecCol, k, nProbe)
   }
+
+  /** RESIDUAL IVF-PQ top-k — the accuracy refinement [[ivfPqTopK]]'s
+    * scaladoc documents, implemented: codes quantize each vector's residual
+    * `v − centroid(cell)` instead of the raw vector, against a codebook
+    * trained on residuals (FAISS IVFPQ's actual encoding). Residuals live
+    * in a ball around the origin whose radius is the CELL radius, not the
+    * corpus radius, so the same (m, ks) budget spends its quantization
+    * levels on a far smaller volume — reconstruction error (and with it
+    * ADC ranking error) drops at identical index size; PqSpec measures the
+    * recall gain on the test corpus.
+    *
+    * Serving cost shape vs raw-coded IVF-PQ: distance tables are built per
+    * (query, PROBED CELL) instead of per query — nProbe table builds of
+    * O(ks·dim) each, the documented residual trade — while the per-
+    * candidate work is unchanged (M table lookups). The tables ride on the
+    * broadcast probe frame (queries × nProbe rows), the coded corpus
+    * streams; the candidate fan-out is the same broadcast-the-small-side
+    * shape as [[ivfTopK]] — never a cell-keyed exchange.
+    *
+    * Exactness discipline: residuals are exact integer differences of the
+    * fixed-point vector and the (spherically normalized, integer) centroid
+    * of its cell, so training, encoding, probing, and ADC remain
+    * bit-reproducible and the DuckDB oracle (q121) re-derives the whole
+    * pipeline. `adist` is squared L2 between the query's residual w.r.t.
+    * the probed cell and the candidate's quantized residual — identical in
+    * metric to `‖q − x̂‖²` since both subtract the same cell centroid. */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int,
+                        nCells: Int = 32, nProbe: Int = 8,
+                        m: Int = 16, ks: Int = 64,
+                        trainIters: Int = 1): DataFrame = {
+    // delegates to the index lifecycle exactly like ivfPqTopK, so the
+    // inline and persisted residual paths cannot drift (q122 pins the
+    // write→read hop value-neutral against q121's oracle)
+    val ix = VectorIndex.build(emb, idCol, vecCol, nCells, m, ks, trainIters,
+      residual = true)
+    VectorIndex.topK(ix, emb.filter(queryPred), idCol, vecCol, k, nProbe)
+  }
 }

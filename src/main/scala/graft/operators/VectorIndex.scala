@@ -21,13 +21,20 @@ import graft.functions.GraftFunctions
   *    [[Similarity.pqTrainCodebook]]'s collect).
   *  - `nRows`/`nCells` — sizing facts for the refine-pass sample modulus,
   *    persisted so serving never has to re-count the corpus.
+  *  - `residual` — whether `codes` quantize per-cell residuals
+  *    (`v − centroid(cell)`, FAISS IVFPQ's actual encoding) instead of raw
+  *    vectors. Part of the artifact (persisted as a `_residual` marker
+  *    file, deliberately OUTSIDE the meta frame whose best-effort refresh
+  *    can tear under concurrent maintenance): serving with the wrong flag
+  *    would silently rank garbage, so the flag must never be guessed.
   */
 final case class IvfPqIndex(
     codes: DataFrame,
     centroids: DataFrame,
     codebook: Array[Array[Array[Long]]],
     nRows: Long,
-    nCells: Int)
+    nCells: Int,
+    residual: Boolean = false)
 
 /** Index lifecycle for the IVF-PQ serving path: build once over the corpus,
   * persist to storage, reload in any later session, serve batch or
@@ -54,23 +61,45 @@ object VectorIndex {
     * to its best cell and compressing it to M codes. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             nCells: Int = 32, m: Int = 16, ks: Int = 64,
-            trainIters: Int = 1): IvfPqIndex = {
+            trainIters: Int = 1, residual: Boolean = false): IvfPqIndex = {
     GraftFunctions.register(emb.sparkSession)
     val q = emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cents = Similarity.ivfCentroids(q, idCol, nCells)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cb = Similarity.pqTrainCodebook(q, idCol, m, ks, trainIters)
-    // persisted for the same two reasons as the inline operator's index
-    // frame: refine passes share it, and the barrier pins graft_pqenc to
-    // once per row (see the ivfPqTopK scaladoc for the measured cost of
-    // letting codegen re-encode inside the match loop)
-    val codes = Similarity.assignCells(q, idCol, cents)
-      .select(col(idCol).as("id"), col("cell"),
-        call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(cb))
-          .as("codes"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    IvfPqIndex(codes, cents, cb, q.count(), nCells)
+    if (!residual) {
+      val cb = Similarity.pqTrainCodebook(q, idCol, m, ks, trainIters)
+      // persisted for the same two reasons as the inline operator's index
+      // frame: refine passes share it, and the barrier pins graft_pqenc to
+      // once per row (see the ivfPqTopK scaladoc for the measured cost of
+      // letting codegen re-encode inside the match loop)
+      val codes = Similarity.assignCells(q, idCol, cents)
+        .select(col(idCol).as("id"), col("cell"),
+          call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(cb))
+            .as("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      IvfPqIndex(codes, cents, cb, q.count(), nCells)
+    } else {
+      // RESIDUAL encoding (FAISS IVFPQ): assign first, then train + encode
+      // on v − centroid(cell). Residuals live in a cell-radius ball, not a
+      // corpus-radius one, so the same (m, ks) bit budget quantizes a far
+      // smaller volume — PqSpec measures the recall gain. Exact integer
+      // differences against the normalized integer centroids keep the
+      // whole pipeline oracle-exact (q121/q122).
+      val resid = Similarity.assignCells(q, idCol, cents)
+        .join(broadcast(cents), col("cell") === col("cent_id"))
+        .select(col(idCol),
+          expr("zip_with(__qv, __cv, (x, y) -> x - y)").as("__qv"), col("cell"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cb = Similarity.pqTrainCodebook(
+        resid.select(col(idCol), col("__qv")), idCol, m, ks, trainIters)
+      val codes = resid
+        .select(col(idCol).as("id"), col("cell"),
+          call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(cb))
+            .as("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      IvfPqIndex(codes, cents, cb, q.count(), nCells, residual = true)
+    }
   }
 
   /** Persist an index: codes + centroids as parquet, the codebook unrolled
@@ -91,6 +120,14 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
     Seq((ix.nRows, ix.nCells)).toDF("n_rows", "n_cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // the encoding flag lives as a marker FILE, not a meta column: meta's
+    // best-effort refresh can tear under concurrent maintenance and read()
+    // heals it by recounting — but a GUESSED encoding flag would serve
+    // garbage rankings, so it must survive independently of meta
+    if (ix.residual) {
+      val p = new org.apache.hadoop.fs.Path(dir, "_residual")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p).close()
+    }
   }
 
   /** Tombstone-delete from the persisted index at `dir` (FAISS
@@ -174,10 +211,14 @@ object VectorIndex {
               trainIters: Int = 1): IvfPqIndex = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val liveIds = read(spark, dir).codes
-      .select(col("id").as(idCol))
+    val ix0 = read(spark, dir)
+    val liveIds = ix0.codes.select(col("id").as(idCol))
     val src = emb.join(liveIds, Seq(idCol), "left_semi")
-    val fresh = build(src, idCol, vecCol, nCells, m, ks, trainIters)
+    // the encoding flag is part of the artifact: a retrain re-derives the
+    // quantizers, never the encoding scheme (the `_residual` marker in the
+    // live dir is untouched by the per-frame swap below)
+    val fresh = build(src, idCol, vecCol, nCells, m, ks, trainIters,
+      residual = ix0.residual)
     val staged = s"$dir/_stage/retrain"
     write(fresh, staged)
     fresh.codes.unpersist(); fresh.centroids.unpersist()
@@ -232,7 +273,8 @@ object VectorIndex {
         val t = spark.read.parquet(s"$dir/_tombstones")
         (raw.join(broadcast(t), Seq("id"), "left_anti"), t.count())
       } else (raw, 0L)
-    IvfPqIndex(codes, cents, cb, metaRows - dead, metaCells)
+    val residual = fs.exists(new org.apache.hadoop.fs.Path(dir, "_residual"))
+    IvfPqIndex(codes, cents, cb, metaRows - dead, metaCells, residual)
   }
 
   /** Append new vectors to an existing index WITHOUT retraining — FAISS's
@@ -250,14 +292,10 @@ object VectorIndex {
     * pins no-retrain by object identity). */
   def append(ix: IvfPqIndex, delta: DataFrame,
              idCol: String, vecCol: String): IvfPqIndex = {
-    GraftFunctions.register(delta.sparkSession)
-    val q = delta.select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
+    val newCodes = encodeWith(ix, delta, idCol, vecCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val newCodes = Similarity.assignCells(q, idCol, ix.centroids)
-      .select(col(idCol).as("id"), col("cell"),
-        call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(ix.codebook))
-          .as("codes"))
-    ix.copy(codes = ix.codes.unionByName(newCodes), nRows = ix.nRows + q.count())
+    ix.copy(codes = ix.codes.unionByName(newCodes),
+      nRows = ix.nRows + newCodes.count())
   }
 
   /** [[append]] against an index AT REST: encode `delta` with the persisted
@@ -271,13 +309,7 @@ object VectorIndex {
                   idCol: String, vecCol: String): IvfPqIndex = {
     import spark.implicits._
     val ix = read(spark, dir)
-    GraftFunctions.register(spark)
-    val q = delta.select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    Similarity.assignCells(q, idCol, ix.centroids)
-      .select(col(idCol).as("id"), col("cell"),
-        call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(ix.codebook))
-          .as("codes"))
+    encodeWith(ix, delta, idCol, vecCol)
       .write.mode("append").parquet(s"$dir/codes")
     // meta's n_rows is the RAW codes row count (appendEpoch/vacuum/read all
     // treat it that way) — recount from parquet footers rather than adding
@@ -286,18 +318,24 @@ object VectorIndex {
     val n = spark.read.parquet(s"$dir/codes").count()
     Seq((n, ix.nCells)).toDF("n_rows", "n_cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    q.unpersist()
     read(spark, dir)
   }
 
   /** Assign + encode `delta` with `ix`'s frozen quantizers — the shared
     * core of every append path. */
-  private def encodeWith(ix: IvfPqIndex, delta: DataFrame,
-                         idCol: String, vecCol: String): DataFrame = {
+  private[operators] def encodeWith(ix: IvfPqIndex, delta: DataFrame,
+                                    idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(delta.sparkSession)
     val q = delta.select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
-    Similarity.assignCells(q, idCol, ix.centroids)
-      .select(col(idCol).as("id"), col("cell"),
+    val assigned = Similarity.assignCells(q, idCol, ix.centroids)
+    // residual indexes encode v - centroid(cell) with the frozen centroids
+    // - the append path must subtract exactly what build subtracted
+    val base =
+      if (!ix.residual) assigned
+      else assigned.join(broadcast(ix.centroids), col("cell") === col("cent_id"))
+        .select(col(idCol),
+          expr("zip_with(__qv, __cv, (x, y) -> x - y)").as("__qv"), col("cell"))
+    base.select(col(idCol).as("id"), col("cell"),
         call_function("graft_pqenc", col("__qv"), Similarity.cbLiteral(ix.codebook))
           .as("codes"))
   }
@@ -438,13 +476,12 @@ object VectorIndex {
       Similarity.quantize(col(vecCol)).as("__qvec"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__cd").desc, col("cent_id"))
-    val probed = qv.join(broadcast(ix.centroids))
+    // probedQ keeps the query vector AND the probed cell's centroid — the
+    // residual path builds its per-(query, cell) tables from exactly these
+    val probedQ = qv.join(broadcast(ix.centroids))
       .withColumn("__cd", GraftFunctions.longArrayDot(col("__qvec"), col("__cv")))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nProbe)
-      .select(col("query_id"), col("cent_id").as("cell"))
-    val qtabs = qv.select(col("query_id"),
-      call_function("graft_pqtab", col("__qvec"), lit).as("__tab"))
     // allowed-set semi join BEFORE the probe join: candidates outside the
     // filter never reach the ADC scorer. The sliver is NOT persisted —
     // `codes` is a parquet scan the unfiltered path already streams twice
@@ -461,13 +498,35 @@ object VectorIndex {
         (ix.codes.join(ids, Seq("id"), "left_semi"), ids.count())
       case None => (ix.codes, ix.nRows)
     }
-    val scored = codes
-      .join(broadcast(probed), "cell")
-      .filter(col("query_id") =!= col("id"))
-      .join(broadcast(qtabs), "query_id")
+    val scored =
+      if (!ix.residual) {
+        // raw coding: ONE distance table per query (tab is cell-independent)
+        // — broadcast the (query, cell) probe list and the per-query tabs
+        // separately, so the tab bytes are not duplicated nProbe times
+        val probed = probedQ.select(col("query_id"), col("cent_id").as("cell"))
+        val qtabs = qv.select(col("query_id"),
+          call_function("graft_pqtab", col("__qvec"), lit).as("__tab"))
+        codes
+          .join(broadcast(probed), "cell")
+          .filter(col("query_id") =!= col("id"))
+          .join(broadcast(qtabs), "query_id")
+      } else {
+        // residual coding: the table depends on the PROBED CELL (it scores
+        // the query's residual w.r.t. that cell), so one table per
+        // (query, cell) rides on the broadcast probe frame — nProbe table
+        // builds per query, the documented residual serving trade
+        val probeTabs = probedQ.select(col("query_id"),
+          col("cent_id").as("cell"),
+          call_function("graft_pqtab",
+            expr("zip_with(__qvec, __cv, (x, y) -> x - y)"), lit).as("__tab"))
+        codes
+          .join(broadcast(probeTabs), "cell")
+          .filter(col("query_id") =!= col("id"))
+      }
+    val ranked = scored
       .withColumn("adist", call_function("graft_pqadc", col("__tab"), col("codes")))
       .withColumnRenamed("id", "neighbor_id")
-    Similarity.refinedTopK(scored, k,
+    Similarity.refinedTopK(ranked, k,
       math.max(1L, nCand * nProbe / math.max(ix.nCells, 1)))
   }
 

@@ -247,7 +247,7 @@ object VectorIndexOcc {
       val live = liveSnapshotCodes(spark, s)
       VectorIndex.write(
         IvfPqIndex(live.repartition(targetFiles), base.centroids, base.codebook,
-          live.count(), base.nCells),
+          live.count(), base.nCells, base.residual),
         newDir)
     } { (s, _) => e =>
       spark.read.parquet(s"${s.baseDir}/codes/e$e-0.parquet")
@@ -264,20 +264,19 @@ object VectorIndexOcc {
               trainIters: Int = 1, retain: Int = 1): Int =
     maintain(spark, root, retain) { (s, newDir) =>
       val liveIds = liveSnapshotCodes(spark, s).select(col("id").as(idCol))
+      // encoding scheme is part of the artifact — a new generation keeps it
       val fresh = VectorIndex.build(emb.join(liveIds, Seq(idCol), "left_semi"),
-        idCol, vecCol, nCells, m, ks, trainIters)
+        idCol, vecCol, nCells, m, ks, trainIters,
+        residual = VectorIndex.read(spark, s.baseDir).residual)
       VectorIndex.write(fresh, newDir)
       fresh.codes.unpersist(); fresh.centroids.unpersist(); ()
     } { (s, newDir) => e =>
       val newIx = VectorIndex.read(spark, newDir)
       val ids = spark.read.parquet(s"${s.baseDir}/codes/e$e-0.parquet")
         .select(col("id").as(idCol))
-      graft.functions.GraftFunctions.register(spark)
-      val q = emb.join(ids, Seq(idCol), "left_semi")
-        .select(col(idCol), Similarity.quantize(col(vecCol)).as("__qv"))
-      Similarity.assignCells(q, idCol, newIx.centroids)
-        .select(col(idCol).as("id"), col("cell"),
-          call_function("graft_pqenc", col("__qv"),
-            Similarity.cbLiteral(newIx.codebook)).as("codes"))
+      // late-landing epochs re-encode through the shared append core, so
+      // residual generations subtract the NEW centroids like build did
+      VectorIndex.encodeWith(newIx, emb.join(ids, Seq(idCol), "left_semi"),
+        idCol, vecCol)
     }
 }

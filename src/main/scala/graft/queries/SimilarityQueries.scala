@@ -169,6 +169,111 @@ object SimilarityQueries {
 
   private val ivfPqOracle: String = ivfPqOracleTrainedOn(None)
 
+  /** q121: the q100 pipeline with PQ training/encoding moved onto per-cell
+    * RESIDUALS (`Similarity.ivfPqResidualTopK` — FAISS IVFPQ's actual
+    * encoding). Same integer-exact discipline: residuals are integer
+    * differences against the spherically normalized integer centroids, so
+    * seeding, one Lloyd round, encoding, per-(query, probed-cell) distance
+    * tables, and ADC ranking all re-derive in SQL. */
+  private val ivfPqResidualOracle: String =
+    s"""WITH q AS (
+               SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+               FROM embeddings),
+             ${seedCtes("q", 32, "ct")},
+             dall AS (
+               SELECT q.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.qv[i] * c.cv[i])) AS BIGINT) AS d
+               FROM q, ct c),
+             asg AS (
+               SELECT vec_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn FROM dall)
+               WHERE rn = 1),
+             res AS (
+               SELECT q.vec_id, t.m, u.j,
+                 q.qv[t.m * 4 + u.j + 1] - c.cv[t.m * 4 + u.j + 1] AS v
+               FROM q JOIN asg ON asg.vec_id = q.vec_id
+                    JOIN ct c ON c.cent_id = asg.cell,
+                    UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
+             seedrank AS (
+               SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                        vec_id) - 1 AS code, vec_id
+               FROM (SELECT vec_id FROM q
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)),
+             cb0 AS (
+               SELECT r.m, s.code, r.j, r.v
+               FROM seedrank s JOIN res r ON r.vec_id = s.vec_id),
+             d0 AS (
+               SELECT r.vec_id, r.m, c.code,
+                 CAST(SUM((r.v - c.v) * (r.v - c.v)) AS BIGINT) AS dist
+               FROM res r JOIN cb0 c ON c.m = r.m AND c.j = r.j
+               GROUP BY 1, 2, 3),
+             a0 AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, code) AS rn FROM d0)
+               WHERE rn = 1),
+             msum AS (
+               SELECT a.m, a.code, r.j,
+                 CAST(SUM(r.v) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS n
+               FROM a0 a JOIN res r ON r.vec_id = a.vec_id AND r.m = a.m
+               GROUP BY 1, 2, 3),
+             cb1 AS (
+               SELECT c.m, c.code, c.j,
+                 COALESCE(CASE WHEN ms.sm < 0 THEN -((-ms.sm) // ms.n)
+                               ELSE ms.sm // ms.n END, c.v) AS v
+               FROM cb0 c LEFT JOIN msum ms
+                 ON ms.m = c.m AND ms.code = c.code AND ms.j = c.j),
+             d1 AS (
+               SELECT r.vec_id, r.m, c.code,
+                 CAST(SUM((r.v - c.v) * (r.v - c.v)) AS BIGINT) AS dist
+               FROM res r JOIN cb1 c ON c.m = r.m AND c.j = r.j
+               GROUP BY 1, 2, 3),
+             enc AS (
+               SELECT vec_id, m, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, code) AS rn FROM d1)
+               WHERE rn = 1),
+             pb AS (
+               SELECT vec_id AS query_id, cent_id AS cell FROM (
+                 SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d DESC, cent_id) AS rn
+                 FROM dall WHERE vec_id % 40 = 0)
+               WHERE rn <= 8),
+             qres AS (
+               SELECT pb.query_id, pb.cell, t.m, u.j,
+                 q.qv[t.m * 4 + u.j + 1] - c.cv[t.m * 4 + u.j + 1] AS v
+               FROM pb JOIN q ON q.vec_id = pb.query_id
+                    JOIN ct c ON c.cent_id = pb.cell,
+                    UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
+             qtab AS (
+               SELECT r.query_id, r.cell, r.m, c.code,
+                 CAST(SUM((r.v - c.v) * (r.v - c.v)) AS BIGINT) AS dist
+               FROM qres r JOIN cb1 c ON c.m = r.m AND c.j = r.j
+               GROUP BY 1, 2, 3, 4),
+             cd AS (
+               SELECT pb.query_id, asg.vec_id AS neighbor_id, asg.cell AS cell
+               FROM pb JOIN asg USING (cell)
+               WHERE asg.vec_id <> pb.query_id),
+             ad AS (
+               SELECT cd.query_id, cd.neighbor_id,
+                 CAST(SUM(t.dist) AS BIGINT) AS adist
+               FROM cd
+               JOIN enc e ON e.vec_id = cd.neighbor_id
+               JOIN qtab t ON t.query_id = cd.query_id AND t.cell = cd.cell
+                          AND t.m = e.m AND t.code = e.code
+               GROUP BY 1, 2),
+             r AS (
+               SELECT query_id, neighbor_id, adist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adist, neighbor_id) AS rnk
+               FROM ad)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adist
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     // Exact k-NN by dot product (unit vectors ⇒ cosine): every 40th vector
@@ -849,6 +954,39 @@ object SimilarityQueries {
           nCells = 32, nProbe = 8, m = 16, ks = 64, trainIters = 1)
         .orderBy(col("query_id"), col("rank")),
       Some(ivfPqOracle)),
+
+    // RESIDUAL IVF-PQ (FAISS IVFPQ's actual encoding): codes quantize
+    // v − centroid(cell) against a residual-trained codebook; distance
+    // tables build per (query, probed cell). Same index size, lower
+    // reconstruction error (recall gain measured in PqSpec); the whole
+    // pipeline stays integer-exact, so the oracle re-derives residuals,
+    // training, per-cell tables, and ADC ranking end to end.
+    Q("q121_ivfpq_residual",
+      (s, d) => Similarity.ivfPqResidualTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", col("vec_id") % 40 === 0, k = 10,
+          nCells = 32, nProbe = 8, m = 16, ks = 64, trainIters = 1)
+        .orderBy(col("query_id"), col("rank")),
+      Some(ivfPqResidualOracle)),
+
+    // Residual index LIFECYCLE: q121's build persisted (codes + centroids
+    // + codebook + the `_residual` encoding marker), reloaded, and served
+    // through `VectorIndex.topK` — which must detect the marker and build
+    // per-(query, probed-cell) residual tables. Oracle is byte-for-byte
+    // q121's: a lost marker (raw tables against residual codes), a
+    // quantizer drift, or a torn meta would all break the hash.
+    Q("q122_residual_persist_serve",
+      (s, d) => {
+        import graft.operators.VectorIndex
+        val dir = graft.Scratch.tempDir("graft-q122") + "/ivfpq"
+        val emb = Tables.embeddings(s, d)
+        VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+          nCells = 32, m = 16, ks = 64, trainIters = 1, residual = true), dir)
+        VectorIndex.topK(VectorIndex.read(s, dir),
+            emb.filter(col("vec_id") % 40 === 0),
+            "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(ivfPqResidualOracle)),
 
     // Index LIFECYCLE: build the q100 IVF-PQ index, WRITE it to parquet
     // (codes + centroids + unrolled codebook + meta), READ it back, and

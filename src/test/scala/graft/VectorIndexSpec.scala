@@ -354,4 +354,49 @@ class VectorIndexSpec extends SparkSpec {
       .collect()
     assert(!after.exists(_.getAs[Long]("neighbor_id") == victim))
   }
+
+  test("residual index: encoding flag survives the whole lifecycle; retrain ≡ fresh residual build") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-r").toString + "/ix"
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    VectorIndex.write(VectorIndex.build(base, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1, residual = true), dir)
+    val loaded = VectorIndex.read(spark, dir)
+    assert(loaded.residual, "marker must round-trip through write/read")
+
+    // frozen-quantizer append must subtract exactly what build subtracted:
+    // persisted append ≡ in-memory append of the same delta
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    VectorIndex.appendToDir(spark, dir, delta, "vec_id", "embedding")
+    val servedAppend = VectorIndex.topK(VectorIndex.read(spark, dir),
+      emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 5, nProbe = 4)
+    val inMemAppend = VectorIndex.topK(
+      VectorIndex.append(VectorIndex.build(base, "vec_id", "embedding",
+        nCells = 16, m = 16, ks = 32, trainIters = 1, residual = true),
+        delta, "vec_id", "embedding"),
+      emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(canon(servedAppend) === canon(inMemAppend),
+      "persisted residual append diverged from the in-memory append")
+
+    // delete → vacuum → retrain: flag survives every maintenance move, and
+    // the retrained index serves exactly like a fresh residual build on
+    // the live corpus
+    val doomed = emb.filter(col("vec_id") % 50 === 3).select("vec_id")
+    VectorIndex.deleteIds(spark, dir, doomed, "vec_id")
+    VectorIndex.vacuum(spark, dir)
+    val live = emb.join(doomed, Seq("vec_id"), "left_anti")
+    VectorIndex.retrain(spark, dir, live, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1)
+    val after = VectorIndex.read(spark, dir)
+    assert(after.residual, "flag must survive vacuum + retrain")
+    val qp = col("vec_id") % 25 === 0 && col("vec_id") % 50 =!= 3
+    val servedRetrained = VectorIndex.topK(after, emb.filter(qp),
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val servedFresh = VectorIndex.topK(
+      VectorIndex.build(live, "vec_id", "embedding",
+        nCells = 16, m = 16, ks = 32, trainIters = 1, residual = true),
+      emb.filter(qp), "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(canon(servedRetrained) === canon(servedFresh),
+      "retrained residual index diverged from a fresh residual build")
+  }
 }
