@@ -289,6 +289,75 @@ object LexIndex {
       .select(col("query_id"), col("rank"), col("doc_id"), col("pf"))
   }
 
+  /** Proximity ("sloppy phrase") top-k over the positional postings: rank
+    * documents that contain AT LEAST ONE occurrence of EVERY distinct
+    * query term inside a `window`-token span, by the MINIMAL such span
+    * (tighter co-occurrence = better match; doc-id tiebreak). The Lucene
+    * SpanNearQuery/slop contract, expressed relationally.
+    *
+    * Minimal-window derivation (exact, enumeration-based so the oracle can
+    * replicate it): any minimal window's LEFT edge is an occurrence of
+    * some query term, so every occurrence position is tried as a window
+    * start `s`; per start, each term's earliest occurrence in
+    * [s, s+window) is found (one min-aggregate), a start is valid when all
+    * terms appear, and its span is max(earliest) − s + 1. The per-doc cost
+    * is O(occurrences² / doc) with occurrences already restricted to the
+    * query's terms inside candidate documents — and candidates are first
+    * restricted to docs containing ALL terms (the same stopword guard as
+    * [[phraseTopK]]), so cost follows documents that could possibly match.
+    *
+    * Scan side reuses [[prunedPostings]] (static `term IN`/`pb IN`
+    * pushdown); everything downstream is integer arithmetic on persisted
+    * offsets — q123 re-derives tokenize-with-positions, the start
+    * enumeration, span minimization, and the rank in DuckDB. */
+  def proximityTopK(ix: Bm25Index, queries: DataFrame, queryIdCol: String,
+                    textCol: String, window: Int, k: Int): DataFrame = {
+    require(ix.postings.columns.contains("positions"),
+      "proximityTopK needs a positional index (rebuild with this version's build)")
+    require(window >= 1, s"window must be >= 1: $window")
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(Dedup.tokens(col(textCol)))).as("term"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qLen = qTerms.groupBy(col("query_id"))
+      .agg(countDistinct(col("term")).as("__m"))
+    val matched = prunedPostings(ix, qTerms)
+      .select(col("term"), col("id").as("doc_id"), col("positions"))
+      .join(broadcast(qTerms), "term")
+    // docs containing every distinct term — the candidate guard
+    val full = matched.groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("__have"))
+      .join(broadcast(qLen), "query_id")
+      .filter(col("__have") === col("__m"))
+      .select(col("query_id"), col("doc_id"))
+    // per-candidate occurrences of the query's terms; consumed twice
+    // (window starts + members), hence persisted
+    val occ = matched
+      .join(full, Seq("query_id", "doc_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("term"),
+        explode(col("positions")).as("__p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val starts = occ.select(col("query_id"), col("doc_id"), col("__p").as("__s"))
+      .distinct()
+    val nexts = occ.join(starts, Seq("query_id", "doc_id"))
+      .filter(col("__p") >= col("__s") && col("__p") < col("__s") + window)
+      .groupBy(col("query_id"), col("doc_id"), col("__s"), col("term"))
+      .agg(min(col("__p")).as("__np"))
+    val spans = nexts
+      .groupBy(col("query_id"), col("doc_id"), col("__s"))
+      .agg(countDistinct(col("term")).as("__nterms"), max(col("__np")).as("__mx"))
+      .join(broadcast(qLen), "query_id")
+      .filter(col("__nterms") === col("__m"))
+      .select(col("query_id"), col("doc_id"),
+        (col("__mx") - col("__s") + 1).as("__span"))
+    val best = spans.groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("__span")).cast("long").as("span"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("span"), col("doc_id"))
+    best.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("span"))
+  }
+
   /** Index a delta corpus slice into the at-rest index at `dir`:
     * tokenize/count ONLY the delta, commit new parquet files under the
     * two frames, bump the meta constants additively — O(delta) compute,

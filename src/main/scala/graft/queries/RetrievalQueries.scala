@@ -307,5 +307,76 @@ object RetrievalQueries {
                    FROM pfq)
              SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, pf
              FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
+    // Proximity (sloppy-phrase) top-k: every distinct query term within a
+    // 12-token window, ranked by the MINIMAL span (Lucene SpanNearQuery's
+    // contract). Same pb-pruned positional read as q120; the minimal
+    // window is derived by exact enumeration (every occurrence tried as a
+    // window start), so the oracle replays the whole computation —
+    // tokenize-with-positions, start enumeration, per-term earliest-in-
+    // window, span minimization, rank.
+    Q("q123_proximity_topk",
+      (s, d) => {
+        import graft.operators.LexIndex
+        val dir = graft.Scratch.tempDir("graft-q123") + "/lix"
+        val docs = Tables.documents(s, d)
+        LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
+        val queries = docs
+          .filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
+          .filter(size(Dedup.tokens(col("text"))) >= 4)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
+        LexIndex.proximityTopK(LexIndex.read(s, dir), queries,
+            "query_id", "qtext", window = 12, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+               FROM documents),
+             tp AS (
+               SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+               FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)),
+             qt AS (
+               SELECT DISTINCT doc_id AS query_id, w[i] AS term
+               FROM toks, UNNEST(range(1, 5)) AS t(i)
+               WHERE doc_id % 101 = 0 AND doc_id < 50500 AND len(w) >= 4),
+             qm AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS m
+                    FROM qt GROUP BY 1),
+             cand AS (
+               SELECT qt.query_id, tp.doc_id, qt.term, tp.pos
+               FROM qt JOIN tp USING (term)),
+             fd AS (
+               SELECT c.query_id, c.doc_id
+               FROM cand c JOIN qm ON qm.query_id = c.query_id
+               GROUP BY c.query_id, c.doc_id, qm.m
+               HAVING COUNT(DISTINCT c.term) = qm.m),
+             occ AS (
+               SELECT c.query_id, c.doc_id, c.term, c.pos
+               FROM cand c JOIN fd f
+                 ON f.query_id = c.query_id AND f.doc_id = c.doc_id),
+             starts AS (
+               SELECT DISTINCT query_id, doc_id, pos AS s FROM occ),
+             nexts AS (
+               SELECT o.query_id, o.doc_id, st.s, o.term,
+                 CAST(MIN(o.pos) AS BIGINT) AS np
+               FROM starts st JOIN occ o
+                 ON o.query_id = st.query_id AND o.doc_id = st.doc_id
+                AND o.pos >= st.s AND o.pos < st.s + 12
+               GROUP BY 1, 2, 3, 4),
+             spans AS (
+               SELECT n.query_id, n.doc_id, n.s,
+                 CAST(MAX(n.np) - n.s + 1 AS BIGINT) AS span
+               FROM nexts n JOIN qm ON qm.query_id = n.query_id
+               GROUP BY n.query_id, n.doc_id, n.s, qm.m
+               HAVING COUNT(DISTINCT n.term) = qm.m),
+             best AS (
+               SELECT query_id, doc_id, CAST(MIN(span) AS BIGINT) AS span
+               FROM spans GROUP BY 1, 2),
+             r AS (SELECT query_id, doc_id, span,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY span, doc_id) AS rnk
+                   FROM best)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, span
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank""")),
   )
 }

@@ -174,4 +174,34 @@ class LexIndexSpec extends SparkSpec {
     assert(!readSchemas.exists(_.contains("positions")),
       s"BM25 scan reads the positions column it never uses:\n${readSchemas.mkString("\n")}")
   }
+
+  test("proximityTopK: minimal-span semantics, window bound, all-terms guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                    // span 3 (tightest)
+      (2L, "alpha x beta x gamma"),                // span 5
+      (3L, "gamma x x beta alpha"),                // order-free: span 5
+      (4L, "alpha x x x x x x x beta x x gamma"),  // span 12, fits window=12 exactly
+      (5L, "alpha x x x x x x x x beta x x gamma"),// span 13 > window: excluded
+      (6L, "alpha beta delta"),                    // gamma missing: excluded
+      (7L, "alpha beta gamma x x x x x x x alpha beta gamma") // min span still 3
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lix-px").toString + "/ix"
+    LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
+    val qs = Seq((100L, "alpha beta gamma")).toDF("query_id", "qtext")
+    val out = LexIndex.proximityTopK(LexIndex.read(spark, dir), qs,
+      "query_id", "qtext", window = 12, k = 10)
+    val rows = out.collect().map(r => (r.getAs[Long]("rank"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("span"))).sortBy(_._1).toSeq
+    // spans: doc1=3, doc7=3 (repeats don't shrink below the true minimum),
+    // doc2=5, doc3=5, doc4=12; doc5 exceeds the window, doc6 lacks a term
+    assert(rows == Seq((1L, 1L, 3L), (2L, 7L, 3L), (3L, 2L, 5L),
+      (4L, 3L, 5L), (5L, 4L, 12L)), s"got $rows")
+    // same pushdown discipline as phrase: term IN + pb partition filters
+    val plan = LexIndex.proximityTopK(LexIndex.read(spark, dir), qs,
+        "query_id", "qtext", window = 12, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [pb"))
+    assert(plan.contains("PushedFilters: [In(term"))
+  }
 }
