@@ -23,7 +23,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sections =
       if (args.isEmpty)
-        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "retrain", "dix", "lex", "fvs", "ops", "skew", "hotbucket", "bpe", "stream")
+        Set("dedup", "cc", "ccprobe", "ann", "ivf2", "vindex", "retrain", "residual", "dix", "lex", "fvs", "ops", "skew", "hotbucket", "bpe", "stream")
       else args.map(_.toLowerCase).toSet
     def want(s: String): Boolean = sections(s)
     // stress sections that persist indexes (dix/lex/vindex) allocate work
@@ -340,6 +340,46 @@ object Stress {
     require(noop.isEmpty, s"healthy index must not rebuild (skew $skewAfter)")
     println(f"[stress] retrain skew: drifted $skewDrifted%.1f -> repaired $skewAfter%.1f")
     delta.unpersist(); full.unpersist()
+    }
+
+    if (want("residual")) {
+    // Residual vs raw IVF-PQ coding at 80k vectors. This corpus is 2k
+    // tight modes of 40 variants — exactly the clustered regime residual
+    // coding exists for — so the comparison reads as: at identical index
+    // size (96-bit codes) and identical probing (16/283 cells), what does
+    // encoding residuals buy in recall, and what does the per-(query,cell)
+    // table build cost at serve time?
+    import graft.operators.VectorIndex
+    val pred2k = col("vec_id") % 40 === 0
+    val predSub = col("vec_id") % 400 === 0
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gt = t("residual ground truth (200 queries)") {
+      pairsOf(Similarity.bruteForceTopK(emb, "vec_id", "embedding", predSub, k = 10))
+    }
+    def run(residual: Boolean): (Double, Double, Double) = {
+      val tag = if (residual) "residual" else "raw"
+      val t0 = System.nanoTime()
+      val ix = VectorIndex.build(emb, "vec_id", "embedding",
+        nCells = 283, m = 16, ks = 64, trainIters = 1, residual = residual)
+      ix.codes.count() // materialize the build
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = VectorIndex.topK(ix, emb.filter(pred2k),
+        "vec_id", "embedding", k = 10, nProbe = 16).count()
+      val serveSec = (System.nanoTime() - t1) / 1e9
+      val rec = pairsOf(VectorIndex.topK(ix, emb.filter(predSub),
+        "vec_id", "embedding", k = 10, nProbe = 16))
+        .intersect(gt).size.toDouble / gt.size
+      println(f"[stress] ivfpq-$tag%-8s build=$buildSec%6.1f s  " +
+        f"serve2k=$serveSec%6.1f s  rows=$n%7d  recall=$rec%.3f")
+      (buildSec, serveSec, rec)
+    }
+    val (_, _, rawRec) = run(residual = false)
+    val (_, _, resRec) = run(residual = true)
+    require(resRec >= rawRec,
+      f"residual must not lose recall on a clustered corpus: raw=$rawRec%.3f res=$resRec%.3f")
     }
 
     if (want("dix")) {
