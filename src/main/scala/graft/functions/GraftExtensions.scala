@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongPqAdc].getName, "graft_pqadc"),
       (exprs: Seq[Expression]) => LongPqAdc(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_minspan"),
+      new ExpressionInfo(classOf[MinWindowSpan].getName, "graft_minspan"),
+      (exprs: Seq[Expression]) => MinWindowSpan(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
       (exprs: Seq[Expression]) => {

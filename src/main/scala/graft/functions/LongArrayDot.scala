@@ -172,6 +172,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pqadc", exprs => LongPqAdc(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minspan",
+      exprs => MinWindowSpan(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

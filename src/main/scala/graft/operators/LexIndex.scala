@@ -289,69 +289,120 @@ object LexIndex {
       .select(col("query_id"), col("rank"), col("doc_id"), col("pf"))
   }
 
+  /** Max distinct terms a proximity query may carry: bounds the number of
+    * conditional running-max columns the minimal-window scan computes. */
+  val MaxProximityTerms = 8
+
   /** Proximity ("sloppy phrase") top-k over the positional postings: rank
     * documents that contain AT LEAST ONE occurrence of EVERY distinct
     * query term inside a `window`-token span, by the MINIMAL such span
     * (tighter co-occurrence = better match; doc-id tiebreak). The Lucene
     * SpanNearQuery/slop contract, expressed relationally.
     *
-    * Minimal-window derivation (exact, enumeration-based so the oracle can
-    * replicate it): any minimal window's LEFT edge is an occurrence of
-    * some query term, so every occurrence position is tried as a window
-    * start `s`; per start, each term's earliest occurrence in
-    * [s, s+window) is found (one min-aggregate), a start is valid when all
-    * terms appear, and its span is max(earliest) − s + 1. The per-doc cost
-    * is O(occurrences² / doc) with occurrences already restricted to the
-    * query's terms inside candidate documents — and candidates are first
-    * restricted to docs containing ALL terms (the same stopword guard as
-    * [[phraseTopK]]), so cost follows documents that could possibly match.
+    * Minimal-window derivation — the classic one-pass form, relationally:
+    * every minimal window's RIGHT edge is an occurrence, so each
+    * occurrence row asks "what is the smallest window ENDING here?" =
+    * current position − min over terms of (that term's LAST occurrence at
+    * or before here) + 1. The per-term last-occurrence columns are
+    * conditional running maxes over ONE ordered window per (query, doc) —
+    * O(occ log occ) per candidate with NO pairwise join. (Two earlier
+    * cuts enumerated window STARTS against occurrences: the raw form was
+    * O(occ²) per doc — 94.6 s at the sf1 step on stopword-heavy queries —
+    * and window-bucketing the pairing didn't save it; the running-max
+    * scan did.) Queries carry ≤ [[MaxProximityTerms]] distinct terms.
     *
-    * Scan side reuses [[prunedPostings]] (static `term IN`/`pb IN`
-    * pushdown); everything downstream is integer arithmetic on persisted
-    * offsets — q123 re-derives tokenize-with-positions, the start
-    * enumeration, span minimization, and the rank in DuckDB. */
+    * Candidates are first restricted to docs containing ALL terms (the
+    * same stopword guard as [[phraseTopK]]); the scan side reuses
+    * [[prunedPostings]] (static `term IN`/`pb IN` pushdown). Everything
+    * downstream is integer arithmetic on persisted offsets — q123
+    * re-derives tokenize-with-positions, the running-max scan, span
+    * minimization, and the rank in DuckDB with the same window functions. */
   def proximityTopK(ix: Bm25Index, queries: DataFrame, queryIdCol: String,
                     textCol: String, window: Int, k: Int): DataFrame = {
     require(ix.postings.columns.contains("positions"),
       "proximityTopK needs a positional index (rebuild with this version's build)")
     require(window >= 1, s"window must be >= 1: $window")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         explode(array_distinct(Dedup.tokens(col(textCol)))).as("term"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qLen = qTerms.groupBy(col("query_id"))
-      .agg(countDistinct(col("term")).as("__m"))
-    val matched = prunedPostings(ix, qTerms)
+      .agg(countDistinct(col("term")).cast("int").as("__m"))
+    // deterministic per-query term index 0..m-1 for the running-max columns
+    val wTi = Window.partitionBy(col("query_id")).orderBy(col("term"))
+    val qTermsIdx = qTerms
+      .withColumn("__ti", (row_number().over(wTi) - 1).cast("int"))
+    // a query with more terms than the fold's last-seen budget would
+    // otherwise return silently-empty results (its validity check can
+    // never reach m) — refuse loudly, with one tiny query-batch aggregate
+    qLen.select(max(col("__m"))).head().get(0) match {
+      case null => ()
+      case m: Int => require(m <= MaxProximityTerms,
+        s"proximity queries carry at most $MaxProximityTerms distinct terms (got $m)")
+      case _ => ()
+    }
+    // SHARED SCAN across the query batch (the q116 hoist discipline):
+    // queries overlap heavily in terms, so anything carrying POSITION
+    // ARRAYS is computed once per (doc, batch), never once per (doc,
+    // query). Three frames:
+    //  - batchTerms: the batch's distinct terms with a dense global index
+    //    (bounded by 8 × #queries — the one single-partition window here);
+    //  - docEvents: per doc, ONE sorted (pos, global-term-index) event
+    //    array over all batch terms — built from the pruned postings with
+    //    a 1-row-per-posting aggregation;
+    //  - qMeta: per query, the global→local term-index map (≤ m entries)
+    //    used to interpret shared events during the fold.
+    val batchTerms = qTerms.select(col("term")).distinct()
+      .withColumn("__gi",
+        (row_number().over(Window.orderBy(col("term"))) - 1).cast("int"))
+    val mkEvents =
+      "transform(positions, p -> struct(CAST(p AS BIGINT) AS pos, __gi AS gi))"
+    val docEvents = prunedPostings(ix, qTerms)
       .select(col("term"), col("id").as("doc_id"), col("positions"))
-      .join(broadcast(qTerms), "term")
-    // docs containing every distinct term — the candidate guard
-    val full = matched.groupBy(col("query_id"), col("doc_id"))
-      .agg(countDistinct(col("term")).as("__have"))
+      .join(broadcast(batchTerms), "term")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(flatten(collect_list(expr(mkEvents)))).as("__evs"))
+      .select(col("doc_id"),
+        expr("transform(__evs, e -> e.pos)").as("__pos"),
+        expr("transform(__evs, e -> e.gi)").as("__gis"))
+    // per-query term set packed as gi·16 + ti entries (ti ≤ 15 by the
+    // MaxProximityTerms budget); sorted for determinism
+    val qMeta = qTermsIdx.join(broadcast(batchTerms), "term")
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list((col("__gi") * 16 + col("__ti")).cast("int")))
+        .as("__qpack"))
+    // candidate pairs: docs containing ALL the query's terms — a NARROW
+    // (query, doc, term) aggregation; position arrays never ride along.
+    // count(*), not countDistinct: postings carry one row per (term, doc)
+    // and qTerms one row per (query, term), so the joined keys are unique
+    // by construction (countDistinct's expand doubled this 72M-row agg)
+    val pairs = prunedPostings(ix, qTerms)
+      .select(col("term"), col("id").as("doc_id"))
+      .join(broadcast(qTermsIdx.select(col("query_id"), col("term"))), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("__have"))
       .join(broadcast(qLen), "query_id")
       .filter(col("__have") === col("__m"))
       .select(col("query_id"), col("doc_id"))
-    // per-candidate occurrences of the query's terms; consumed twice
-    // (window starts + members), hence persisted
-    val occ = matched
-      .join(full, Seq("query_id", "doc_id"), "left_semi")
-      .select(col("query_id"), col("doc_id"), col("term"),
-        explode(col("positions")).as("__p"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val starts = occ.select(col("query_id"), col("doc_id"), col("__p").as("__s"))
-      .distinct()
-    val nexts = occ.join(starts, Seq("query_id", "doc_id"))
-      .filter(col("__p") >= col("__s") && col("__p") < col("__s") + window)
-      .groupBy(col("query_id"), col("doc_id"), col("__s"), col("term"))
-      .agg(min(col("__p")).as("__np"))
-    val spans = nexts
-      .groupBy(col("query_id"), col("doc_id"), col("__s"))
-      .agg(countDistinct(col("term")).as("__nterms"), max(col("__np")).as("__mx"))
-      .join(broadcast(qLen), "query_id")
-      .filter(col("__nterms") === col("__m"))
-      .select(col("query_id"), col("doc_id"),
-        (col("__mx") - col("__s") + 1).as("__span"))
-    val best = spans.groupBy(col("query_id"), col("doc_id"))
-      .agg(min(col("__span")).cast("long").as("span"))
+    // One native scan per candidate over the SHARED event stream
+    // (graft_minspan): keep each query term's last-seen position; whenever
+    // all m have been seen, the smallest window ending at the current
+    // event is pos − min(last) + 1; events of other queries' terms pass
+    // through. Three earlier cuts of this step — start×occurrence
+    // enumeration (O(occ²)), a 113M-row conditional-running-max
+    // WindowExec scan, and the same sweep as a SQL aggregate() HOF (which
+    // rebuilds an m-array three times per event) — all measured ~95 s at
+    // the sf1 step on this corpus's stopword-dense queries; the
+    // allocation-free expression does the identical arithmetic inside one
+    // codegen'd projection.
+    val best = pairs
+      .join(docEvents, "doc_id")
+      .join(broadcast(qMeta), "query_id")
+      .withColumn("span", call_function("graft_minspan",
+        col("__pos"), col("__gis"), col("__qpack")))
+      .filter(col("span").isNotNull && col("span") <= window)
+      .select(col("query_id"), col("doc_id"), col("span"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("span"), col("doc_id"))
     best.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
