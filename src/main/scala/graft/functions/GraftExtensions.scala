@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinWindowSpan].getName, "graft_minspan"),
       (exprs: Seq[Expression]) => MinWindowSpan(exprs.head, exprs(1), exprs(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_phrasefreq"),
+      new ExpressionInfo(classOf[PhraseFreq].getName, "graft_phrasefreq"),
+      (exprs: Seq[Expression]) => PhraseFreq(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KMinValues].getName, "graft_kmv"),
       (exprs: Seq[Expression]) => {

@@ -175,6 +175,9 @@ object GraftFunctions {
       "graft_minspan",
       exprs => MinWindowSpan(exprs.head, exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_phrasefreq",
+      exprs => PhraseFreq(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv", exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v

@@ -151,3 +151,147 @@ case class MinWindowSpan(first: Expression, second: Expression,
       newThird: Expression): MinWindowSpan =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** `graft_phrasefreq(positions, gis, qpack)` → the document's PHRASE
+  * FREQUENCY: how many anchor occurrences extend to a full consecutive
+  * phrase match — [[graft.operators.LexIndex.phraseTopK]]'s inner loop as
+  * one codegen'd scan over the same shared per-document event stream
+  * [[MinWindowSpan]] reads (positions sorted ascending, parallel batch
+  * term indexes).
+  *
+  * `qpack` entries are `gi * 16 + offset` — the phrase's (term, position-
+  * offset) requirements, offset 0 being the anchor (repeated terms at
+  * different offsets are separate entries). For each anchor event, every
+  * requirement (p + offset, gi) is located by binary search over the
+  * sorted positions; the anchor counts when all m hit. O(anchors · m ·
+  * log events), zero allocation beyond two m-length scratch arrays per
+  * row. Returns 0 when nothing matches (never null).
+  */
+case class PhraseFreq(first: Expression, second: Expression,
+                      third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(IntegerType, _),
+            ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_phrasefreq requires (array<bigint>, array<int>, array<int>), " +
+          s"got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_phrasefreq"
+
+  override def nullSafeEval(p: Any, g: Any, q: Any): Any = {
+    val pos = p.asInstanceOf[ArrayData]
+    val gis = g.asInstanceOf[ArrayData]
+    val qp = q.asInstanceOf[ArrayData]
+    val m = qp.numElements()
+    if (m == 0) return 0L
+    val qgi = new Array[Int](m)
+    val qoff = new Array[Int](m)
+    var anchorGi = -1
+    var j = 0
+    while (j < m) {
+      val e = qp.getInt(j); qgi(j) = e >> 4; qoff(j) = e & 15
+      if (qoff(j) == 0) anchorGi = qgi(j)
+      j += 1
+    }
+    if (anchorGi < 0) return 0L
+    val n = math.min(pos.numElements(), gis.numElements())
+    // binary search for position `target`; true when present with term `gi`
+    def hit(target: Long, gi: Int): Boolean = {
+      var lo = 0; var hi = n - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = pos.getLong(mid)
+        if (v < target) lo = mid + 1
+        else if (v > target) hi = mid - 1
+        else return gis.getInt(mid) == gi
+      }
+      false
+    }
+    var pf = 0L
+    var i = 0
+    while (i < n) {
+      if (gis.getInt(i) == anchorGi) {
+        val base = pos.getLong(i)
+        var ok = true
+        var t = 0
+        while (ok && t < m) {
+          if (!hit(base + qoff(t), qgi(t))) ok = false
+          t += 1
+        }
+        if (ok) pf += 1L
+      }
+      i += 1
+    }
+    pf
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, g, q) => {
+      val m = ctx.freshName("m")
+      val qgi = ctx.freshName("qgi")
+      val qoff = ctx.freshName("qoff")
+      val anchorGi = ctx.freshName("anchorGi")
+      val n = ctx.freshName("n")
+      val pf = ctx.freshName("pf")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val e = ctx.freshName("e")
+      val base = ctx.freshName("base")
+      val ok = ctx.freshName("ok")
+      val target = ctx.freshName("target")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val v = ctx.freshName("v")
+      val found = ctx.freshName("found")
+      s"""
+         |final int $m = $q.numElements();
+         |long $pf = 0L;
+         |int $anchorGi = -1;
+         |if ($m > 0) {
+         |  final int[] $qgi = new int[$m];
+         |  final int[] $qoff = new int[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    final int $e = $q.getInt($j);
+         |    $qgi[$j] = $e >> 4; $qoff[$j] = $e & 15;
+         |    if ($qoff[$j] == 0) $anchorGi = $qgi[$j];
+         |  }
+         |  final int $n = java.lang.Math.min($p.numElements(), $g.numElements());
+         |  if ($anchorGi >= 0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if ($g.getInt($i) == $anchorGi) {
+         |        final long $base = $p.getLong($i);
+         |        boolean $ok = true;
+         |        for (int $t = 0; $ok && $t < $m; $t++) {
+         |          final long $target = $base + (long) $qoff[$t];
+         |          int $lo = 0; int $hi = $n - 1;
+         |          boolean $found = false;
+         |          while ($lo <= $hi) {
+         |            final int $mid = ($lo + $hi) >>> 1;
+         |            final long $v = $p.getLong($mid);
+         |            if ($v < $target) $lo = $mid + 1;
+         |            else if ($v > $target) $hi = $mid - 1;
+         |            else { $found = $g.getInt($mid) == $qgi[$t]; break; }
+         |          }
+         |          if (!$found) $ok = false;
+         |        }
+         |        if ($ok) $pf += 1L;
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = $pf;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PhraseFreq =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -255,38 +255,80 @@ object LexIndex {
                  phraseCol: String, k: Int): DataFrame = {
     require(ix.postings.columns.contains("positions"),
       "phraseTopK needs a positional index (rebuild with this version's build)")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         posexplode(Dedup.tokens(col(phraseCol))).as(Seq("offset", "term")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // packing budget: offsets ride in 4 bits next to the term index
+    qTerms.select(max(col("offset"))).head().get(0) match {
+      case null => ()
+      case o: Int => require(o < 16, s"phrases carry at most 16 tokens (got ${o + 1})")
+      case _ => ()
+    }
     val qLen = qTerms.groupBy(col("query_id"))
-      .agg(countDistinct(col("offset")).as("__m"))
-    val matched = prunedPostings(ix, qTerms)
-      .select(col("term"), col("id").as("doc_id"), col("positions"))
-      .join(broadcast(qTerms), "term")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // documents containing every phrase offset — the anchor-explosion guard
-    val full = matched.groupBy(col("query_id"), col("doc_id"))
-      .agg(countDistinct(col("offset")).as("__have"))
-      .join(broadcast(qLen), "query_id")
-      .filter(col("__have") === col("__m"))
-      .select(col("query_id"), col("doc_id"))
-    val anchors = matched.filter(col("offset") === 0)
-      .join(full, Seq("query_id", "doc_id"), "left_semi")
-      .select(col("query_id"), col("doc_id"), explode(col("positions")).as("__p"))
-    val pf = matched
-      .join(anchors, Seq("query_id", "doc_id"))
-      .filter(array_contains(col("positions"), col("__p") + col("offset")))
-      .groupBy(col("query_id"), col("doc_id"), col("__p"))
-      .agg(countDistinct(col("offset")).as("__nhit"))
-      .join(broadcast(qLen), "query_id")
-      .filter(col("__nhit") === col("__m"))
+      .agg(countDistinct(col("offset")).cast("int").as("__m"))
+    val qTermsD = qTerms.select(col("query_id"), col("term")).distinct()
+    val qDist = qTermsD.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("__d"))
+    val (batchTerms, docEvents) = sharedEvents(ix, qTerms)
+    // per-query (term, offset) requirements packed as gi·16 + offset
+    val qMeta = qTerms.join(broadcast(batchTerms), "term")
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list((col("__gi") * 16 + col("offset")).cast("int")))
+        .as("__qpack"))
+    // anchor-explosion guard: docs containing every DISTINCT phrase term —
+    // a narrow aggregation, positions never ride along
+    val pairs = prunedPostings(ix, qTerms)
+      .select(col("term"), col("id").as("doc_id"))
+      .join(broadcast(qTermsD), "term")
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("pf"))
+      .agg(count(lit(1)).cast("int").as("__have"))
+      .join(broadcast(qDist), "query_id")
+      .filter(col("__have") === col("__d"))
+      .select(col("query_id"), col("doc_id"))
+    // one native scan per candidate over the SHARED event stream
+    // (graft_phrasefreq): anchors binary-search each (offset, term)
+    // requirement — same shared-scan shape as proximityTopK, and the same
+    // reason (the anchor×offset join duplicated position arrays per query)
+    val pf = pairs
+      .join(docEvents, "doc_id")
+      .join(broadcast(qMeta), "query_id")
+      .withColumn("pf", call_function("graft_phrasefreq",
+        col("__pos"), col("__gis"), col("__qpack")))
+      .filter(col("pf") > 0)
+      .select(col("query_id"), col("doc_id"), col("pf"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("pf").desc, col("doc_id"))
     pf.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("pf"))
+  }
+
+  /** The shared per-document event stream of [[phraseTopK]] and
+    * [[proximityTopK]]: the query BATCH's distinct terms with a dense
+    * global index (`__gi` — the one single-partition window here, bounded
+    * by the batch's term count), and per doc ONE sorted (pos, gi) event
+    * pair-of-arrays over those terms. Built once per batch from the
+    * pruned postings — position data never duplicates per query, which is
+    * what keeps both operators' cost at
+    * O(batch postings + candidates · events/doc). */
+  private def sharedEvents(ix: Bm25Index,
+                           qTerms: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val batchTerms = qTerms.select(col("term")).distinct()
+      .withColumn("__gi",
+        (row_number().over(Window.orderBy(col("term"))) - 1).cast("int"))
+    val mkEvents =
+      "transform(positions, p -> struct(CAST(p AS BIGINT) AS pos, __gi AS gi))"
+    val docEvents = prunedPostings(ix, qTerms)
+      .select(col("term"), col("id").as("doc_id"), col("positions"))
+      .join(broadcast(batchTerms), "term")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(flatten(collect_list(expr(mkEvents)))).as("__evs"))
+      .select(col("doc_id"),
+        expr("transform(__evs, e -> e.pos)").as("__pos"),
+        expr("transform(__evs, e -> e.gi)").as("__gis"))
+    (batchTerms, docEvents)
   }
 
   /** Max distinct terms a proximity query may carry: bounds the number of
@@ -353,19 +395,7 @@ object LexIndex {
     //    a 1-row-per-posting aggregation;
     //  - qMeta: per query, the global→local term-index map (≤ m entries)
     //    used to interpret shared events during the fold.
-    val batchTerms = qTerms.select(col("term")).distinct()
-      .withColumn("__gi",
-        (row_number().over(Window.orderBy(col("term"))) - 1).cast("int"))
-    val mkEvents =
-      "transform(positions, p -> struct(CAST(p AS BIGINT) AS pos, __gi AS gi))"
-    val docEvents = prunedPostings(ix, qTerms)
-      .select(col("term"), col("id").as("doc_id"), col("positions"))
-      .join(broadcast(batchTerms), "term")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(flatten(collect_list(expr(mkEvents)))).as("__evs"))
-      .select(col("doc_id"),
-        expr("transform(__evs, e -> e.pos)").as("__pos"),
-        expr("transform(__evs, e -> e.gi)").as("__gis"))
+    val (batchTerms, docEvents) = sharedEvents(ix, qTerms)
     // per-query term set packed as gi·16 + ti entries (ti ≤ 15 by the
     // MaxProximityTerms budget); sorted for determinism
     val qMeta = qTermsIdx.join(broadcast(batchTerms), "term")
