@@ -165,7 +165,11 @@ case class MinWindowSpan(first: Expression, second: Expression,
   * requirement (p + offset, gi) is located by binary search over the
   * sorted positions; the anchor counts when all m hit. O(anchors · m ·
   * log events), zero allocation beyond two m-length scratch arrays per
-  * row. Returns 0 when nothing matches (never null).
+  * row. Returns 0 when nothing matches; null only when an INPUT is null
+  * (nullability derives from the children, so raw-SQL callers on
+  * nullable columns get the standard null-in/null-out contract instead
+  * of a codegen NPE — the internal call sites feed non-null
+  * collect_list outputs and keep the null checks codegen'd away).
   */
 case class PhraseFreq(first: Expression, second: Expression,
                       third: Expression) extends TernaryExpression {
@@ -180,7 +184,8 @@ case class PhraseFreq(first: Expression, second: Expression,
     }
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = false
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable
   override def prettyName: String = "graft_phrasefreq"
 
   override def nullSafeEval(p: Any, g: Any, q: Any): Any = {

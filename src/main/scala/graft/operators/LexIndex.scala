@@ -129,13 +129,21 @@ object LexIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Meta may hold ONE row (plain [[write]]/[[appendToDir]] lifecycle) or
+    * one BASE row plus one DELTA row per committed epoch ([[LexIndexOcc]]'s
+    * concurrent appends — additive integer deltas in separate files is
+    * what lets two epochs land without a read-modify-write race on a
+    * single meta row). n_docs/tot_len SUM across rows; n_pb is an
+    * immutable index parameter carried identically on every row. */
   def read(spark: SparkSession, dir: String): Bm25Index = {
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val metaRows = spark.read.parquet(s"$dir/meta").collect()
+    require(metaRows.nonEmpty, s"empty index meta at $dir/meta")
     Bm25Index(
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/doclen"),
-      meta.getAs[Long]("n_docs"), meta.getAs[Long]("tot_len"),
-      meta.getAs[Int]("n_pb"))
+      metaRows.map(_.getAs[Long]("n_docs")).sum,
+      metaRows.map(_.getAs[Long]("tot_len")).sum,
+      metaRows.head.getAs[Int]("n_pb"))
   }
 
   /** Terms-per-batch bound for the static pushdown in [[query]]: below
@@ -266,8 +274,6 @@ object LexIndex {
       case o: Int => require(o < 16, s"phrases carry at most 16 tokens (got ${o + 1})")
       case _ => ()
     }
-    val qLen = qTerms.groupBy(col("query_id"))
-      .agg(countDistinct(col("offset")).cast("int").as("__m"))
     val qTermsD = qTerms.select(col("query_id"), col("term")).distinct()
     val qDist = qTermsD.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("int").as("__d"))

@@ -35,36 +35,50 @@ object Retrieval {
     * Query-term multiplicity is collapsed (DISTINCT) — the standard
     * web-query reading where repeating a word is not double weighting.
     *
-    * Plan shape: tf/df/doclen are one aggregation pass each over the
-    * exploded term frame; the tiny query-term frame broadcasts into the
-    * postings join so only matching postings shuffle into the final
-    * per-(query, doc) aggregation. Corpus constants (N, avgdl) ride a
-    * broadcast 1-row frame — no driver collect.
+    * Plan shape: the document length rides INLINE on every posting row
+    * (dl = size(tokens) is known BEFORE the explode — the same
+    * norm-in-the-posting design [[LexIndex]] persists), so scoring needs
+    * no doclen join and the corpus constants (N, avgdl) are one cheap
+    * scan over the un-exploded token frame, broadcast as a 1-row frame —
+    * no driver collect. df per term is a count over postings already
+    * restricted to the (broadcast) query terms — same value as a
+    * full-corpus df, at matched-postings cost. One wide shuffle total on
+    * the corpus side (the (id, term) aggregation); the earlier shape's
+    * doclen aggregation + corpus-sized tf⋈doclen join measured ~1 s of
+    * pure stage floor at serving scale (sf0.1) for values the token
+    * array already held.
     *
     * Output: (query_id, rank, doc_id, n_hit_terms, score_micros, score).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = TextAnalysis.termRows(docs, idCol, textCol, 1)
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val doclen = tf.groupBy(col(idCol)).agg(sum("__tf").as("__dl"))
-    val consts = doclen.agg(
-      count(lit(1)).cast("long").as("__n_docs"),
-      sum("__dl").cast("long").as("__tot_len"))
+    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
+    // N counts docs with ≥1 token (an all-whitespace doc has no postings
+    // and can never score) — identical to the old count-over-doclen
+    val consts = toks.agg(
+      count(when(size(col("__toks")) >= 1, lit(1))).cast("long").as("__n_docs"),
+      coalesce(sum(size(col("__toks"))), lit(0L)).cast("long").as("__tot_len"))
     val qTerms = queries.select(
         col(queryIdCol).as("query_id"),
         explode(Dedup.tokens(col(queryTextCol))).as("term"))
       .distinct()
+    val tf = toks
+      .select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
     // semi-restrict the postings to query terms first; df per term is then
-    // a count over rows already in hand (same value as a full-corpus df)
+    // a count over rows already in hand (same value as a full-corpus df).
+    // restricted is small (matched postings only) — persist it, not the
+    // corpus-sized tf frame, so the df branch and the scoring branch share
+    // one tokenize+aggregate pass
     val restricted = tf
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qDf = restricted.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     bm25Rank(restricted
       .join(broadcast(qDf), "term")
-      .join(doclen, idCol)
       .crossJoin(broadcast(consts))
       .withColumnRenamed(idCol, "doc_id"), qTerms, k, k1, b)
   }
@@ -165,6 +179,24 @@ object Retrieval {
       array_join(slice(Dedup.tokens(col(textCol)), 1, nQueryTokens), " ")
         .as("qtext"))
     val lex = bm25TopK(docs, idCol, textCol, queries, "query_id", "qtext", k)
+    val vec = Similarity.bruteForceTopK(emb, vecIdCol, vecCol, vecQueryPred, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    rrfFuse(lex, vec, k, rrfK)
+  }
+
+  /** [[hybridTopK]] served from a PERSISTED lexical index — the production
+    * hybrid read path: the lexical leg is [[LexIndex.query]] (term-pruned
+    * postings read, bit-identical to [[bm25TopK]] by construction — both
+    * feed [[bm25Rank]]), the vector leg the same exact ranking, fused with
+    * the same [[rrfFuse]]. The corpus text is never re-tokenized: per
+    * query batch the engine reads only the matched terms' postings row
+    * groups, which is what makes hybrid serving O(query batch) instead of
+    * O(corpus) at 100 TB. `queries` carries (query_id, qtext). */
+  def hybridTopKIndexed(ix: Bm25Index, queries: DataFrame,
+                        emb: DataFrame, vecIdCol: String, vecCol: String,
+                        vecQueryPred: org.apache.spark.sql.Column,
+                        k: Int, rrfK: Int = 60): DataFrame = {
+    val lex = LexIndex.query(ix, queries, "query_id", "qtext", k)
     val vec = Similarity.bruteForceTopK(emb, vecIdCol, vecCol, vecQueryPred, k)
       .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
     rrfFuse(lex, vec, k, rrfK)

@@ -149,8 +149,10 @@ object DataSkipping {
               .unionByName(newStats.select(m.columns.map(col): _*))
             val staged = s"$dir/${ManifestDir}_stage"
             merged.coalesce(1).write.mode("overwrite").parquet(staged)
-            // the two-rename swap every index maintainer here uses: readers
-            // mid-swap retry against a complete tree, never a partial one
+            // two-rename swap: in the instant between the renames no
+            // _manifest exists and readers fall back to an unpruned scan
+            // (safe — pruning is an optimization); a crash in that window
+            // leaves _manifest.old, which [[manifest]] heals on next read
             val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri,
               spark.sparkContext.hadoopConfiguration)
             val liveP = new org.apache.hadoop.fs.Path(dir, ManifestDir)
@@ -166,10 +168,19 @@ object DataSkipping {
     }
   }
 
-  /** The stats manifest of `dir`, if one was written. */
+  /** The stats manifest of `dir`, if one was written. Heals a crashed
+    * [[appendManifest]] swap: when only `_manifest.old` survives (the
+    * maintainer died between its two renames), the old complete manifest
+    * is renamed back live — single-maintainer contract, so the rename is
+    * unambiguous; concurrent readers that lose the rename race simply see
+    * no manifest and scan unpruned. */
   def manifest(spark: SparkSession, dir: String): Option[DataFrame] = {
     val fs = hadoopFs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir, ManifestDir)
+    if (!fs.exists(p)) {
+      val old = new org.apache.hadoop.fs.Path(dir, ManifestDir + ".old")
+      if (fs.exists(old)) scala.util.Try(fs.rename(old, p))
+    }
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
@@ -209,9 +220,12 @@ object DataSkipping {
     }
 
   /** Data files under `root` (recursive, dir-relative paths), skipping
-    * metadata directories and dotfiles — Spark's own listing rules. Shared
-    * by [[prunedFiles]] (the live side of subtractive pruning) and
-    * [[appendManifest]] (the delta discovery). */
+    * metadata directories and dotfiles — Spark's own listing rules — and
+    * restricted to `*.parquet` (this module is parquet-only; a stray
+    * README or tool artifact in the table dir must not reach an
+    * explicit-path `spark.read.parquet`). Shared by [[prunedFiles]] (the
+    * live side of subtractive pruning) and [[appendManifest]] (the delta
+    * discovery). */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path): Seq[String] = {
     val qualified = root.toString
@@ -219,7 +233,8 @@ object DataSkipping {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val rel = it.next().getPath.toString.stripPrefix(qualified + "/")
-      if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+      if (rel.endsWith(".parquet") &&
+          !rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
         out += rel
     }
     out.toSeq

@@ -77,14 +77,21 @@ case class ManifestPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
 
 object ManifestPruneRule {
   // both caches are per-JVM and bounded; entries are invalidated by
-  // DataSkipping.writeManifest (same-JVM writers). A manifest written by
-  // ANOTHER process after a session cached "no manifest" is simply not
-  // used until this JVM re-checks — an optimization miss, never a
-  // correctness issue. Manifest-indexed dirs themselves are immutable in
-  // the gold contract (one manifest per published version directory).
-  private val manifestPresence = new ConcurrentHashMap[String, java.lang.Boolean]()
+  // DataSkipping.writeManifest (same-JVM writers). Positive presence
+  // entries are sticky (manifest-indexed dirs are immutable in the gold
+  // contract — one manifest per published version directory); NEGATIVE
+  // entries carry a TTL so a manifest published by ANOTHER process is
+  // eventually observed by long-lived sessions — until then the miss is
+  // an optimization gap, never a correctness issue. The size-check-then-
+  // put pair is deliberately unsynchronized: the bound may be exceeded by
+  // a few in-flight entries momentarily, which is harmless.
+  //
+  // presence values: 0L = present (sticky); otherwise the nanoTime
+  // deadline after which the cached "absent" verdict expires.
+  private val manifestPresence = new ConcurrentHashMap[String, java.lang.Long]()
   private val rejectedCache = new ConcurrentHashMap[(String, Expression), Set[String]]()
   private val MaxCacheEntries = 4096
+  private val NegativeTtlNanos = 30L * 1000L * 1000L * 1000L
 
   private[graft] def invalidate(dir: String): Unit = {
     manifestPresence.remove(dir)
@@ -94,12 +101,15 @@ object ManifestPruneRule {
   private def hasManifest(session: SparkSession, root: Path): Boolean = {
     val key = root.toString
     val cached = manifestPresence.get(key)
-    if (cached != null) cached.booleanValue()
-    else {
+    if (cached != null &&
+        (cached.longValue() == 0L || System.nanoTime() < cached.longValue())) {
+      cached.longValue() == 0L
+    } else {
       val fs = root.getFileSystem(session.sparkContext.hadoopConfiguration)
       val present = fs.exists(new Path(root, DataSkipping.ManifestDir))
       if (manifestPresence.size() > MaxCacheEntries) manifestPresence.clear()
-      manifestPresence.put(key, present)
+      manifestPresence.put(key,
+        if (present) 0L else System.nanoTime() + NegativeTtlNanos)
       present
     }
   }

@@ -126,6 +126,63 @@ object RetrievalQueries {
                lex_rank, vec_rank, CAST(rrf_micros AS BIGINT) AS rrf_micros
              FROM fr WHERE rnk <= 10 ORDER BY query_id, rank""")),
 
+    // Hybrid retrieval served from the PERSISTED lexical index (the
+    // production read path): the lexical leg is LexIndex.query over the
+    // term-pruned postings — bit-identical to q113's one-shot bm25TopK by
+    // construction (both feed Retrieval.bm25Rank) — the vector leg the
+    // same exact ranking, fused with the same rrfFuse. Oracle is q113's
+    // SQL verbatim: the persistence hop must be value-neutral, the
+    // q116-vs-q112 contract extended to the fused ranking.
+    Q("q124_hybrid_index",
+      (s, d) => {
+        import graft.operators.LexIndex
+        val dir = graft.Scratch.tempDir("graft-q124") + "/lix"
+        val docs = Tables.documents(s, d)
+        LexIndex.write(LexIndex.build(docs, "doc_id", "text"), dir)
+        val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
+        Retrieval.hybridTopKIndexed(LexIndex.read(s, dir), queries,
+            Tables.embeddings(s, d), "vec_id", "embedding",
+            vecQueryPred = col("vec_id") % 101 === 0 && col("vec_id") < 50500,
+            k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $bm25Ctes,
+             vq AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 101 = 0 AND vec_id < 50500),
+             vp AS (
+               SELECT vq.vec_id AS query_id, e.vec_id AS doc_id,
+                 SUM(CAST(floor(vq.embedding[i] * 1048576.0) AS BIGINT)
+                   * CAST(floor(e.embedding[i] * 1048576.0) AS BIGINT)) AS fp
+               FROM vq, embeddings e, range(1, 65) t(i)
+               WHERE e.vec_id <> vq.vec_id
+               GROUP BY 1, 2),
+             vec AS (
+               SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY fp DESC, doc_id) AS rnk
+               FROM vp),
+             l10 AS (SELECT query_id, doc_id, rnk FROM lex WHERE rnk <= 10),
+             v10 AS (SELECT query_id, doc_id, rnk FROM vec WHERE rnk <= 10),
+             f AS (
+               SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(l.rnk, 0) AS BIGINT) AS lex_rank,
+                 CAST(COALESCE(v.rnk, 0) AS BIGINT) AS vec_rank,
+                 COALESCE(CAST(round(1000000.0 / (60 + l.rnk), 0) AS BIGINT), 0) +
+                 COALESCE(CAST(round(1000000.0 / (60 + v.rnk), 0) AS BIGINT), 0)
+                   AS rrf_micros
+               FROM l10 l FULL OUTER JOIN v10 v
+                 ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+             fr AS (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micros DESC, doc_id) AS rnk
+               FROM f)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+               lex_rank, vec_rank, CAST(rrf_micros AS BIGINT) AS rrf_micros
+             FROM fr WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
     // Per-source unigram-distribution drift: add-one-smoothed
     // KL(source ‖ corpus) over the corpus vocabulary. The oracle
     // re-derives the same present/absent decomposition the operator

@@ -179,6 +179,105 @@ object Realtime {
         timeMode, OutputMode.Append())
   }
 
+  // ------------------- state rescale: drain a checkpoint, replay at a new
+  // partition count (StateRescaleSpec pins that live re-sharding does not
+  // exist — the checkpoint's state layout is immutable, so a REAL
+  // re-partitioning is drain → read state offline → seed a fresh query)
+
+  /** [[OrderCompletenessProcessor]] that additionally accepts DRAINED
+    * state as its initial state — the replay half of [[rescaledCompletenessJoinTws]].
+    * `handleInitialState` writes the drained value verbatim (including the
+    * `emitted` flag, so an order that completed before the drain is not
+    * re-emitted after it), before any input row of the first batch. */
+  class OrderCompletenessProcessorWithInit(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, OrderEvent, CompletedOrder, OrderState] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    @transient private var state: ValueState[OrderState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+      state = getHandle.getValueState[OrderState](
+        "orderState", org.apache.spark.sql.Encoders.product[OrderState], ttlConf)
+    }
+
+    override def handleInitialState(
+        key: Long, initial: OrderState,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      state.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[OrderEvent],
+                                 timerValues: TimerValues): Iterator[CompletedOrder] = {
+      val prev = Option(state.get()).getOrElse(
+        OrderState(None, Set.empty, emitted = false))
+      val next = rows.foldLeft(prev) { (st, ev) =>
+        st.copy(
+          header = ev.header.orElse(st.header),
+          products = ev.line.map(l => st.products + l.productId).getOrElse(st.products))
+      }
+      val complete = next.header.exists(h => next.products.size >= h.numProducts)
+      if (complete && !next.emitted) {
+        state.update(next.copy(emitted = true))
+        val h = next.header.get
+        Iterator.single(CompletedOrder(key, h.customerId, h.numProducts,
+          next.products.toSeq.sorted))
+      } else {
+        state.update(next)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** OFFLINE drain of a stopped [[completenessJoinTws]] checkpoint's keyed
+    * state via the `statestore` data source — one (orderId, [[OrderState]])
+    * row per live key, read directly from the RocksDB/HDFS state files
+    * with no query running. The read is distributed (one task per state
+    * partition); null-valued TTL tombstones are dropped. */
+  def drainOrderState(spark: SparkSession,
+                      checkpoint: String): Dataset[(Long, OrderState)] = {
+    import spark.implicits._
+    // the statestore source exposes the value as a struct mirroring the
+    // state encoder's schema; map through Rows into the typed state
+    spark.read.format("statestore")
+      .option("stateVarName", "orderState")
+      .load(checkpoint)
+      .select(col("key.value").as("orderId"),
+        col("value.header").as("header"),
+        col("value.products").as("products"),
+        col("value.emitted").as("emitted"))
+      .map { r =>
+        val header = Option(r.getAs[org.apache.spark.sql.Row]("header"))
+          .map(h => OrderHeader(h.getAs[Long]("orderId"),
+            h.getAs[Long]("customerId"), h.getAs[Int]("numProducts")))
+        (r.getAs[Long]("orderId"),
+          OrderState(header, r.getAs[Seq[Long]]("products").toSet,
+            r.getAs[Boolean]("emitted")))
+      }
+  }
+
+  /** The REPLAY half of a state rescale: [[completenessJoinTws]] seeded
+    * with drained state. Start it against a FRESH checkpoint under the new
+    * `spark.sql.shuffle.partitions` — the first micro-batch lays state out
+    * at the new partition count with every drained key re-hashed to its
+    * new owner, and in-flight orders complete exactly once when their
+    * remaining events arrive (already-complete orders carry `emitted` and
+    * stay silent). Source position handoff is the caller's: resume the
+    * source from the offsets the drained checkpoint had committed. */
+  def rescaledCompletenessJoinTws(events: Dataset[OrderEvent],
+                                  initial: Dataset[(Long, OrderState)],
+                                  ttl: Option[java.time.Duration] = None): Dataset[CompletedOrder] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    events
+      .groupByKey(_.orderId)
+      .transformWithState(new OrderCompletenessProcessorWithInit(ttl),
+        timeMode, OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
   // --------------------------------------------------------- T4: eligibility
 
   /** Stream-static membership filter: keep events whose customer is in the

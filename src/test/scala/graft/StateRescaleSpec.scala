@@ -109,4 +109,90 @@ class StateRescaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("drain/replay rescales 3 -> 7 partitions with identical emissions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckptOld = java.nio.file.Files.createTempDirectory("graft-rs-old").toString
+    val ckptNew = java.nio.file.Files.createTempDirectory("graft-rs-new").toString
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emitted = scala.collection.mutable.ArrayBuffer[CompletedOrder]()
+    def sink = (batch: org.apache.spark.sql.Dataset[CompletedOrder], _: Long) => {
+      val rows = batch.collect()
+      emitted.synchronized { emitted ++= rows }
+      ()
+    }
+    // the event stream, split at the drain point: orders 1 and 4 complete
+    // BEFORE it (4 stays emitted-in-state), orders 2 and 3 are in flight
+    val before = Seq(header(1, 10, 1), line(1, 101),
+      header(4, 40, 2), line(4, 401), line(4, 402),
+      header(2, 20, 2), line(3, 301))
+    val after = Seq(line(2, 201), line(2, 202), header(3, 30, 1),
+      // redeliveries of order 4 after the rescale: emitted flag must hold
+      header(4, 40, 2), line(4, 401))
+    try {
+      // ---- control: one uninterrupted run over the whole stream
+      val control = MemoryStream[OrderEvent]
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val qc = Realtime.completenessJoinTws(control.toDS(), ttl = None)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-rs-ctl").toString)
+        .foreachBatch(sink).start()
+      try {
+        control.addData(before: _*); qc.processAllAvailable()
+        control.addData(after: _*); qc.processAllAvailable()
+      } finally qc.stop()
+      val controlEmissions = emitted.synchronized {
+        val s = emitted.sortBy(_.orderId).toList; emitted.clear(); s
+      }
+      assert(controlEmissions.map(_.orderId) == List(1L, 2L, 3L, 4L))
+
+      // ---- rescaled: run `before` at 3 partitions, stop, drain, replay
+      // `after` at 7 partitions into a FRESH checkpoint
+      val in1 = MemoryStream[OrderEvent]
+      val q1 = Realtime.completenessJoinTws(in1.toDS(), ttl = None)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptOld)
+        .foreachBatch(sink).start()
+      try { in1.addData(before: _*); q1.processAllAvailable() } finally q1.stop()
+      assert(statePartitionDirs(ckptOld) == Seq("0", "1", "2"))
+      val preDrain = emitted.synchronized {
+        val s = emitted.sortBy(_.orderId).toList; emitted.clear(); s
+      }
+      assert(preDrain.map(_.orderId) == List(1L, 4L))
+      assert(preDrain == controlEmissions.filter(e => Set(1L, 4L)(e.orderId)),
+        "pre-drain emissions must match the uninterrupted run's")
+
+      val drained = Realtime.drainOrderState(spark, ckptOld)
+      val byKey = drained.collect().toMap
+      assert(byKey.keySet == Set(1L, 2L, 3L, 4L))
+      assert(byKey(4L).emitted, "completed order must drain with emitted=true")
+      assert(!byKey(2L).emitted && byKey(2L).header.nonEmpty)
+      assert(byKey(3L).products == Set(301L) && byKey(3L).header.isEmpty)
+
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val in2 = MemoryStream[OrderEvent]
+      val q2 = Realtime.rescaledCompletenessJoinTws(in2.toDS(), drained, ttl = None)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptNew)
+        .foreachBatch(sink).start()
+      try { in2.addData(after: _*); q2.processAllAvailable() } finally q2.stop()
+      assert(statePartitionDirs(ckptNew) == Seq("0", "1", "2", "3", "4", "5", "6"),
+        "replayed query must lay state out at the NEW partition count")
+
+      val rescaledEmissions = emitted.synchronized(emitted.sortBy(_.orderId).toList)
+      assert(rescaledEmissions == controlEmissions.filter(e => Set(2L, 3L)(e.orderId)),
+        s"post-rescale emissions must be exactly the in-flight completions: $rescaledEmissions")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
