@@ -118,7 +118,11 @@ object VectorIndex {
     } yield (mm, c, j, v)
     cbRows.toSeq.toDF("m", "c", "j", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-    Seq((ix.nRows, ix.nCells)).toDF("n_rows", "n_cells")
+    // coding rides in meta as an AUDIT column (what did this index choose,
+    // and when) — the marker file below stays the serving-path source of
+    // truth because meta's best-effort refresh can tear (see read())
+    Seq((ix.nRows, ix.nCells, codingName(ix)))
+      .toDF("n_rows", "n_cells", "coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     // the encoding flag lives as a marker FILE, not a meta column: meta's
     // best-effort refresh can tear under concurrent maintenance and read()
@@ -176,10 +180,13 @@ object VectorIndex {
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
     // meta tracked the RAW row count; the raw count is now the live count
     import spark.implicits._
-    Seq((ix.nRows, ix.nCells)).toDF("n_rows", "n_cells")
+    Seq((ix.nRows, ix.nCells, codingName(ix))).toDF("n_rows", "n_cells", "coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     before - ix.nRows
   }
+
+  private def codingName(ix: IvfPqIndex): String =
+    if (ix.residual) "residual" else "raw"
 
   /** Drift repair — FAISS "retrain + re-add", expressed storage-side: when
     * [[cellOccupancy]] shows appended mass piling into few cells, re-derive
@@ -209,16 +216,29 @@ object VectorIndex {
               idCol: String, vecCol: String,
               nCells: Int = 32, m: Int = 16, ks: Int = 64,
               trainIters: Int = 1): IvfPqIndex = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val ix0 = read(spark, dir)
     val liveIds = ix0.codes.select(col("id").as(idCol))
     val src = emb.join(liveIds, Seq(idCol), "left_semi")
     // the encoding flag is part of the artifact: a retrain re-derives the
-    // quantizers, never the encoding scheme (the `_residual` marker in the
-    // live dir is untouched by the per-frame swap below)
+    // quantizers, never the encoding scheme (marker = None preserves the
+    // `_residual` marker in the live dir; [[retrainAutoCoding]] is the
+    // path that re-decides it, on measured evidence)
     val fresh = build(src, idCol, vecCol, nCells, m, ks, trainIters,
       residual = ix0.residual)
+    commitRebuild(spark, dir, fresh, marker = None)
+  }
+
+  /** Stage `fresh` under `dir/_stage/retrain` and swap it in frame by
+    * frame (the [[vacuum]] window; single maintainer, readers mid-swap
+    * retry on next [[read]]). `marker`: None preserves the dir's
+    * `_residual` marker; Some(r) forces it to `r` (the auto-coding path
+    * publishes its measured winner). Tombstones are cleared — the rebuild
+    * corpus already excludes them. */
+  private def commitRebuild(spark: SparkSession, dir: String,
+                            fresh: IvfPqIndex,
+                            marker: Option[Boolean]): IvfPqIndex = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val staged = s"$dir/_stage/retrain"
     write(fresh, staged)
     fresh.codes.unpersist(); fresh.centroids.unpersist()
@@ -230,6 +250,11 @@ object VectorIndex {
       fc.rename(livePath, oldPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       fc.rename(new org.apache.hadoop.fs.Path(s"$staged/$part"), livePath)
       fs.delete(oldPath, true)
+    }
+    marker.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(dir, "_residual")
+      if (r) { if (!fs.exists(p)) fs.create(p).close() }
+      else fs.delete(p, false)
     }
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
@@ -316,7 +341,7 @@ object VectorIndex {
     // the delta to ix.nRows, which is tombstone-SUBTRACTED and would make
     // read() double-subtract dead rows after an append with pending deletes
     val n = spark.read.parquet(s"$dir/codes").count()
-    Seq((n, ix.nCells)).toDF("n_rows", "n_cells")
+    Seq((n, ix.nCells, codingName(ix))).toDF("n_rows", "n_cells", "coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     read(spark, dir)
   }
@@ -379,7 +404,7 @@ object VectorIndex {
     // benign while failing the whole epoch for it would not be
     try {
       val n = spark.read.parquet(s"$dir/codes").count()
-      Seq((n, ix.nCells)).toDF("n_rows", "n_cells")
+      Seq((n, ix.nCells, codingName(ix))).toDF("n_rows", "n_cells", "coding")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     } catch { case scala.util.control.NonFatal(_) => () }
     try {
@@ -442,6 +467,104 @@ object VectorIndex {
     val skew = occupancySkew(read(spark, dir))
     if (skew <= maxSkew) None
     else Some(retrain(spark, dir, emb, idCol, vecCol, nCells, m, ks, trainIters))
+  }
+
+  /** [[retrain]] that RE-DECIDES the coding on measured evidence instead
+    * of freezing the build-time choice: train BOTH codings over the live
+    * corpus, measure each one's top-`evalK` recall on a deterministic
+    * bounded query sample against exact ground truth in ADC's own metric
+    * (squared L2 on the quantized vectors — the Stress `residual`
+    * section's lesson: score the index in the metric it ranks by), and
+    * publish the winner. Ties go raw — the cheaper serving path (one
+    * distance table per query instead of one per (query, probed cell)).
+    *
+    * This operationalizes the measured decision table (STRESS.md
+    * `residual`): residual coding wins exactly when nCells resolves the
+    * corpus's modes, which drifts as the corpus does — so the decision
+    * belongs at retrain time, on the current data, not at first build.
+    * The chosen coding is recorded three ways: the `_residual` marker
+    * (serving-path source of truth), meta's `coding` audit column, and a
+    * `_coding_decision` JSON artifact carrying both measured recalls.
+    *
+    * Cost: two training passes instead of one, plus the eval — ground
+    * truth is one map-only corpus pass scoring `nEval` broadcast queries
+    * (no shuffle grows with the corpus), and each serve is the normal
+    * probed read. At retrain cadence (occupancy-gated, not per-append)
+    * the 2× training is the price of never serving a regime-mismatched
+    * coding. */
+  def retrainAutoCoding(spark: SparkSession, dir: String, emb: DataFrame,
+                        idCol: String, vecCol: String,
+                        nCells: Int = 32, m: Int = 16, ks: Int = 64,
+                        trainIters: Int = 1, nProbe: Int = 8,
+                        nEval: Int = 200, evalK: Int = 10): IvfPqIndex = {
+    val ix0 = read(spark, dir)
+    val liveIds = ix0.codes.select(col("id").as(idCol))
+    val src = emb.join(liveIds, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deterministic bounded query sample: the nEval live vectors with the
+    // smallest md5(id) — TakeOrdered, not a full sort shuffle
+    val qs = src.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nEval)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact top-evalK ground truth in ADC's metric: one spread map pass
+    // over the corpus against the broadcast queries
+    val gq = qs.select(col(idCol).as("query_id"),
+      Similarity.quantize(col(vecCol)).as("__qa"))
+    val gc = src.select(col(idCol).as("neighbor_id"),
+      Similarity.quantize(col(vecCol)).as("__qb"))
+    val wGt = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d"), col("neighbor_id"))
+    val gt = Scale.spread(gc).crossJoin(broadcast(gq))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d", expr("aggregate(zip_with(__qa, __qb," +
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("__rn", row_number().over(wGt))
+      .filter(col("__rn") <= evalK)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    def recallOf(ix: IvfPqIndex): Double = {
+      val got = topK(ix, qs, idCol, vecCol, evalK, nProbe).collect()
+        .map(r => (r.get(0).toString, r.get(2).toString)).toSet
+      if (gt.isEmpty) 0.0 else gt.intersect(got).size.toDouble / gt.size
+    }
+    val rawIx = build(src, idCol, vecCol, nCells, m, ks, trainIters,
+      residual = false)
+    val resIx = build(src, idCol, vecCol, nCells, m, ks, trainIters,
+      residual = true)
+    val rawRec = recallOf(rawIx)
+    val resRec = recallOf(resIx)
+    val chooseResidual = resRec > rawRec
+    val (winner, loser) = if (chooseResidual) (resIx, rawIx) else (rawIx, resIx)
+    loser.codes.unpersist(); loser.centroids.unpersist()
+    qs.unpersist(); src.unpersist()
+    val out = commitRebuild(spark, dir, winner, marker = Some(chooseResidual))
+    // audit artifact: what was measured, what was chosen (diagnostic only —
+    // best-effort, never read by a serving path)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dec = fs.create(new org.apache.hadoop.fs.Path(dir, "_coding_decision"), true)
+    try dec.write(
+      (s"""{"raw_recall":$rawRec,"residual_recall":$resRec,""" +
+       s""""n_eval":$nEval,"eval_k":$evalK,"n_probe":$nProbe,""" +
+       s""""chosen":"${if (chooseResidual) "residual" else "raw"}"}""")
+        .getBytes("UTF-8"))
+    finally dec.close()
+    out
+  }
+
+  /** The occupancy-gated nightly form of [[retrainAutoCoding]]: rebuild
+    * (and re-decide the coding) only when the index has drifted past
+    * `maxSkew` — [[retrainIfDrifted]] with the measured coding decision. */
+  def retrainIfDriftedAuto(spark: SparkSession, dir: String, emb: DataFrame,
+                           idCol: String, vecCol: String, maxSkew: Double,
+                           nCells: Int = 32, m: Int = 16, ks: Int = 64,
+                           trainIters: Int = 1, nProbe: Int = 8,
+                           nEval: Int = 200, evalK: Int = 10): Option[IvfPqIndex] = {
+    val skew = occupancySkew(read(spark, dir))
+    if (skew <= maxSkew) None
+    else Some(retrainAutoCoding(spark, dir, emb, idCol, vecCol,
+      nCells, m, ks, trainIters, nProbe, nEval, evalK))
   }
 
   /** Serve top-k for a frame of query vectors against a (possibly reloaded)

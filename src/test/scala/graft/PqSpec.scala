@@ -243,4 +243,67 @@ class PqSpec extends SparkSpec {
     assert(res > raw,
       s"residual coding must win where cells have structure (raw=$raw res=$res)")
   }
+
+  test("retrainAutoCoding measures both codings and publishes the winner") {
+    // The decision table's two regimes, exercised end to end through the
+    // persisted lifecycle: on the clustered corpus (cells resolve modes)
+    // an index seeded RAW must flip to residual; on the unstructured
+    // corpus (residual's adversarial case) an index seeded RESIDUAL must
+    // flip back to raw. Choice recorded three ways: `_residual` marker,
+    // meta's `coding` column, `_coding_decision` audit JSON.
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import graft.operators.VectorIndex
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeds = broadcast(emb.filter(col("vec_id") % 25 === 7)
+      .select(expr("CAST((vec_id - 7) / 25 AS BIGINT)").as("__g"),
+        col("embedding").as("__sv")))
+    val clustered = emb.select(col("vec_id"), (col("vec_id") % 20).as("__g"))
+      .join(seeds, "__g")
+      .select(col("vec_id"),
+        expr("transform(__sv, (x, i) -> CAST(x + (CAST((vec_id * (i + 3)) % 101" +
+          " AS DOUBLE) - 50.0D) * 0.001D AS FLOAT))").as("embedding"))
+
+    def metaCoding(dir: String): String =
+      spark.read.parquet(s"$dir/meta").collect().head.getAs[String]("coding")
+    def markerExists(dir: String): Boolean =
+      new java.io.File(s"$dir/_residual").exists()
+    def decision(dir: String): String = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_coding_decision")), "UTF-8")
+
+    // regime 1: clustered corpus, seeded raw -> auto flips to residual
+    val d1 = java.nio.file.Files.createTempDirectory("vix-auto1").toString + "/ix"
+    VectorIndex.write(VectorIndex.build(clustered, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1, residual = false), d1)
+    assert(metaCoding(d1) == "raw" && !markerExists(d1))
+    val out1 = VectorIndex.retrainAutoCoding(spark, d1, clustered,
+      "vec_id", "embedding", nCells = 16, m = 16, ks = 32, trainIters = 1,
+      nProbe = 16, nEval = 60, evalK = 10)
+    info(s"clustered decision: ${decision(d1)}")
+    assert(out1.residual, s"clustered corpus must choose residual: ${decision(d1)}")
+    assert(markerExists(d1) && metaCoding(d1) == "residual")
+    assert(decision(d1).contains("\"chosen\":\"residual\""))
+    // the published index IS a fresh residual build over the live corpus
+    // (build is a pure function of corpus + params)
+    val fromScratch = VectorIndex.build(clustered, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1, residual = true)
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell"), col("codes")).collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.getSeq[Long](2))).toSet
+    assert(codeSet(out1.codes) == codeSet(fromScratch.codes),
+      "auto-retrained index must equal a from-scratch build with the chosen coding")
+
+    // regime 2: unstructured corpus, seeded residual -> auto flips to raw
+    val d2 = java.nio.file.Files.createTempDirectory("vix-auto2").toString + "/ix"
+    VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1, residual = true), d2)
+    assert(metaCoding(d2) == "residual" && markerExists(d2))
+    val out2 = VectorIndex.retrainAutoCoding(spark, d2, emb,
+      "vec_id", "embedding", nCells = 16, m = 16, ks = 32, trainIters = 1,
+      nProbe = 16, nEval = 60, evalK = 10)
+    info(s"unstructured decision: ${decision(d2)}")
+    assert(!out2.residual, s"unstructured corpus must choose raw: ${decision(d2)}")
+    assert(!markerExists(d2) && metaCoding(d2) == "raw")
+    assert(decision(d2).contains("\"chosen\":\"raw\""))
+  }
 }
