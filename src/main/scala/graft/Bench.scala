@@ -291,6 +291,12 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     scratchDir().foreach(builder.config("spark.local.dir", _))
+    // A/B config experiments: SPARK_GRAFT_CONF="k=v,k=v" (same hook as
+    // ProfileQ; the driver invokes Bench without it, so sweeps it publishes
+    // always run the defaults above)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(",")).map(_.split("=", 2))
+      .foreach { case Array(k, v) => builder.config(k, v); case _ => () }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener

@@ -138,17 +138,24 @@ object Retrieval {
   def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
               rrfK: Int = 60): DataFrame = {
     require(rrfK + k < 1000000, "micros fixed-point needs rrfK + k < 10^6")
+    // union + group, not a full-outer join: each ranker contributes a
+    // tagged row and the aggregation coalesces per (query, doc) — same
+    // values (a doc absent from a ranker contributes rank 0 / 0 micros),
+    // one exchange instead of the join's two, and the groupBy partitioning
+    // feeds the rank window below. The frames are k-rows-per-query tiny;
+    // the exchange COUNT is what the fusion pays for.
     def side(df: DataFrame, tag: String): DataFrame =
       df.select(col("query_id"), col("doc_id"),
-        col("rank").cast("long").as(s"${tag}_rank"),
-        round(lit(1e6) / (lit(rrfK) + col("rank")), 0).cast("long").as(s"__$tag"))
-    val fused = side(lex, "lex")
-      .join(side(vec, "vec"), Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
-        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
-        (coalesce(col("__lex"), lit(0L)) + coalesce(col("__vec"), lit(0L)))
-          .as("rrf_micros"))
+        when(lit(tag == "lex"), col("rank").cast("long")).otherwise(lit(0L))
+          .as("lex_rank"),
+        when(lit(tag == "vec"), col("rank").cast("long")).otherwise(lit(0L))
+          .as("vec_rank"),
+        round(lit(1e6) / (lit(rrfK) + col("rank")), 0).cast("long").as("__m"))
+    val fused = side(lex, "lex").unionByName(side(vec, "vec"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("lex_rank")).as("lex_rank"),
+        max(col("vec_rank")).as("vec_rank"),
+        sum(col("__m")).as("rrf_micros"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_micros").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w))
