@@ -248,6 +248,26 @@ object Bench {
       else None // Spark default: java.io.tmpdir on disk
     }
 
+  /** Parse SPARK_GRAFT_CONF overrides onto a session builder. Entries are
+    * `k=v` separated by `;` (preferred — Spark conf VALUES legitimately
+    * contain commas, e.g. extensions lists or extraJavaOptions) with `,`
+    * still accepted when no `;` is present, for existing invocations.
+    * Fragments that do not parse as k=v fail loudly instead of being
+    * silently dropped (ADVICE r10: a comma-valued conf used to shred into
+    * discarded fragments and the A/B silently measured the defaults). */
+  private[graft] def applyConfOverrides(
+      builder: SparkSession.Builder, conf: String): Unit = {
+    val sep = if (conf.contains(";")) ';' else ','
+    conf.split(sep).map(_.trim).filter(_.nonEmpty).foreach { entry =>
+      entry.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_CONF entry '$entry' is not k=v (use ';' between " +
+            "entries when values contain commas)")
+      }
+    }
+  }
+
   /** Route JVM temp files to the same tmpfs scratch as the shuffle dirs.
     * The storage-exercising queries (q96 graft-log topics, q97 z-order
     * gold publish, q103 persisted vector index) allocate work dirs under
@@ -291,12 +311,10 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     scratchDir().foreach(builder.config("spark.local.dir", _))
-    // A/B config experiments: SPARK_GRAFT_CONF="k=v,k=v" (same hook as
+    // A/B config experiments: SPARK_GRAFT_CONF="k=v;k=v" (same hook as
     // ProfileQ; the driver invokes Bench without it, so sweeps it publishes
     // always run the defaults above)
-    sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(",")).map(_.split("=", 2))
-      .foreach { case Array(k, v) => builder.config(k, v); case _ => () }
+    sys.env.get("SPARK_GRAFT_CONF").foreach(applyConfOverrides(builder, _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener

@@ -124,6 +124,121 @@ object Quality {
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
   }
 
+  /** [[robustOutliers]] for FIXED-SCALE decimal columns (2-dp money and
+    * kin): same output contract — exact interpolated percentile medians/
+    * MADs rounded to 6 decimals, then pure double scoring — but the two
+    * percentiles derive from integer-value HISTOGRAMS + cumulative-count
+    * windows instead of Spark's `percentile` aggregate.
+    *
+    * Why not `percentile`: it is an ObjectHashAggregate that buffers each
+    * group's FULL value multiset on a single reducer — two passes of that
+    * over a 100 TB fact with few, huge groups is an OOM, not a plan. The
+    * histogram form aggregates (group, value-at-scale) with map-side
+    * combine — state per task is bounded by DISTINCT values, not rows —
+    * and the percentile then reads off a cumulative window over the
+    * (small) histogram. Value reconstruction k/scale is the correctly-
+    * rounded double of the same decimal the source column stores, and the
+    * interpolation replays `percentile`'s exact expression, so the result
+    * matches the generic path through the round-6 contract (pinned by
+    * QualitySpec on both the medians and the full scored frame).
+    *
+    * `scale`: 10^decimals of the column (100 for 2-dp money). The MAD
+    * pass runs at 2·scale — |x − med| is a multiple of 1/(2·scale)
+    * because an interpolated median can land on a half-step. Rows whose
+    * value is NULL score NULL/false exactly like the generic path. */
+  def robustOutliersFixedPoint(df: DataFrame, groupCol: String,
+                               valueCol: String, threshold: Double,
+                               scale: Long = 100L): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    require(scale > 0, s"scale must be > 0: $scale")
+    val keyed = df.select(col(groupCol),
+        round(col(valueCol) * scale).cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+    // med feeds three consumers (the MAD re-key twice — coarse and fine
+    // sides — and the final scoring join): persist the ≤|groups|-row frame
+    // so the two-pass selection underneath runs once, not per consumer
+    val med = selectMedian(keyed, groupCol, scale, "med")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // MAD input: |x − med| at doubled scale (an interpolated median can
+    // land on a half-step), re-keyed per row against the broadcast medians
+    val keyed2 = keyed.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol),
+        abs(col("__k") * 2 - round(col("med") * (2 * scale)).cast("long"))
+          .as("__k"))
+    val mad = selectMedian(keyed2, groupCol, 2 * scale, "mad")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // left joins: a group whose values are all NULL has no keyed row;
+    // the generic path keeps its rows with a NULL median — match it
+    df.select(col(groupCol), col(valueCol))
+      .join(broadcast(med.join(mad, Seq(groupCol))), Seq(groupCol), "left")
+      .withColumn("robust_z",
+        when(col("mad") > 0, (col(valueCol) - col("med")) / col("mad")))
+      .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
+  }
+
+  /** Exact interpolated p=0.5 percentile per group over an integer-keyed
+    * frame `(groupCol, __k)` by TWO-LEVEL range selection — the shape that
+    * needs no per-group sort of the data: (1) count per 4096-key coarse
+    * bucket (map-side-combining aggregate; output ~ key-range/4096 rows per
+    * group, data-independent), (2) a cumulative window over that TINY
+    * bucket frame locates which bucket holds each of the two order
+    * statistics at floor/ceil of 0.5·(n−1), (3) a second aggregate over
+    * ONLY the target buckets' rows (broadcast semi-join; ~n/buckets rows)
+    * picks the exact keys, (4) `percentile`'s own interpolation expression
+    * on k/scale doubles, rounded to 6. Every shuffle ships bucket- or
+    * target-sized frames; the only full-data work is two sequential scans
+    * with map-side combine — at 100 TB the group count and value range
+    * bound the state, never the row count. */
+  private def selectMedian(keyed: DataFrame, groupCol: String,
+                           scale: Long, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = keyed.withColumn("__b", expr("__k >> 12"))
+    val coarse = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val n = coarse.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+    val hitBLo = col("__cs") <= col("__loIdx") && col("__loIdx") < col("__ce")
+    val hitBHi = col("__cs") <= col("__hiIdx") && col("__hiIdx") < col("__ce")
+    val targets = coarse.withColumn("__ce", sum(col("__c")).over(wb))
+      .withColumn("__cs", col("__ce") - col("__c"))
+      .join(broadcast(n), Seq(groupCol))
+      .withColumn("__pos", (col("__n") - 1).cast("double") * 0.5)
+      .withColumn("__loIdx", floor(col("__pos")).cast("long"))
+      .withColumn("__hiIdx", ceil(col("__pos")).cast("long"))
+      .filter(hitBLo || hitBHi)
+      .select(col(groupCol), col("__b"), col("__cs"), col("__pos"),
+        col("__loIdx"), col("__hiIdx"))
+      .distinct() // lo and hi in one bucket → one row, not a join fan-out
+    val wf = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("__k"))
+    val fine = bucketed.join(broadcast(targets), Seq(groupCol, "__b"))
+      .groupBy(col(groupCol), col("__b"), col("__cs"), col("__pos"),
+        col("__loIdx"), col("__hiIdx"), col("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__gce", col("__cs") + sum(col("__c")).over(wf))
+      .withColumn("__gcs", col("__gce") - col("__c"))
+    val hitLo = col("__gcs") <= col("__loIdx") && col("__loIdx") < col("__gce")
+    val hitHi = col("__gcs") <= col("__hiIdx") && col("__hiIdx") < col("__gce")
+    fine.filter(hitLo || hitHi)
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(hitLo, col("__k"))).as("__klo"),
+        max(when(hitHi, col("__k"))).as("__khi"),
+        first(col("__pos")).as("__p"),
+        first(col("__loIdx")).as("__lo"),
+        first(col("__hiIdx")).as("__hi"))
+      .select(col(groupCol),
+        round(
+          // percentile's exact form: lowerValue when the indices agree,
+          // else lower·(hiIdx − pos) + higher·(pos − loIdx)
+          when(col("__lo") === col("__hi"), col("__klo").cast("double") / scale)
+            .otherwise(
+              (col("__klo").cast("double") / scale) *
+                (col("__hi").cast("double") - col("__p")) +
+              (col("__khi").cast("double") / scale) *
+                (col("__p") - col("__lo").cast("double"))),
+          6).as(out))
+  }
+
   /** Equi-width histogram of a 2-decimal money column, binned in exact
     * integer cents — the distribution-profiling view of a DQ suite. The
     * cents conversion is the q02 recipe (round(x·100) → BIGINT is exact

@@ -191,20 +191,48 @@ object Retrieval {
     rrfFuse(lex, vec, k, rrfK)
   }
 
-  /** [[hybridTopK]] served from a PERSISTED lexical index — the production
-    * hybrid read path: the lexical leg is [[LexIndex.query]] (term-pruned
-    * postings read, bit-identical to [[bm25TopK]] by construction — both
-    * feed [[bm25Rank]]), the vector leg the same exact ranking, fused with
-    * the same [[rrfFuse]]. The corpus text is never re-tokenized: per
-    * query batch the engine reads only the matched terms' postings row
-    * groups, which is what makes hybrid serving O(query batch) instead of
-    * O(corpus) at 100 TB. `queries` carries (query_id, qtext). */
+  /** [[hybridTopK]] with the LEXICAL leg served from a persisted index:
+    * [[LexIndex.query]] reads only the matched terms' postings row groups
+    * (term-pruned, bit-identical to [[bm25TopK]] by construction — both
+    * feed [[bm25Rank]]), so the corpus text is never re-tokenized. The
+    * VECTOR leg stays the exact full-corpus ranking — this is the
+    * recall-1.0 EXACT TWIN of hybrid serving, not the scale path: its
+    * vector cost is O(corpus) per batch. [[hybridTopKIvf]] is the
+    * production form with both legs on persisted indexes.
+    * `queries` carries (query_id, qtext). */
   def hybridTopKIndexed(ix: Bm25Index, queries: DataFrame,
                         emb: DataFrame, vecIdCol: String, vecCol: String,
                         vecQueryPred: org.apache.spark.sql.Column,
                         k: Int, rrfK: Int = 60): DataFrame = {
     val lex = LexIndex.query(ix, queries, "query_id", "qtext", k)
     val vec = Similarity.bruteForceTopK(emb, vecIdCol, vecCol, vecQueryPred, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    rrfFuse(lex, vec, k, rrfK)
+  }
+
+  /** Hybrid serving with BOTH legs on persisted indexes — the shape that
+    * is O(query batch) end to end at 100 TB: the lexical leg reads only
+    * the matched terms' postings row groups ([[LexIndex.query]]), the
+    * vector leg ADC-scans only the nProbe/nCells probed slice of the PQ
+    * codes ([[VectorIndex.topK]] — codes stream, probe lists broadcast,
+    * never a cell-keyed exchange). Neither leg touches the raw corpus
+    * text or the raw embedding table at serve time.
+    *
+    * [[hybridTopKIndexed]] remains the EXACT twin (its vector leg is a
+    * full-corpus exact ranking — right when recall must be 1.0, wrong as
+    * the standing serving path); this is the production form. The fused
+    * result is still deterministic end to end — the IVF-PQ leg is a pure
+    * function of the corpus (md5-seeded quantizers, integer ADC) — so
+    * q125's oracle re-derives BOTH legs and the fusion exactly.
+    *
+    * `queries` carries (query_id, qtext); `vecQueries` the SAME query ids
+    * with their embeddings (id-aligned corpus contract, as
+    * [[hybridTopK]]). */
+  def hybridTopKIvf(lix: Bm25Index, vix: IvfPqIndex, queries: DataFrame,
+                    vecQueries: DataFrame, vecIdCol: String, vecCol: String,
+                    k: Int, nProbe: Int, rrfK: Int = 60): DataFrame = {
+    val lex = LexIndex.query(lix, queries, "query_id", "qtext", k)
+    val vec = VectorIndex.topK(vix, vecQueries, vecIdCol, vecCol, k, nProbe)
       .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
     rrfFuse(lex, vec, k, rrfK)
   }

@@ -23,10 +23,14 @@ import graft.functions.GraftFunctions
   *    persisted so serving never has to re-count the corpus.
   *  - `residual` — whether `codes` quantize per-cell residuals
   *    (`v − centroid(cell)`, FAISS IVFPQ's actual encoding) instead of raw
-  *    vectors. Part of the artifact (persisted as a `_residual` marker
-  *    file, deliberately OUTSIDE the meta frame whose best-effort refresh
-  *    can tear under concurrent maintenance): serving with the wrong flag
-  *    would silently rank garbage, so the flag must never be guessed.
+  *    vectors. Part of the artifact, persisted as a `_residual` marker
+  *    file INSIDE the `codes` directory so the flag and the rows it
+  *    describes swap in one atomic rename — a flag stored next to `codes`
+  *    (meta column or sibling file) can be observed mismatched for the
+  *    window between two renames, and serving with the wrong flag
+  *    silently ranks garbage (ADVICE r10). Deliberately outside the meta
+  *    frame, whose best-effort refresh can tear under concurrent
+  *    maintenance: a torn meta heals by recount, a guessed coding cannot.
   */
 final case class IvfPqIndex(
     codes: DataFrame,
@@ -124,14 +128,22 @@ object VectorIndex {
     Seq((ix.nRows, ix.nCells, codingName(ix)))
       .toDF("n_rows", "n_cells", "coding")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    // the encoding flag lives as a marker FILE, not a meta column: meta's
-    // best-effort refresh can tear under concurrent maintenance and read()
-    // heals it by recounting — but a GUESSED encoding flag would serve
-    // garbage rankings, so it must survive independently of meta
-    if (ix.residual) {
-      val p = new org.apache.hadoop.fs.Path(dir, "_residual")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p).close()
-    }
+    // the encoding flag lives as a marker FILE inside codes/, not a meta
+    // column: meta's best-effort refresh can tear under concurrent
+    // maintenance and read() heals it by recounting — but a GUESSED
+    // encoding flag would serve garbage rankings, so it rides INSIDE the
+    // directory it describes and commits with the same rename (parquet
+    // readers skip `_`-prefixed files, so it is invisible to scans)
+    if (ix.residual) writeResidualMarker(spark, s"$dir/codes")
+  }
+
+  /** Create the in-codes-dir coding marker — shared by [[write]] (fresh
+    * dirs, staged rebuilds) and [[vacuum]] (staged rewrite of codes only),
+    * so every path that produces a codes directory stamps it the same
+    * way. */
+  private def writeResidualMarker(spark: SparkSession, codesDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(codesDir, "_residual")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p).close()
   }
 
   /** Tombstone-delete from the persisted index at `dir` (FAISS
@@ -170,6 +182,9 @@ object VectorIndex {
     val before = spark.read.parquet(s"$dir/codes").count()
     val staged = s"$dir/_stage/vacuum"
     ix.codes.write.mode("overwrite").parquet(staged)
+    // the staged dir becomes the live codes dir wholesale — stamp the
+    // coding marker INTO it so the swap rename carries flag + rows together
+    if (ix.residual) writeResidualMarker(spark, staged)
     val codes = new org.apache.hadoop.fs.Path(dir, "codes")
     val old = new org.apache.hadoop.fs.Path(dir, "codes.old")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(codes.toUri, conf)
@@ -220,23 +235,26 @@ object VectorIndex {
     val liveIds = ix0.codes.select(col("id").as(idCol))
     val src = emb.join(liveIds, Seq(idCol), "left_semi")
     // the encoding flag is part of the artifact: a retrain re-derives the
-    // quantizers, never the encoding scheme (marker = None preserves the
-    // `_residual` marker in the live dir; [[retrainAutoCoding]] is the
-    // path that re-decides it, on measured evidence)
+    // quantizers, never the encoding scheme (`fresh.residual = ix0.residual`
+    // keeps it; [[retrainAutoCoding]] is the path that re-decides it, on
+    // measured evidence)
     val fresh = build(src, idCol, vecCol, nCells, m, ks, trainIters,
       residual = ix0.residual)
-    commitRebuild(spark, dir, fresh, marker = None)
+    commitRebuild(spark, dir, fresh)
   }
 
   /** Stage `fresh` under `dir/_stage/retrain` and swap it in frame by
     * frame (the [[vacuum]] window; single maintainer, readers mid-swap
-    * retry on next [[read]]). `marker`: None preserves the dir's
-    * `_residual` marker; Some(r) forces it to `r` (the auto-coding path
-    * publishes its measured winner). Tombstones are cleared — the rebuild
-    * corpus already excludes them. */
+    * retry on next [[read]]). The coding flag needs no separate flip: the
+    * staged [[write]] stamped `codes/_residual` from `fresh.residual`, so
+    * the codes rename delivers rows and flag atomically — there is no
+    * window where new codes decode under a stale coding (ADVICE r10).
+    * Tombstones are cleared — the rebuild corpus already excludes them —
+    * and any `_coding_decision` audit from an earlier auto-coding retrain
+    * is deleted so it cannot outlive the decision it describes
+    * ([[retrainAutoCoding]] rewrites it after its own commit). */
   private def commitRebuild(spark: SparkSession, dir: String,
-                            fresh: IvfPqIndex,
-                            marker: Option[Boolean]): IvfPqIndex = {
+                            fresh: IvfPqIndex): IvfPqIndex = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val staged = s"$dir/_stage/retrain"
@@ -251,12 +269,8 @@ object VectorIndex {
       fc.rename(new org.apache.hadoop.fs.Path(s"$staged/$part"), livePath)
       fs.delete(oldPath, true)
     }
-    marker.foreach { r =>
-      val p = new org.apache.hadoop.fs.Path(dir, "_residual")
-      if (r) { if (!fs.exists(p)) fs.create(p).close() }
-      else fs.delete(p, false)
-    }
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_coding_decision"), false)
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
     read(spark, dir)
   }
@@ -298,7 +312,7 @@ object VectorIndex {
         val t = spark.read.parquet(s"$dir/_tombstones")
         (raw.join(broadcast(t), Seq("id"), "left_anti"), t.count())
       } else (raw, 0L)
-    val residual = fs.exists(new org.apache.hadoop.fs.Path(dir, "_residual"))
+    val residual = fs.exists(new org.apache.hadoop.fs.Path(dir, "codes/_residual"))
     IvfPqIndex(codes, cents, cb, metaRows - dead, metaCells, residual)
   }
 
@@ -482,9 +496,11 @@ object VectorIndex {
     * `residual`): residual coding wins exactly when nCells resolves the
     * corpus's modes, which drifts as the corpus does — so the decision
     * belongs at retrain time, on the current data, not at first build.
-    * The chosen coding is recorded three ways: the `_residual` marker
-    * (serving-path source of truth), meta's `coding` audit column, and a
-    * `_coding_decision` JSON artifact carrying both measured recalls.
+    * The chosen coding is recorded three ways: the `codes/_residual`
+    * marker (serving-path source of truth, atomic with the codes swap),
+    * meta's `coding` audit column, and a `_coding_decision` JSON artifact
+    * carrying both measured recalls. The audit JSON is deleted by every
+    * non-auto rebuild commit, so it never outlives the decision.
     *
     * Cost: two training passes instead of one, plus the eval — ground
     * truth is one map-only corpus pass scoring `nEval` broadcast queries
@@ -538,7 +554,9 @@ object VectorIndex {
     val (winner, loser) = if (chooseResidual) (resIx, rawIx) else (rawIx, resIx)
     loser.codes.unpersist(); loser.centroids.unpersist()
     qs.unpersist(); src.unpersist()
-    val out = commitRebuild(spark, dir, winner, marker = Some(chooseResidual))
+    // winner.residual == chooseResidual, so the staged write stamps the
+    // chosen coding into codes/ and the swap publishes it atomically
+    val out = commitRebuild(spark, dir, winner)
     // audit artifact: what was measured, what was chosen (diagnostic only —
     // best-effort, never read by a serving path)
     val fs = new org.apache.hadoop.fs.Path(dir)

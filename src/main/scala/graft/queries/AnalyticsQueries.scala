@@ -295,7 +295,13 @@ object AnalyticsQueries {
     // Robust outliers per return flag: |x − median| / MAD at 3.5 —
     // medians/MADs are exact interpolated percentiles (round-6).
     Q("q78_robust_outliers",
-      (s, d) => graft.operators.Quality.robustOutliers(
+      // fixed-point (cents-histogram) percentile path: l_extendedprice is
+      // 2-dp money, so the exact median/MAD read off a (flag, cents)
+      // histogram + cumulative window instead of percentile's per-group
+      // value-multiset buffering — same round-6 values (QualitySpec pins
+      // equality with the generic path), distributed state bounded by
+      // distinct cents rather than rows
+      (s, d) => graft.operators.Quality.robustOutliersFixedPoint(
           Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
           "l_returnflag", "l_extendedprice", threshold = 3.5)
         .orderBy(col("l_returnflag"), col("l_extendedprice")),

@@ -183,6 +183,57 @@ object RetrievalQueries {
                lex_rank, vec_rank, CAST(rrf_micros AS BIGINT) AS rrf_micros
              FROM fr WHERE rnk <= 10 ORDER BY query_id, rank""")),
 
+    // Hybrid serving with BOTH legs on persisted indexes — the production
+    // 100 TB read path q124 is the exact twin of: lexical leg from the
+    // BM25 index's term-pruned postings, vector leg from the IVF-PQ
+    // index's probed ADC scan (nProbe/nCells of the codes, never the raw
+    // embedding table). Both legs are deterministic (md5-seeded
+    // quantizers, integer ADC, fixed-point BM25), so the oracle splices
+    // the full IVF-PQ serve derivation (q103's CTE chain, query batch
+    // re-pointed at the hybrid's) into q124's fusion SQL and re-derives
+    // the whole thing exactly — approximate ≠ nondeterministic.
+    Q("q125_hybrid_ivf",
+      (s, d) => {
+        import graft.operators.{LexIndex, VectorIndex}
+        val base = graft.Scratch.tempDir("graft-q125")
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        LexIndex.write(LexIndex.build(docs, "doc_id", "text"), s"$base/lix")
+        VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+          nCells = 32, m = 16, ks = 64, trainIters = 1), s"$base/vix")
+        val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(Dedup.tokens(col("text")), 1, 4), " ").as("qtext"))
+        val vecQueries = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 50500)
+        Retrieval.hybridTopKIvf(LexIndex.read(s, s"$base/lix"),
+            VectorIndex.read(s, s"$base/vix"),
+            queries, vecQueries, "vec_id", "embedding", k = 10, nProbe = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH $bm25Ctes,
+             ${SimilarityQueries.ivfPqCtes(None, None,
+               queryWhere = "vec_id % 101 = 0 AND vec_id < 50500")},
+             l10 AS (SELECT query_id, doc_id, rnk FROM lex WHERE rnk <= 10),
+             v10 AS (SELECT query_id, neighbor_id AS doc_id, rnk
+                     FROM r WHERE rnk <= 10),
+             f AS (
+               SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(l.rnk, 0) AS BIGINT) AS lex_rank,
+                 CAST(COALESCE(v.rnk, 0) AS BIGINT) AS vec_rank,
+                 COALESCE(CAST(round(1000000.0 / (60 + l.rnk), 0) AS BIGINT), 0) +
+                 COALESCE(CAST(round(1000000.0 / (60 + v.rnk), 0) AS BIGINT), 0)
+                   AS rrf_micros
+               FROM l10 l FULL OUTER JOIN v10 v
+                 ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+             fr AS (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micros DESC, doc_id) AS rnk
+               FROM f)
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id,
+               lex_rank, vec_rank, CAST(rrf_micros AS BIGINT) AS rrf_micros
+             FROM fr WHERE rnk <= 10 ORDER BY query_id, rank""")),
+
     // Per-source unigram-distribution drift: add-one-smoothed
     // KL(source ‖ corpus) over the corpus vocabulary. The oracle
     // re-derives the same present/absent decomposition the operator

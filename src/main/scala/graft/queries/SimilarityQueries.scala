@@ -70,7 +70,19 @@ object SimilarityQueries {
     * would mean the persistence hop or the append path corrupted the
     * index. */
   private def ivfPqOracleTrainedOn(trainWhere: Option[String],
-                                   serveWhere: Option[String] = None): String = {
+                                   serveWhere: Option[String] = None): String =
+    s"""WITH ${ivfPqCtes(trainWhere, serveWhere)}
+             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adist
+             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""
+
+  /** The [[ivfPqOracleTrainedOn]] chain WITHOUT the terminal SELECT, ending
+    * at `r(query_id, neighbor_id, adist, rnk)` — so a composite oracle
+    * (q125's hybrid fusion) can splice the whole IVF-PQ serve derivation in
+    * as one leg. `queryWhere` selects the query batch (q100/q103/q104's
+    * default: every 40th id). */
+  private[queries] def ivfPqCtes(trainWhere: Option[String],
+                                 serveWhere: Option[String] = None,
+                                 queryWhere: String = "vec_id % 40 = 0"): String = {
     // with a filter, training CTEs read tq/subt (the base slice); without,
     // they read the full q/sub and the emitted SQL is q100's original
     val trainSrc = if (trainWhere.isDefined) "tq" else "q"
@@ -82,7 +94,7 @@ object SimilarityQueries {
                SELECT tq.vec_id, t.m, u.j, tq.qv[t.m * 4 + u.j + 1] AS v
                FROM tq, UNNEST(range(0, 16)) AS t(m), UNNEST(range(0, 4)) AS u(j)),
              """)
-    s"""WITH q AS (
+    s"""q AS (
                SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
@@ -144,7 +156,7 @@ object SimilarityQueries {
                SELECT vec_id AS query_id, cent_id AS cell FROM (
                  SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
                    ORDER BY d DESC, cent_id) AS rn
-                 FROM dall WHERE vec_id % 40 = 0)
+                 FROM dall WHERE $queryWhere)
                WHERE rn <= 8),
              cd AS (
                SELECT pb.query_id, asg.vec_id AS neighbor_id
@@ -162,9 +174,7 @@ object SimilarityQueries {
                SELECT query_id, neighbor_id, adist,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY adist, neighbor_id) AS rnk
-               FROM ad)
-             SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, adist
-             FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""
+               FROM ad)"""
   }
 
   private val ivfPqOracle: String = ivfPqOracleTrainedOn(None)

@@ -25,10 +25,9 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
     // tmpfs scratch with low-free-space disk fallback — see Bench.scratchDir
     graft.Bench.scratchDir().foreach(builder.config("spark.local.dir", _))
-    // A/B config experiments: SPARK_GRAFT_CONF="k=v,k=v"
-    sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(",")).map(_.split("=", 2))
-      .foreach { case Array(k, v) => builder.config(k, v); case _ => () }
+    // A/B config experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF")
+      .foreach(graft.Bench.applyConfOverrides(builder, _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq

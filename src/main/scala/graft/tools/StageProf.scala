@@ -28,13 +28,18 @@ object StageProf {
     val fn = graft.SparkEntry.queries(name)
     // warm-up reps: codegen + page cache, so the listener sees steady state
     (1 until reps).foreach { _ => materialize(fn(spark, sfDir)) }
-    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // boxed values: with a scala Long value type, `get` on a missing key
+    // unboxes the null to 0L before any null check can see it
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.put(e.jobId, e.time)
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
-        val t0 = Option(jobs.get(e.jobId)).getOrElse(0L)
-        println(f"[job] id=${e.jobId}%3d wall=${(e.time - t0) / 1e3}%7.2f s")
+        // skip jobs whose start event was missed (listener attached late)
+        // instead of printing an epoch-sized wall (ADVICE r10)
+        Option(jobs.get(e.jobId)).foreach { t0 =>
+          println(f"[job] id=${e.jobId}%3d wall=${(e.time - t0) / 1e3}%7.2f s")
+        }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo

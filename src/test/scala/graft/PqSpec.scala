@@ -249,8 +249,9 @@ class PqSpec extends SparkSpec {
     // persisted lifecycle: on the clustered corpus (cells resolve modes)
     // an index seeded RAW must flip to residual; on the unstructured
     // corpus (residual's adversarial case) an index seeded RESIDUAL must
-    // flip back to raw. Choice recorded three ways: `_residual` marker,
-    // meta's `coding` column, `_coding_decision` audit JSON.
+    // flip back to raw. Choice recorded three ways: `codes/_residual`
+    // marker (atomic with the codes swap), meta's `coding` column,
+    // `_coding_decision` audit JSON.
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     import graft.operators.VectorIndex
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -266,7 +267,7 @@ class PqSpec extends SparkSpec {
     def metaCoding(dir: String): String =
       spark.read.parquet(s"$dir/meta").collect().head.getAs[String]("coding")
     def markerExists(dir: String): Boolean =
-      new java.io.File(s"$dir/_residual").exists()
+      new java.io.File(s"$dir/codes/_residual").exists()
     def decision(dir: String): String = new String(
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/_coding_decision")), "UTF-8")
@@ -305,5 +306,14 @@ class PqSpec extends SparkSpec {
     assert(!out2.residual, s"unstructured corpus must choose raw: ${decision(d2)}")
     assert(!markerExists(d2) && metaCoding(d2) == "raw")
     assert(decision(d2).contains("\"chosen\":\"raw\""))
+
+    // a later NON-auto retrain must not leave the audit JSON behind — it
+    // describes a decision that rebuild did not re-make (ADVICE r10)
+    VectorIndex.retrain(spark, d2, emb, "vec_id", "embedding",
+      nCells = 16, m = 16, ks = 32, trainIters = 1)
+    assert(!new java.io.File(s"$d2/_coding_decision").exists(),
+      "plain retrain must delete the stale _coding_decision audit")
+    assert(!markerExists(d2) && metaCoding(d2) == "raw",
+      "plain retrain preserves the coding it was given")
   }
 }

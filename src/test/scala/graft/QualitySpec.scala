@@ -80,6 +80,41 @@ class QualitySpec extends SparkSpec {
     assert(c.forall(r => !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("robustOutliersFixedPoint ≡ robustOutliers on 2-dp data (round-6)") {
+    import spark.implicits._
+    // the histogram-percentile path must reproduce the generic
+    // (percentile-aggregate) path value-for-value on fixed-scale data:
+    // same hand-checked case, plus real lineitem money across 3 groups
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _)).toDF("grp", "v")
+    val fp = Quality.robustOutliersFixedPoint(df, "grp", "v", 3.5)
+      .collect().map(r => r.getAs[Double]("v") -> r).toMap
+    assert(fp(100.0).getAs[Double]("med") == 5.5)
+    assert(fp(100.0).getAs[Double]("mad") == 2.5)
+    assert(fp(100.0).getAs[Boolean]("is_outlier"))
+    assert((1 to 9).forall(i => !fp(i.toDouble).getAs[Boolean]("is_outlier")))
+
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("l_returnflag"), r.getAs[Double]("l_extendedprice"),
+        r.getAs[Double]("med"), r.getAs[Double]("mad"),
+        Option(r.getAs[java.lang.Double]("robust_z")).map(z => math.rint(z * 1e6)),
+        r.getAs[Boolean]("is_outlier"))
+    val a = Quality.robustOutliers(li, "l_returnflag", "l_extendedprice", 3.5)
+      .collect().map(key).sortBy(_.toString)
+    val b = Quality.robustOutliersFixedPoint(li, "l_returnflag", "l_extendedprice", 3.5)
+      .collect().map(key).sortBy(_.toString)
+    assert(a.length == b.length && a.sameElements(b),
+      "fixed-point path diverged from the generic percentile path")
+    // odd/even group sizes + an all-NULL-value group keeps its rows with
+    // NULL med/mad (the generic path's left-behavior)
+    val withNull = Seq(("a", Some(1.00)), ("a", Some(2.00)), ("a", Some(4.00)),
+      ("b", None: Option[Double])).toDF("grp", "v")
+    val nb = Quality.robustOutliersFixedPoint(withNull, "grp", "v", 3.5)
+      .filter(col("grp") === "b").collect()
+    assert(nb.length == 1 && nb.head.isNullAt(nb.head.fieldIndex("med")))
+  }
+
   test("correlationMatrix: hand-checked corr, ±1 on linear columns, all pairs") {
     import spark.implicits._
     // y = 2x exactly (corr 1), z = -x (corr -1), w uncorrelated-ish
