@@ -248,25 +248,56 @@ object Bench {
       else None // Spark default: java.io.tmpdir on disk
     }
 
-  /** Parse SPARK_GRAFT_CONF overrides onto a session builder. Entries are
-    * `k=v` separated by `;` (preferred — Spark conf VALUES legitimately
-    * contain commas, e.g. extensions lists or extraJavaOptions) with `,`
-    * still accepted when no `;` is present, for existing invocations.
-    * Fragments that do not parse as k=v fail loudly instead of being
-    * silently dropped (ADVICE r10: a comma-valued conf used to shred into
-    * discarded fragments and the A/B silently measured the defaults). */
-  private[graft] def applyConfOverrides(
-      builder: SparkSession.Builder, conf: String): Unit = {
+  /** Parse SPARK_GRAFT_CONF overrides. Entries are `k=v` separated by `;`
+    * (preferred — Spark conf VALUES legitimately contain commas, e.g.
+    * extensions lists or extraJavaOptions) with `,` still accepted when no
+    * `;` is present, for existing invocations. Fragments that do not parse
+    * as k=v fail loudly instead of being silently dropped (ADVICE r10: a
+    * comma-valued conf used to shred into discarded fragments and the A/B
+    * silently measured the defaults). */
+  private[graft] def parseConfOverrides(conf: String): Seq[(String, String)] = {
     val sep = if (conf.contains(";")) ';' else ','
-    conf.split(sep).map(_.trim).filter(_.nonEmpty).foreach { entry =>
+    conf.split(sep).toSeq.map(_.trim).filter(_.nonEmpty).map { entry =>
       entry.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => builder.config(k, v)
+        case Array(k, v) if k.nonEmpty => k -> v
         case _ => sys.error(
           s"SPARK_GRAFT_CONF entry '$entry' is not k=v (use ';' between " +
             "entries when values contain commas)")
       }
     }
   }
+
+  private[graft] def applyConfOverrides(
+      builder: SparkSession.Builder, conf: String): Unit =
+    parseConfOverrides(conf).foreach { case (k, v) => builder.config(k, v) }
+
+  /** Named session profiles (SPARK_GRAFT_PROFILE): pre-measured conf
+    * bundles so the registry A/B results are USABLE without re-deriving
+    * the conf strings.
+    *
+    *  - `serving` — AQE off: the interactive/serving-batch preset. The
+    *    full-registry A/B (STRESS.md "AQE on/off across the registry")
+    *    measured AQE-off 37% faster at sf0.1 — per-stage submit +
+    *    reoptimize + codegen barriers dominate sub-second stages — but
+    *    SLOWER at sf1, where runtime coalescing pays for itself. AQE-on
+    *    stays the default (the scale-correct configuration); this profile
+    *    is the documented opt-in for sub-second interactive batches.
+    *    Shuffle partitions stay at the session's pinned core count — the
+    *    profile removes the re-plan barriers, not the parallelism.
+    *
+    * Profiles apply BEFORE SPARK_GRAFT_CONF, so explicit conf overrides
+    * win. Unknown names fail loudly (a typo'd profile must not silently
+    * measure the defaults). */
+  private[graft] def profileConfs(name: String): Seq[(String, String)] =
+    name match {
+      case "serving" => Seq("spark.sql.adaptive.enabled" -> "false")
+      case other => sys.error(
+        s"unknown SPARK_GRAFT_PROFILE '$other' (known: serving)")
+    }
+
+  private[graft] def applyProfile(
+      builder: SparkSession.Builder, name: String): Unit =
+    profileConfs(name).foreach { case (k, v) => builder.config(k, v) }
 
   /** Route JVM temp files to the same tmpfs scratch as the shuffle dirs.
     * The storage-exercising queries (q96 graft-log topics, q97 z-order
@@ -311,9 +342,11 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     scratchDir().foreach(builder.config("spark.local.dir", _))
-    // A/B config experiments: SPARK_GRAFT_CONF="k=v;k=v" (same hook as
-    // ProfileQ; the driver invokes Bench without it, so sweeps it publishes
-    // always run the defaults above)
+    // Named profile first (SPARK_GRAFT_PROFILE=serving — see profileConfs),
+    // then A/B config experiments: SPARK_GRAFT_CONF="k=v;k=v" (same hooks
+    // as ProfileQ; the driver invokes Bench without either, so sweeps it
+    // publishes always run the defaults above)
+    sys.env.get("SPARK_GRAFT_PROFILE").foreach(applyProfile(builder, _))
     sys.env.get("SPARK_GRAFT_CONF").foreach(applyConfOverrides(builder, _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

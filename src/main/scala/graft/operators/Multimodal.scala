@@ -7,15 +7,23 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus partition-parallel
   * decode/feature-extract/frame-sample operators.
   *
-  * Training-data-pipeline extension (the reference is text/relational only).
-  * The Spark-side plumbing — schema, batch iteration, partitioning — is
-  * real; the codec itself is STUBBED with a deterministic byte-level fake
-  * (`decodeStub`), because no image/audio libraries exist in this
-  * environment. Swapping in a real codec changes ONE function.
+  * Training-data-pipeline extension (the reference is text/relational
+  * only). The codec is a REAL image format: binary PGM ("P5" portable
+  * graymap — Netpbm's fixed-layout grayscale format, parseable with zero
+  * dependencies), decoded byte-for-byte by [[decodePgm]] with the
+  * malformed-input policy a production ingest needs (bad magic, torn
+  * header, truncated/padded raster, out-of-range maxval → a typed reject,
+  * never a crash or a silent wrong image). [[synthesizePgm]] builds valid
+  * PGM files from the documents corpus as pure column expressions, so the
+  * decode → pixel-stats pipeline is oracle-checkable end to end (q126:
+  * DuckDB re-derives header arithmetic + cyclic raster and matches the
+  * DECODED stats exactly). A JPEG/WAV deployment swaps [[decodePgm]] for
+  * the codec call; every operator around it is format-agnostic.
   *
-  * Scale notes: payloads never hit the driver; `mapPartitions` streams
-  * batches through the "decoder" exactly the way a vectorized UDF would, and
-  * frame sampling is pure column expressions (codegen, no JVM object churn).
+  * Scale notes: payloads never hit the driver; decode streams through
+  * `mapPartitions`/`map` exactly the way a vectorized UDF would, and
+  * frame sampling is pure column expressions (codegen, no JVM object
+  * churn).
   */
 object Multimodal {
 
@@ -23,7 +31,15 @@ object Multimodal {
   case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
 
   case class MediaRow(id: Long, blob: Array[Byte], format: String)
-  case class MediaFeatures(id: Long, nBytes: Int, features: Array[Float])
+
+  /** Decoded-feature row: `ok` is the malformed-bytes policy surface —
+    * an undecodable payload yields ok=false and zeroed features, it never
+    * poisons the batch. */
+  case class MediaFeatures(id: Long, nBytes: Int, ok: Boolean,
+                           features: Array[Float])
+
+  /** A decoded P5 graymap: `pixels` row-major, one byte per pixel. */
+  final case class PgmImage(width: Int, height: Int, pixels: Array[Byte])
 
   /** Synthesize a deterministic media payload per document: the UTF-8 bytes
     * of the text stand in for an encoded image/audio blob; metadata derives
@@ -41,31 +57,159 @@ object Multimodal {
         (expr(s"octet_length($textCol) div 256") + 1).cast("int").as("n_frames"))
         .as("meta"))
 
-  /** Deterministic stand-in for a codec: byte-value histogram normalized to
-    * unit L1 mass. Replace with a real decoder (JPEG → pixels, WAV → PCM)
-    * without touching the pipeline around it. */
-  def decodeStub(blob: Array[Byte], bins: Int): Array[Float] = {
-    val hist = new Array[Float](bins)
-    if (blob == null || blob.isEmpty) return hist
-    var i = 0
-    while (i < blob.length) { hist((blob(i) & 0xff) * bins / 256) += 1f; i += 1 }
-    val n = blob.length.toFloat
-    var b = 0
-    while (b < bins) { hist(b) /= n; b += 1 }
-    hist
+  /** Decode a binary ("P5") PGM payload. Netpbm's actual grammar: magic
+    * `P5`, then three whitespace-separated decimal tokens — width, height,
+    * maxval — where any amount of whitespace may appear between tokens and
+    * `#`-to-end-of-line comments may precede any token; after maxval,
+    * exactly ONE whitespace byte, then width·height raster bytes (maxval
+    * ≤ 255 → one byte per pixel).
+    *
+    * Malformed-bytes policy — None, never a throw or a misread, for:
+    * wrong/missing magic (a P6 color PPM is rejected, not misdecoded),
+    * a header token that is absent or non-numeric, dimensions or maxval
+    * of 0, maxval > 255 (two-byte rasters are out of scope — reject, do
+    * not halve the image), an absurd dimension token (overflow guard),
+    * and a raster whose byte count is not EXACTLY width·height (both a
+    * truncated and a padded payload are corrupt — a decoder that accepts
+    * either serves shifted pixels downstream). */
+  def decodePgm(blob: Array[Byte]): Option[PgmImage] = {
+    if (blob == null || blob.length < 2 || blob(0) != 'P' || blob(1) != '5')
+      return None
+    var i = 2
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 11
+    // at least one whitespace (or comment) must separate header tokens
+    def skipSeparators(): Boolean = {
+      val start = i
+      var cont = true
+      while (cont && i < blob.length) {
+        if (isWs(blob(i))) i += 1
+        else if (blob(i) == '#') { while (i < blob.length && blob(i) != '\n') i += 1 }
+        else cont = false
+      }
+      i > start
+    }
+    def readToken(): Option[Int] = {
+      if (!skipSeparators()) return None
+      if (i >= blob.length || blob(i) < '0' || blob(i) > '9') return None
+      var v = 0
+      while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') {
+        v = v * 10 + (blob(i) - '0')
+        if (v > (1 << 20)) return None // overflow/absurd-dimension guard
+        i += 1
+      }
+      Some(v)
+    }
+    for {
+      w <- readToken()
+      h <- readToken()
+      maxv <- readToken()
+      if w > 0 && h > 0 && maxv > 0 && maxv <= 255
+      if i < blob.length && isWs(blob(i)) // the single post-maxval byte
+      raster = i + 1
+      if blob.length - raster == w.toLong * h // exact — no truncate, no pad
+    } yield PgmImage(w, h,
+      java.util.Arrays.copyOfRange(blob, raster, blob.length))
+  }
+
+  /** Encode a PGM payload (the [[decodePgm]] inverse) — fixture/ingest
+    * helper; round-trip identity is pinned in MultimodalSpec. */
+  def encodePgm(img: PgmImage): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height,
+      s"raster ${img.pixels.length} != ${img.width}x${img.height}")
+    val header = s"P5\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
   }
 
   /** Partition-parallel feature extraction over the binary column — the
     * Spark-side shape of a batched decode UDF: iterator in, iterator out,
-    * constant memory per partition, no driver involvement. */
+    * constant memory per partition, no driver involvement. Features are
+    * the unit-L1 `bins`-bin luminance histogram of the DECODED raster;
+    * an undecodable payload yields ok=false with zeroed features. */
   def extractFeatures(media: DataFrame, idCol: String, blobCol: String,
                       bins: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) =>
-        MediaFeatures(id, if (blob == null) 0 else blob.length, decodeStub(blob, bins))
+        val nBytes = if (blob == null) 0 else blob.length
+        decodePgm(blob) match {
+          case Some(img) =>
+            val hist = new Array[Float](bins)
+            var i = 0
+            while (i < img.pixels.length) {
+              hist((img.pixels(i) & 0xff) * bins / 256) += 1f; i += 1
+            }
+            val n = img.pixels.length.toFloat
+            var b = 0
+            while (b < bins) { hist(b) /= n; b += 1 }
+            MediaFeatures(id, nBytes, ok = true, hist)
+          case None =>
+            MediaFeatures(id, nBytes, ok = false, new Array[Float](bins))
+        }
       })
+  }
+
+  /** Synthesize a VALID binary-PGM payload per document as pure column
+    * expressions (no UDF, no driver): dimensions from id arithmetic
+    * (width 8–23, height 6–17), raster = the document's UTF-8 bytes
+    * cycled to width·height (empty text → a single space). Every `% 97 ==
+    * 3` id gets a `P6` magic instead — a real color-PPM header the P5
+    * decoder must REJECT, so the malformed policy is exercised (and
+    * oracled) inside the same frame. The cyclic raster makes decoded
+    * pixel stats re-derivable from `text` by an independent engine —
+    * q126's oracle recomputes header math + cycle bytes in SQL. */
+  def synthesizePgm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = (col(idCol) % 16 + 8).cast("int")
+    val h = (col(idCol) % 12 + 6).cast("int")
+    val np = (w * h).cast("int")
+    val t = when(length(coalesce(col(textCol), lit(""))) === 0, lit(" "))
+      .otherwise(col(textCol))
+    val reps = ceil(np.cast("double") /
+      greatest(call_function("octet_length", t), lit(1)).cast("double"))
+      .cast("int")
+    val raster = call_function("substring",
+      encode(call_function("repeat", t, reps), "UTF-8"), lit(1), np)
+    val magic = when(col(idCol) % 97 === 3, lit("P6")).otherwise(lit("P5"))
+    docs.select(
+      col(idCol),
+      concat(
+        encode(concat(magic, lit("\n"), w.cast("string"), lit(" "),
+          h.cast("string"), lit("\n255\n")), "UTF-8"),
+        raster).as("blob"))
+  }
+
+  /** Decode + exact integer pixel statistics — the oracle-able face of the
+    * REAL codec: per payload, (ok, width, height, n_pixels, sum_lum,
+    * min_lum, max_lum, mean_lum) from the decoded raster; malformed
+    * payloads surface as ok=false with NULL stats (the reject-not-crash
+    * policy as data, so downstream curation can filter or quarantine). */
+  def pixelStats(media: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .map { case (id, blob) =>
+        decodePgm(blob) match {
+          case Some(img) =>
+            var s = 0L; var mn = 255; var mx = 0; var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v; i += 1
+            }
+            val np = img.pixels.length.toLong
+            (id, true, Some(img.width), Some(img.height), Some(np),
+              Some(s), Some(mn), Some(mx), Some(s.toDouble / np))
+          case None =>
+            (id, false, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Int],
+              None: Option[Int], None: Option[Double])
+        }
+      }
+      .toDF(idCol, "ok", "width", "height", "n_pixels", "sum_lum",
+        "min_lum", "max_lum", "mean_lum")
   }
 
   /** Integer byte-bin histogram in long form (id, bin, n) — the oracle-able

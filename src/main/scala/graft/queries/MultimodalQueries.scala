@@ -38,6 +38,48 @@ object MultimodalQueries {
                       AS n_sampled_frames
              FROM documents ORDER BY doc_id""")),
 
+    // The REAL codec end to end: synthesize valid binary-PGM files (P5
+    // header + cyclic-text raster, every 97th-[3] id corrupted to a P6
+    // magic), DECODE them with the actual format parser, and emit exact
+    // integer pixel stats. The oracle re-derives header arithmetic and
+    // the cyclic raster from `text` in SQL (docs are ASCII — pinned by
+    // q36's byte/char identity) and must match the DECODED values; the
+    // corrupted ids must come back ok=false with NULL stats — the
+    // malformed-bytes policy as data, hash-checked.
+    Q("q126_pgm_decode",
+      (s, d) => {
+        val media = Multimodal.synthesizePgm(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.pixelStats(media, "doc_id", "blob")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+               SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t,
+                 CAST(doc_id % 16 + 8 AS INTEGER) AS w,
+                 CAST(doc_id % 12 + 6 AS INTEGER) AS h
+               FROM documents),
+             d AS (SELECT doc_id, t, w, h, w * h AS np,
+                     length(t) AS lt FROM p),
+             px AS (
+               SELECT doc_id,
+                 ascii(substr(t, CAST(i % lt AS INTEGER) + 1, 1)) AS v
+               FROM d, UNNEST(range(0, np)) AS u(i)
+               WHERE doc_id % 97 <> 3),
+             ag AS (
+               SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_lum,
+                 CAST(MIN(v) AS INTEGER) AS min_lum,
+                 CAST(MAX(v) AS INTEGER) AS max_lum
+               FROM px GROUP BY doc_id)
+             SELECT d.doc_id, (d.doc_id % 97 <> 3) AS ok,
+               CASE WHEN d.doc_id % 97 <> 3 THEN d.w END AS width,
+               CASE WHEN d.doc_id % 97 <> 3 THEN d.h END AS height,
+               CASE WHEN d.doc_id % 97 <> 3 THEN CAST(d.np AS BIGINT) END
+                 AS n_pixels,
+               ag.sum_lum, ag.min_lum, ag.max_lum,
+               CAST(ag.sum_lum AS DOUBLE) / d.np AS mean_lum
+             FROM d LEFT JOIN ag USING (doc_id)
+             ORDER BY doc_id""")),
+
     // The binary decode pipeline's oracle-able face: exact byte-bin
     // histograms from the mapPartitions batch path, recomputed by DuckDB
     // from the codepoints (payloads are ASCII text bytes, so

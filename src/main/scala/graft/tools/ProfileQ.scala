@@ -25,7 +25,10 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
     // tmpfs scratch with low-free-space disk fallback — see Bench.scratchDir
     graft.Bench.scratchDir().foreach(builder.config("spark.local.dir", _))
-    // A/B config experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    // named profile (SPARK_GRAFT_PROFILE=serving), then A/B conf
+    // experiments: SPARK_GRAFT_CONF="k=v;k=v" — explicit overrides win
+    sys.env.get("SPARK_GRAFT_PROFILE")
+      .foreach(graft.Bench.applyProfile(builder, _))
     sys.env.get("SPARK_GRAFT_CONF")
       .foreach(graft.Bench.applyConfOverrides(builder, _))
     val spark = builder.getOrCreate()

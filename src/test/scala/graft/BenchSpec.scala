@@ -28,6 +28,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.utf8Len(safe) == safe.length)
   }
 
+  test("parseConfOverrides: ';' entries keep comma-valued confs intact") {
+    assert(Bench.parseConfOverrides(
+      "spark.sql.extensions=a.B,c.D;spark.x=1") ==
+      Seq("spark.sql.extensions" -> "a.B,c.D", "spark.x" -> "1"))
+    // legacy ','-separated form still parses when no ';' present
+    assert(Bench.parseConfOverrides("spark.a=1,spark.b=2") ==
+      Seq("spark.a" -> "1", "spark.b" -> "2"))
+    // values may contain '=' (only the first splits)
+    assert(Bench.parseConfOverrides("spark.opt=k=v") ==
+      Seq("spark.opt" -> "k=v"))
+    // malformed fragments fail loudly instead of silently measuring defaults
+    intercept[RuntimeException](Bench.parseConfOverrides("spark.a=1,junk"))
+    intercept[RuntimeException](Bench.parseConfOverrides("=v"))
+  }
+
+  test("profileConfs: 'serving' disables AQE only; unknown names fail") {
+    assert(Bench.profileConfs("serving") ==
+      Seq("spark.sql.adaptive.enabled" -> "false"))
+    intercept[RuntimeException](Bench.profileConfs("servnig"))
+  }
+
   private def parse(line: String) =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
 

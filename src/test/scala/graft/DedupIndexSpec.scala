@@ -139,6 +139,93 @@ class DedupIndexSpec extends SparkSpec {
     assert(probeBefore.exists(t => t._1 == 30L && t._2), "gated dup not flagged post-compact fixture")
   }
 
+  test("gateStream rescale: stop at 3 shuffle partitions, resume at 7 — no re-kept, no double-indexed docs") {
+    // The gate's state is NOT keyed shuffle state — it is the index dir
+    // (epoch markers + committed frames) plus the source checkpoint, so a
+    // cluster resize (spark.sql.shuffle.partitions change across restart)
+    // must be invisible: partition count shapes the epoch-build shuffles,
+    // never the committed content (deterministic file names, marker
+    // no-ops). Pinned against an uninterrupted control run, the
+    // StateRescaleSpec discipline applied to the index gate.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val textA = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val textB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val textC = (1 to 20).map(i => s"gamma$i").mkString(" ")
+    val wave1 = Seq((10L, textA), (11L, textB))           // dup of corpus + novel
+    val wave2 = Seq((20L, textB.replace("beta10", "X")),  // near-dup of KEPT 11
+      (21L, textC))                                       // novel
+    val probeBatch = Seq((30L, textC),
+      (31L, "wholly new words here twenty one two three")).toDF("doc_id", "text")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    implicit val sq = spark.sqlContext
+
+    def freshIx(): (String, String) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-dix-rs").toString + "/ix"
+      DedupIndex.write(DedupIndex.build(
+        Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text"), dir)
+      (dir, java.nio.file.Files.createTempDirectory("graft-dix-rso").toString)
+    }
+    def start(dir: String, out: String, in: MemoryStream[(Long, String)],
+              ckpt: String) =
+      DedupIndex.gateStream(spark, dir, in.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", out)
+        .option("checkpointLocation", ckpt).start()
+    def gated(out: String): Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    try {
+      // ---- control: both waves, uninterrupted, at 3 partitions
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val (cDir, cOut) = freshIx()
+      val cIn = MemoryStream[(Long, String)]
+      val qc = start(cDir, cOut, cIn,
+        java.nio.file.Files.createTempDirectory("graft-dix-rsc").toString)
+      try {
+        cIn.addData(wave1: _*); qc.processAllAvailable()
+        cIn.addData(wave2: _*); qc.processAllAvailable()
+      } finally qc.stop()
+      val controlGated = gated(cOut)
+      assert(controlGated === Set(11L, 21L))
+      val controlProbe = canon(DedupIndex.probe(DedupIndex.read(spark, cDir),
+        probeBatch, "doc_id", "text"))
+
+      // ---- rescaled: wave 1 at 3 partitions, stop, SAME checkpoint
+      // resumed at 7 partitions for wave 2
+      val (rDir, rOut) = freshIx()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dix-rsk").toString
+      val rIn = MemoryStream[(Long, String)]
+      val q1 = start(rDir, rOut, rIn, ckpt)
+      try { rIn.addData(wave1: _*); q1.processAllAvailable() } finally q1.stop()
+      assert(gated(rOut) === Set(11L))
+
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val q2 = start(rDir, rOut, rIn, ckpt)
+      try { rIn.addData(wave2: _*); q2.processAllAvailable() } finally q2.stop()
+      assert(gated(rOut) === controlGated,
+        "rescaled restart re-kept or lost a doc")
+      val rIx = DedupIndex.read(spark, rDir)
+      assert(rIx.nDocs === 3L, "rescaled restart double-indexed a doc")
+      assert(canon(DedupIndex.probe(rIx, probeBatch, "doc_id", "text"))
+        === controlProbe, "rescaled index diverged from the control run's")
+
+      // replay of the pre-rescale epoch AT the new partition count:
+      // marker-detected no-op
+      val w1 = wave1.toDF("doc_id", "text")
+      assert(!DedupIndex.gateEpoch(spark, rDir, 0L, w1, "doc_id", "text", rOut))
+      // crash-before-marker replayed at the NEW partition count: converges
+      // onto the same deterministic names — same corpus, same gate output
+      val fs = new org.apache.hadoop.fs.Path(rDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(rDir, "_epochs/0"), false)
+      assert(DedupIndex.gateEpoch(spark, rDir, 0L, w1, "doc_id", "text", rOut))
+      assert(DedupIndex.read(spark, rDir).nDocs === 3L)
+      assert(gated(rOut) === controlGated)
+      assert(canon(DedupIndex.probe(DedupIndex.read(spark, rDir),
+        probeBatch, "doc_id", "text")) === controlProbe)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("probe semantics on fixture edges: exact, near, novel, short docs") {
     import spark.implicits._
     val textA = (1 to 20).map(i => s"alpha$i").mkString(" ")
