@@ -268,20 +268,22 @@ object LexIndex {
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         posexplode(Dedup.tokens(col(phraseCol))).as(Seq("offset", "term")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // packing budget: offsets ride in 4 bits next to the term index
-    qTerms.select(max(col("offset"))).head().get(0) match {
-      case null => ()
-      case o: Int => require(o < 16, s"phrases carry at most 16 tokens (got ${o + 1})")
-      case _ => ()
-    }
     val qTermsD = qTerms.select(col("query_id"), col("term")).distinct()
     val qDist = qTermsD.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("int").as("__d"))
     val (batchTerms, docEvents) = sharedEvents(ix, qTerms)
-    // per-query (term, offset) requirements packed as gi·16 + offset
+    // per-query (term, offset) requirements packed as gi·16 + offset.
+    // Packing budget (offsets ride in 4 bits next to the term index) is
+    // enforced IN the packing expression: an over-long phrase raises at
+    // execution over the tiny qTerms frame — the old `.head()` pre-check
+    // was a blocking driver job per serving call for the same guarantee
+    // (ADVICE r10 residual).
+    val safeOffset = when(col("offset") < 16, col("offset"))
+      .otherwise(raise_error(format_string(
+        "phrases carry at most 16 tokens (got offset %d)", col("offset"))))
     val qMeta = qTerms.join(broadcast(batchTerms), "term")
       .groupBy(col("query_id"))
-      .agg(sort_array(collect_list((col("__gi") * 16 + col("offset")).cast("int")))
+      .agg(sort_array(collect_list((col("__gi") * 16 + safeOffset).cast("int")))
         .as("__qpack"))
     // anchor-explosion guard: docs containing every DISTINCT phrase term —
     // a narrow aggregation, positions never ride along

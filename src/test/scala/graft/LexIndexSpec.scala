@@ -173,6 +173,38 @@ class LexIndexSpec extends SparkSpec {
     assert(readSchemas.exists(_.contains("tf")), "no postings ReadSchema found")
     assert(!readSchemas.exists(_.contains("positions")),
       s"BM25 scan reads the positions column it never uses:\n${readSchemas.mkString("\n")}")
+    // the 4-bit packing budget is enforced in the packing expression (no
+    // pre-flight driver job): a 17-token phrase fails at execution
+    val longPhrase = (1 to 17).map(i => s"w$i").mkString(" ")
+    val err = intercept[Exception] {
+      LexIndex.phraseTopK(LexIndex.read(spark, dir),
+        Seq((101L, longPhrase)).toDF("query_id", "phrase"),
+        "query_id", "phrase", k = 10).collect()
+    }
+    assert(err.getMessage.contains("at most 16 tokens"),
+      s"unexpected failure: ${err.getMessage}")
+    // plan-time driver jobs: both positional paths pay the same bounded
+    // collects that build the static term IN / pb IN pushdown filters —
+    // phraseTopK must not run MORE (its old max-offset pre-check was one
+    // extra blocking job per serving call; the budget now enforces inside
+    // the packing expression)
+    val ixReloaded = LexIndex.read(spark, dir)
+    val sc = spark.sparkContext
+    def planJobs(f: => Unit): Int = {
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      f
+      sc.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    val phraseJobs = planJobs {
+      LexIndex.phraseTopK(ixReloaded, qs, "query_id", "phrase", k = 10); ()
+    }
+    val proxJobs = planJobs {
+      LexIndex.proximityTopK(ixReloaded, qs.toDF("query_id", "qtext"),
+        "query_id", "qtext", window = 12, k = 10); ()
+    }
+    assert(phraseJobs <= proxJobs,
+      s"phraseTopK plans with $phraseJobs driver jobs vs proximityTopK's " +
+        s"$proxJobs — the packing guard is a blocking job again")
   }
 
   test("proximityTopK: minimal-span semantics, window bound, all-terms guard") {
