@@ -151,21 +151,30 @@ object Quality {
                                scale: Long = 100L): DataFrame = {
     require(threshold > 0, s"threshold must be > 0: $threshold")
     require(scale > 0, s"scale must be > 0: $scale")
-    val keyed = df.select(col(groupCol),
+    // ONE data-sized pass total: the exact (group, key) histogram. Both
+    // medians read off it — the MAD's input |x − med| is a deterministic
+    // FOLD of this histogram around the median (at doubled key scale, so
+    // half-step medians stay integral), so the second percentile never
+    // touches the data again. Histogram cardinality is bounded by
+    // min(rows, groups × value range) — for a fixed-scale money column
+    // that is range-bounded, data-independent; worst case it is one
+    // SHUFFLE of n narrow rows, never a per-group in-memory multiset.
+    val hist = df.select(col(groupCol),
         round(col(valueCol) * scale).cast("long").as("__k"))
       .filter(col("__k").isNotNull)
-    // med feeds three consumers (the MAD re-key twice — coarse and fine
-    // sides — and the final scoring join): persist the ≤|groups|-row frame
-    // so the two-pass selection underneath runs once, not per consumer
-    val med = selectMedian(keyed, groupCol, scale, "med")
+      .groupBy(col(groupCol), col("__k")).agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // MAD input: |x − med| at doubled scale (an interpolated median can
-    // land on a half-step), re-keyed per row against the broadcast medians
-    val keyed2 = keyed.join(broadcast(med), Seq(groupCol))
+    // med/mad feed several consumers each — persist the ≤|groups|-row
+    // frames so the selection underneath runs once, not per consumer
+    val med = selectMedian(hist, groupCol, scale, "med")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val folded = hist.join(broadcast(med), Seq(groupCol))
       .select(col(groupCol),
         abs(col("__k") * 2 - round(col("med") * (2 * scale)).cast("long"))
-          .as("__k"))
-    val mad = selectMedian(keyed2, groupCol, 2 * scale, "mad")
+          .as("__k"),
+        col("__c"))
+      .groupBy(col(groupCol), col("__k")).agg(sum(col("__c")).as("__c"))
+    val mad = selectMedian(folded, groupCol, 2 * scale, "mad")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // left joins: a group whose values are all NULL has no keyed row;
     // the generic path keeps its rows with a NULL median — match it
@@ -176,32 +185,34 @@ object Quality {
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
   }
 
-  /** Exact interpolated p=0.5 percentile per group over an integer-keyed
-    * frame `(groupCol, __k)` by TWO-LEVEL range selection — the shape that
-    * needs no per-group sort of the data: (1) count per 4096-key coarse
-    * bucket (map-side-combining aggregate; output ~ key-range/4096 rows per
-    * group, data-independent), (2) a cumulative window over that TINY
+  /** Exact interpolated p=0.5 percentile per group over a histogram
+    * `(groupCol, __k, __c)` by TWO-LEVEL range selection — the shape that
+    * needs no per-group sort: (1) counts per 4096-key coarse bucket
+    * (histogram-sized aggregate), (2) a cumulative window over that TINY
     * bucket frame locates which bucket holds each of the two order
-    * statistics at floor/ceil of 0.5·(n−1), (3) a second aggregate over
-    * ONLY the target buckets' rows (broadcast semi-join; ~n/buckets rows)
-    * picks the exact keys, (4) `percentile`'s own interpolation expression
-    * on k/scale doubles, rounded to 6. Every shuffle ships bucket- or
-    * target-sized frames; the only full-data work is two sequential scans
-    * with map-side combine — at 100 TB the group count and value range
-    * bound the state, never the row count. */
-  private def selectMedian(keyed: DataFrame, groupCol: String,
+    * statistics at floor/ceil of 0.5·(n−1), (3) only the target buckets'
+    * histogram rows (broadcast semi-join) yield the exact keys,
+    * (4) `percentile`'s own interpolation expression on k/scale doubles,
+    * rounded to 6. Every frame after the input histogram is bucket- or
+    * target-sized — at 100 TB the group count and value range bound the
+    * state, never the row count. */
+  private def selectMedian(hist: DataFrame, groupCol: String,
                            scale: Long, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = keyed.withColumn("__b", expr("__k >> 12"))
+    val bucketed = hist.withColumn("__b", expr("__k >> 12"))
     val coarse = bucketed.groupBy(col(groupCol), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-    val n = coarse.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+      .agg(sum(col("__c")).as("__c"))
+    // n rides in the SAME window pass as the cumulative count (whole-
+    // partition frame) — a separate n aggregate + broadcast join cost two
+    // more exchanges and, under AQE, two more per-query job barriers,
+    // which is where this operator's wall actually lives at serving SFs
     val wb = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+    val wn = Window.partitionBy(col(groupCol))
     val hitBLo = col("__cs") <= col("__loIdx") && col("__loIdx") < col("__ce")
     val hitBHi = col("__cs") <= col("__hiIdx") && col("__hiIdx") < col("__ce")
     val targets = coarse.withColumn("__ce", sum(col("__c")).over(wb))
       .withColumn("__cs", col("__ce") - col("__c"))
-      .join(broadcast(n), Seq(groupCol))
+      .withColumn("__n", sum(col("__c")).over(wn))
       .withColumn("__pos", (col("__n") - 1).cast("double") * 0.5)
       .withColumn("__loIdx", floor(col("__pos")).cast("long"))
       .withColumn("__hiIdx", ceil(col("__pos")).cast("long"))
@@ -210,10 +221,9 @@ object Quality {
         col("__loIdx"), col("__hiIdx"))
       .distinct() // lo and hi in one bucket → one row, not a join fan-out
     val wf = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("__k"))
+    // hist is already one row per (group, key): the target buckets' rows
+    // go straight under the cumulative window, no re-aggregation
     val fine = bucketed.join(broadcast(targets), Seq(groupCol, "__b"))
-      .groupBy(col(groupCol), col("__b"), col("__cs"), col("__pos"),
-        col("__loIdx"), col("__hiIdx"), col("__k"))
-      .agg(count(lit(1)).as("__c"))
       .withColumn("__gce", col("__cs") + sum(col("__c")).over(wf))
       .withColumn("__gcs", col("__gce") - col("__c"))
     val hitLo = col("__gcs") <= col("__loIdx") && col("__loIdx") < col("__gce")
