@@ -265,25 +265,30 @@ object LexIndex {
       "phraseTopK needs a positional index (rebuild with this version's build)")
     graft.functions.GraftFunctions.register(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    // per-query (term, offset) requirements pack as gi·16 + offset, so
+    // offsets ride in 4 bits next to the term index. The 16-token budget
+    // is enforced in qTerms' OWN projection: an over-long phrase raises
+    // the first time the persisted frame materializes — which is
+    // prunedPostings' always-run bounded collect, so the raise fires on
+    // EVERY serving call regardless of candidates (an earlier cut guarded
+    // only the qMeta packing, and AQE's empty-relation propagation pruned
+    // the broadcast — and the guard with it — whenever an out-of-vocab
+    // token emptied the candidate side). No extra driver job either way:
+    // the old `.head()` pre-check was one blocking job per call.
+    val safeOffset = when(col("offset") < 16, col("offset"))
+      .otherwise(raise_error(format_string(
+        "phrases carry at most 16 tokens (got offset %d)", col("offset"))))
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         posexplode(Dedup.tokens(col(phraseCol))).as(Seq("offset", "term")))
+      .select(col("query_id"), safeOffset.cast("int").as("offset"), col("term"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qTermsD = qTerms.select(col("query_id"), col("term")).distinct()
     val qDist = qTermsD.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("int").as("__d"))
     val (batchTerms, docEvents) = sharedEvents(ix, qTerms)
-    // per-query (term, offset) requirements packed as gi·16 + offset.
-    // Packing budget (offsets ride in 4 bits next to the term index) is
-    // enforced IN the packing expression: an over-long phrase raises at
-    // execution over the tiny qTerms frame — the old `.head()` pre-check
-    // was a blocking driver job per serving call for the same guarantee
-    // (ADVICE r10 residual).
-    val safeOffset = when(col("offset") < 16, col("offset"))
-      .otherwise(raise_error(format_string(
-        "phrases carry at most 16 tokens (got offset %d)", col("offset"))))
     val qMeta = qTerms.join(broadcast(batchTerms), "term")
       .groupBy(col("query_id"))
-      .agg(sort_array(collect_list((col("__gi") * 16 + safeOffset).cast("int")))
+      .agg(sort_array(collect_list((col("__gi") * 16 + col("offset")).cast("int")))
         .as("__qpack"))
     // anchor-explosion guard: docs containing every DISTINCT phrase term —
     // a narrow aggregation, positions never ride along

@@ -115,7 +115,11 @@ object Multimodal {
   /** Encode a PGM payload (the [[decodePgm]] inverse) — fixture/ingest
     * helper; round-trip identity is pinned in MultimodalSpec. */
   def encodePgm(img: PgmImage): Array[Byte] = {
-    require(img.pixels.length == img.width * img.height,
+    require(img.width > 0 && img.height > 0,
+      s"dims must be positive: ${img.width}x${img.height}")
+    // Long product: an Int multiply overflows for caller-supplied dims
+    // (decodePgm caps each dim at 2^20; this entry point takes any PgmImage)
+    require(img.pixels.length.toLong == img.width.toLong * img.height,
       s"raster ${img.pixels.length} != ${img.width}x${img.height}")
     val header = s"P5\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + img.pixels.length)

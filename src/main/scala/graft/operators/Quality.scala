@@ -168,7 +168,13 @@ object Quality {
     // frames so the selection underneath runs once, not per consumer
     val med = selectMedian(hist, groupCol, scale, "med")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val folded = hist.join(broadcast(med), Seq(groupCol))
+    // NO broadcast hints on the med/mad joins: the frames are |groups|-
+    // sized, and a forced broadcast of a high-cardinality group column
+    // would blow the driver exactly where the histogram pass scales fine.
+    // AQE still converts these to broadcast at runtime whenever the
+    // materialized side is actually small — the common case — so the hint
+    // bought nothing the stats don't (ADVICE r11).
+    val folded = hist.join(med, Seq(groupCol))
       .select(col(groupCol),
         abs(col("__k") * 2 - round(col("med") * (2 * scale)).cast("long"))
           .as("__k"),
@@ -179,7 +185,7 @@ object Quality {
     // left joins: a group whose values are all NULL has no keyed row;
     // the generic path keeps its rows with a NULL median — match it
     df.select(col(groupCol), col(valueCol))
-      .join(broadcast(med.join(mad, Seq(groupCol))), Seq(groupCol), "left")
+      .join(med.join(mad, Seq(groupCol)), Seq(groupCol), "left")
       .withColumn("robust_z",
         when(col("mad") > 0, (col(valueCol) - col("med")) / col("mad")))
       .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
@@ -223,7 +229,7 @@ object Quality {
     val wf = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("__k"))
     // hist is already one row per (group, key): the target buckets' rows
     // go straight under the cumulative window, no re-aggregation
-    val fine = bucketed.join(broadcast(targets), Seq(groupCol, "__b"))
+    val fine = bucketed.join(targets, Seq(groupCol, "__b"))
       .withColumn("__gce", col("__cs") + sum(col("__c")).over(wf))
       .withColumn("__gcs", col("__gce") - col("__c"))
     val hitLo = col("__gcs") <= col("__loIdx") && col("__loIdx") < col("__gce")

@@ -271,6 +271,10 @@ object VectorIndex {
     }
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_tombstones"), true)
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_coding_decision"), false)
+    // a legacy-layout root marker (pre codes/_residual) must not outlive
+    // the rebuild: read() honors it as a fallback, so leaving it would
+    // stamp residual coding onto a rebuild that decided raw
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_residual"), false)
     fs.delete(new org.apache.hadoop.fs.Path(dir, "_stage"), true)
     read(spark, dir)
   }
@@ -312,7 +316,13 @@ object VectorIndex {
         val t = spark.read.parquet(s"$dir/_tombstones")
         (raw.join(broadcast(t), Seq("id"), "left_anti"), t.count())
       } else (raw, 0L)
-    val residual = fs.exists(new org.apache.hadoop.fs.Path(dir, "codes/_residual"))
+    // the marker moved INSIDE codes/ (so a commitRebuild's codes rename
+    // delivers rows and coding flag atomically); indexes persisted by the
+    // old layout carry it at the dir root — honor that location too, or a
+    // residual-coded legacy index would silently load as raw coding and
+    // serve garbage rankings (the exact misdecode the marker prevents)
+    val residual = fs.exists(new org.apache.hadoop.fs.Path(dir, "codes/_residual")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_residual"))
     IvfPqIndex(codes, cents, cb, metaRows - dead, metaCells, residual)
   }
 

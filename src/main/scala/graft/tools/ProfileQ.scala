@@ -35,9 +35,14 @@ object ProfileQ {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
                 else graft.SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_CLEARCACHE=1: drop every cached frame between reps so
+    // each rep pays the full pipeline — without it reps 2+ serve persisted
+    // intermediates and an operator A/B reports only the cached tail
+    val clearCache = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
+        if (clearCache) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9

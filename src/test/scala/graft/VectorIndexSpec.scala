@@ -399,4 +399,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(canon(servedRetrained) === canon(servedFresh),
       "retrained residual index diverged from a fresh residual build")
   }
+
+  test("legacy root _residual marker: honored by read, cleaned by retrain") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-vix-leg").toString + "/ix"
+    VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+      nCells = 8, m = 16, ks = 32, trainIters = 1, residual = true), dir)
+    // simulate an index persisted by the pre-r11 layout: marker at dir
+    // root instead of codes/_residual
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "codes/_residual"), false))
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_residual"), true).close()
+    assert(VectorIndex.read(spark, dir).residual,
+      "a legacy-layout residual index must not silently load as raw coding")
+    // a retrain that decides RAW coding must not inherit the stale root
+    // marker (retrain preserves the flag; force raw via retrainAutoCoding's
+    // underlying build + commit path by rebuilding with residual = false)
+    VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+      nCells = 8, m = 16, ks = 32, trainIters = 1, residual = true), dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_residual"), true).close()
+    VectorIndex.retrain(spark, dir, emb, "vec_id", "embedding",
+      nCells = 8, m = 16, ks = 32, trainIters = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_residual")),
+      "commitRebuild must clean the legacy root marker")
+    assert(VectorIndex.read(spark, dir).residual,
+      "retrain preserves the coding flag via codes/_residual")
+  }
 }
