@@ -202,6 +202,34 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspectNames(healthy ++ storm, cap = 8).size == 8)
   }
 
+  test("suspectNames absolute arm: rep-stable big queries exempt, ratio arm never") {
+    val healthy = (1 to 20).map(i =>
+      Bench.QRes(f"q$i%02d_x", 1.0 + i * 0.01, 8.0, 1.5, "ok", wallWarm = 1.4))
+    // structurally big AND corroborated: cold 305 / warm 300 agree within
+    // 10% — the permanently-flagged sf10 shape that burnt 44% of the r11
+    // sweep; a third rep cannot exonerate what two already agree on
+    val bigStable = Bench.QRes("q21_allpairs", 300.0, 2400.0, 305.0, "ok",
+      wallWarm = 300.0)
+    assert(!Bench.suspectNames(healthy :+ bigStable).contains("q21_allpairs"))
+    // same wall but the reps DISAGREE (cold 60 / warm 300): transient
+    // window candidate — still healed
+    val bigUnstable = Bench.QRes("q22_x", 60.0, 480.0, 60.0, "ok",
+      wallWarm = 300.0)
+    assert(Bench.suspectNames(healthy :+ bigUnstable.copy(wall = 300.0,
+      wallCold = 300.0, wallWarm = 60.0)).isEmpty === false)
+    // single-rep entries (warm never ran → NaN) stay conservatively healable
+    val singleRep = Bench.QRes("q23_x", 300.0, 2400.0, 300.0, "ok")
+    assert(Bench.suspectNames(healthy :+ singleRep).contains("q23_x"))
+    // the ratio arm ignores stability: an I/O stall that inflates BOTH
+    // reps equally still reads wall >> cpu and must re-run
+    val stableStall = Bench.QRes("q57_io", 12.0, 3.0, 12.5, "ok",
+      wallWarm = 12.0)
+    assert(Bench.suspectNames(healthy :+ stableStall).contains("q57_io"))
+    // the artifact labels the policy change
+    val line = Bench.renderLine("/x", healthy :+ bigStable, (0L, 0L, 0L, 0L))
+    assert(line.contains("\"heal_policy\":\"v2\""))
+  }
+
   test("shortKeys: unique qNN prefixes for the whole registry") {
     val names = SparkEntry.queries.keys.toSeq
     val keys = Bench.shortKeys(names)
