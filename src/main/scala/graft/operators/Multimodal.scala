@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -243,4 +243,196 @@ object Multimodal {
     media.withColumn("frames",
       expr(s"transform(sequence(0, greatest((octet_length($blobCol) - $frameSize) div $stride, 0)), " +
         s"i -> substring($blobCol, i * $stride + 1, $frameSize))"))
+
+  // ——————————————————————— audio: RIFF/WAVE PCM16 ———————————————————————
+  // The second real modality. Same contract as the PGM image path: an
+  // actual fixed-layout binary format parsed byte-for-byte, with the
+  // reject-not-crash policy for every malformed shape, and a synthesized
+  // corpus whose DECODED stats an independent engine re-derives from
+  // `text` (q127). Demonstrates "swap the decoder" as a pattern, not a
+  // claim: wavStats/pixelStats, extractFeatures, and the synthesize
+  // fixtures are the same plumbing around a different codec.
+
+  /** Decoded PCM16 audio: `samples` channel-interleaved, one Short per
+    * sample, little-endian as stored. */
+  final case class WavAudio(sampleRate: Int, nChannels: Int,
+                            samples: Array[Short])
+
+  /** Decode a canonical RIFF/WAVE payload carrying 16-bit integer PCM.
+    * The actual RIFF grammar: `RIFF` magic, LE-u32 riff size (must equal
+    * file length − 8 — a torn download fails here, not mid-raster),
+    * `WAVE` form type, then a chunk walk (4-byte id, LE-u32 size, payload,
+    * odd sizes padded to word alignment) in which `fmt ` must precede
+    * `data` (the canonical ordering; a `data` met first is rejected, not
+    * buffered). Chunks after `data` (LIST/INFO metadata) are tolerated —
+    * they are common in the wild and the riff-size check still bounds
+    * them.
+    *
+    * Malformed-bytes policy — None, never a throw or a misread, for:
+    * wrong magic (an `RIFX` big-endian file is rejected, not
+    * byte-swapped), riff size ≠ file length − 8, a chunk overrunning the
+    * file, a `fmt ` chunk under 16 bytes, an audio format other than 1
+    * (compressed/float WAVs are out of scope — reject, do not misdecode),
+    * bits-per-sample ≠ 16 (an 8-bit raster decoded as 16-bit would serve
+    * half the samples at garbage amplitudes), zero/absurd channel count
+    * or rate, a blockAlign/byteRate inconsistent with the declared
+    * layout, and a data size that is not a whole number of frames. */
+  def decodeWav(blob: Array[Byte]): Option[WavAudio] = {
+    if (blob == null || blob.length < 44) return None
+    def u8(i: Int): Int = blob(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= blob.length && (0 until 4).forall(j => blob(i + j) == s.charAt(j).toByte)
+    if (!tag(0, "RIFF") || le32(4) != blob.length - 8L || !tag(8, "WAVE"))
+      return None
+    var i = 12L
+    var fmt: Option[(Int, Int)] = None // (nChannels, sampleRate), validated
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (i + 8 <= blob.length && (fmt.isEmpty || data.isEmpty)) {
+      val at = i.toInt
+      val size = le32(at + 4)
+      if (size < 0 || i + 8 + size > blob.length) return None
+      if (tag(at, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = le16(at + 8)
+        val nCh = le16(at + 10)
+        val rate = le32(at + 12)
+        val byteRate = le32(at + 16)
+        val blockAlign = le16(at + 20)
+        val bits = le16(at + 22)
+        if (audioFormat != 1 || bits != 16) return None
+        if (nCh < 1 || nCh > 8 || rate < 1 || rate > 1000000) return None
+        if (blockAlign != nCh * 2 || byteRate != rate * blockAlign) return None
+        fmt = Some((nCh, rate.toInt))
+      } else if (tag(at, "data")) {
+        if (fmt.isEmpty) return None
+        data = Some((at + 8, size.toInt))
+      }
+      i += 8 + size + (size & 1) // odd chunk sizes carry a pad byte
+    }
+    for {
+      (nCh, rate) <- fmt
+      (off, sz) <- data
+      if sz % (nCh * 2) == 0
+    } yield {
+      val n = sz / 2
+      val samples = new Array[Short](n)
+      var j = 0
+      while (j < n) {
+        samples(j) = (u8(off + 2 * j) | (u8(off + 2 * j + 1) << 8)).toShort
+        j += 1
+      }
+      WavAudio(rate, nCh, samples)
+    }
+  }
+
+  /** Encode a PCM16 WAV payload (the [[decodeWav]] inverse) — fixture/
+    * ingest helper; round-trip identity is pinned in MultimodalSpec. */
+  def encodeWav(a: WavAudio): Array[Byte] = {
+    require(a.nChannels >= 1 && a.nChannels <= 8,
+      s"channels out of range: ${a.nChannels}")
+    require(a.sampleRate >= 1 && a.sampleRate <= 1000000,
+      s"rate out of range: ${a.sampleRate}")
+    require(a.samples.length % a.nChannels == 0,
+      s"${a.samples.length} samples is not whole ${a.nChannels}-channel frames")
+    val dataSize = a.samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(a.nChannels.toShort).putInt(a.sampleRate)
+      .putInt(a.sampleRate * a.nChannels * 2)
+      .putShort((a.nChannels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    a.samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** `n`-byte little-endian encoding of a non-negative integral column,
+    * as pure expressions (hex per byte → unhex): the binary-header
+    * construction primitive [[synthesizeWav]] builds RIFF fields with. */
+  private def leBin(c: Column, n: Int): Column =
+    unhex(concat((0 until n).map(i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i).bitwiseAND(lit(255L))),
+        2, "0")): _*))
+
+  /** Synthesize a VALID mono PCM16 WAV payload per document as pure column
+    * expressions (no UDF, no driver): n_samples = id%200+50, rate =
+    * 8000 + id%4·4000, and each sample's two little-endian bytes are the
+    * document's UTF-8 bytes cycled (empty text → a single space) — so the
+    * decoded amplitude of sample i is byte(2i) + 256·byte(2i+1), re-
+    * derivable from `text` by an independent engine (q127's oracle
+    * recomputes header arithmetic + cycle bytes in SQL; documents are
+    * ASCII, pinned by q36's byte/char identity). Every `% 89 == 5` id gets
+    * an `RIFX` magic instead — the real big-endian RIFF variant, which the
+    * little-endian decoder must REJECT rather than byte-swap. */
+  def synthesizeWav(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ns = (col(idCol) % 200 + 50).cast("long")
+    val dataSize = (ns * 2).cast("int")
+    val rate = (col(idCol) % 4 * 4000 + 8000).cast("long")
+    val t = when(length(coalesce(col(textCol), lit(""))) === 0, lit(" "))
+      .otherwise(col(textCol))
+    val reps = ceil(dataSize.cast("double") /
+      greatest(call_function("octet_length", t), lit(1)).cast("double"))
+      .cast("int")
+    val pcm = call_function("substring",
+      encode(call_function("repeat", t, reps), "UTF-8"), lit(1), dataSize)
+    val magic = when(col(idCol) % 89 === 5, lit("RIFX")).otherwise(lit("RIFF"))
+    docs.select(
+      col(idCol),
+      concat(
+        encode(magic, "UTF-8"), leBin(dataSize + 36, 4),
+        encode(lit("WAVEfmt "), "UTF-8"), leBin(lit(16), 4),
+        leBin(lit(1), 2), leBin(lit(1), 2), // PCM, mono
+        leBin(rate, 4), leBin(rate * 2, 4), // byteRate = rate·blockAlign
+        leBin(lit(2), 2), leBin(lit(16), 2), // blockAlign, bits
+        encode(lit("data"), "UTF-8"), leBin(dataSize, 4),
+        pcm).as("blob"))
+  }
+
+  /** Decode + exact integer amplitude statistics — the oracle-able face of
+    * the audio codec, [[pixelStats]]' twin: per payload (ok, sample_rate,
+    * n_channels, n_samples, duration_micros, sum_amp, min_amp, max_amp,
+    * sum_sq, mean_amp, rms) from the decoded samples; malformed payloads
+    * surface as ok=false with NULL stats. duration_micros is integer
+    * arithmetic (frames·10⁶ div rate); mean/rms are single IEEE operations
+    * over exact integers, so they hash-match across engines. */
+  def wavStats(media: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .map { case (id, blob) =>
+        decodeWav(blob) match {
+          case Some(a) if a.samples.nonEmpty =>
+            var s = 0L; var sq = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < a.samples.length) {
+              val v: Int = a.samples(i)
+              s += v; sq += v.toLong * v
+              if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            val n = a.samples.length.toLong
+            val frames = n / a.nChannels
+            (id, true, Some(a.sampleRate), Some(a.nChannels), Some(n),
+              Some(frames * 1000000L / a.sampleRate), Some(s), Some(mn),
+              Some(mx), Some(sq), Some(s.toDouble / n),
+              Some(math.sqrt(sq.toDouble / n)))
+          case Some(a) => // decoded but empty data chunk: ok, all-zero stats
+            (id, true, Some(a.sampleRate), Some(a.nChannels), Some(0L),
+              Some(0L), Some(0L), None: Option[Int], None: Option[Int],
+              Some(0L), None: Option[Double], None: Option[Double])
+          case None =>
+            (id, false, None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Double], None: Option[Double])
+        }
+      }
+      .toDF(idCol, "ok", "sample_rate", "n_channels", "n_samples",
+        "duration_micros", "sum_amp", "min_amp", "max_amp", "sum_sq",
+        "mean_amp", "rms")
+  }
 }

@@ -80,6 +80,52 @@ object MultimodalQueries {
              FROM d LEFT JOIN ag USING (doc_id)
              ORDER BY doc_id""")),
 
+    // The SECOND real codec, same contract as q126: synthesize valid
+    // RIFF/WAVE PCM16 files (44-byte canonical header + cyclic-text
+    // little-endian samples, every 89th-[5] id corrupted to an RIFX
+    // magic), DECODE them with the actual RIFF chunk-walk parser, and
+    // emit exact integer amplitude stats. The oracle re-derives header
+    // arithmetic and sample values (byte(2i) + 256·byte(2i+1) over the
+    // text cycle) in SQL; corrupted ids come back ok=false/NULL —
+    // the malformed-bytes policy as data, hash-checked.
+    Q("q127_wav_decode",
+      (s, d) => {
+        val media = Multimodal.synthesizeWav(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.wavStats(media, "doc_id", "blob")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+               SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t,
+                 CAST(doc_id % 200 + 50 AS BIGINT) AS ns,
+                 CAST(doc_id % 4 * 4000 + 8000 AS INTEGER) AS rate
+               FROM documents),
+             d AS (SELECT doc_id, t, ns, rate, length(t) AS lt FROM p),
+             sm AS (
+               SELECT doc_id,
+                 ascii(substr(t, CAST((2*i) % lt AS INTEGER) + 1, 1))
+                   + 256 * ascii(substr(t, CAST((2*i+1) % lt AS INTEGER) + 1, 1))
+                   AS v
+               FROM d, UNNEST(range(0, ns)) AS u(i)
+               WHERE doc_id % 89 <> 5),
+             ag AS (
+               SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_amp,
+                 CAST(MIN(v) AS INTEGER) AS min_amp,
+                 CAST(MAX(v) AS INTEGER) AS max_amp,
+                 CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq
+               FROM sm GROUP BY doc_id)
+             SELECT d.doc_id, (d.doc_id % 89 <> 5) AS ok,
+               CASE WHEN d.doc_id % 89 <> 5 THEN d.rate END AS sample_rate,
+               CASE WHEN d.doc_id % 89 <> 5 THEN 1 END AS n_channels,
+               CASE WHEN d.doc_id % 89 <> 5 THEN d.ns END AS n_samples,
+               CASE WHEN d.doc_id % 89 <> 5 THEN d.ns * 1000000 // d.rate END
+                 AS duration_micros,
+               ag.sum_amp, ag.min_amp, ag.max_amp, ag.sum_sq,
+               CAST(ag.sum_amp AS DOUBLE) / d.ns AS mean_amp,
+               sqrt(CAST(ag.sum_sq AS DOUBLE) / d.ns) AS rms
+             FROM d LEFT JOIN ag USING (doc_id)
+             ORDER BY doc_id""")),
+
     // The binary decode pipeline's oracle-able face: exact byte-bin
     // histograms from the mapPartitions batch path, recomputed by DuckDB
     // from the codepoints (payloads are ASCII text bytes, so

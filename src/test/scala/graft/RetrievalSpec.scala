@@ -105,6 +105,40 @@ class RetrievalSpec extends SparkSpec {
     assert(byDoc(2L).getAs[Long]("vec_rank") > 0L)
   }
 
+  test("hybridTopKIvf: fused recall@10 >= 0.9 vs the exact twin (sf0.1 corpus)") {
+    import graft.operators.{LexIndex, VectorIndex}
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.1"
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val base = java.nio.file.Files.createTempDirectory("graft-hyrec").toString
+    LexIndex.write(LexIndex.build(docs, "doc_id", "text"), s"$base/lix")
+    VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
+      nCells = 32, m = 16, ks = 64, trainIters = 1), s"$base/vix")
+    // the q125 seeded batch: every 101st doc's first-4-token query
+    val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.operators.Dedup.tokens(col("text")), 1, 4), " ")
+          .as("qtext"))
+    val vecPred = col("vec_id") % 101 === 0 && col("vec_id") < 50500
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("doc_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Retrieval.hybridTopKIndexed(
+      LexIndex.read(spark, s"$base/lix"), queries,
+      emb, "vec_id", "embedding", vecPred, k = 10))
+    val fused = pairs(Retrieval.hybridTopKIvf(
+      LexIndex.read(spark, s"$base/lix"), VectorIndex.read(spark, s"$base/vix"),
+      queries, emb.filter(vecPred), "vec_id", "embedding", k = 10, nProbe = 8))
+    val recall = (exact & fused).size.toDouble / exact.size
+    // the r10 "done" criterion q125's determinism oracle deliberately did
+    // not replace: the oracle proves the engine computes its approximation
+    // exactly; THIS proves the approximation retrieves well. Larger-SF
+    // numbers (sf0.1/sf1 sweep) live in STRESS.md's hybridrecall section.
+    assert(recall >= 0.9,
+      f"fused hybrid recall@10 vs the exact twin = $recall%.3f < 0.9")
+  }
+
   test("distributionDrift: decomposition equals the naive full-vocab sum; " +
     "skewed source drifts more") {
     import spark.implicits._
