@@ -224,14 +224,16 @@ object LexIndex {
           "doc_id")
       ).persist(StorageLevel.MEMORY_AND_DISK)
     val docFreq = matched.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    // spread before the per-query fan-out inside bm25Rank: the pruned scan
-    // hands matched only a few partitions (its bytes are small), but the
-    // qTerms join expands every posting once PER QUERY carrying that term
-    // — measured 34 s vs 14 s for the one-shot path at sf10 because 77M
-    // fanned-out rows aggregated on ~8 tasks while the one-shot's cached
-    // tf frame had all 64 (the q35 straggler shape, at the other end of
-    // the plan)
-    Retrieval.bm25Rank(Scale.spread(matched)
+    // doc-clustered spread before the per-query fan-out inside bm25Rank,
+    // for BOTH reasons the matched frame needs a shuffle: (1) width — the
+    // pruned scan hands matched only a few partitions (its bytes are
+    // small) while the qTerms join expands every posting once PER QUERY
+    // (measured 34 s vs 14 s at sf10 when 77M fanned rows aggregated on
+    // ~8 tasks — the q35 straggler shape); (2) clustering — doc_id-hashed
+    // input satisfies the (query, doc) aggregation's distribution, so the
+    // fanned rows are never exchanged (the q112 sf10 adjudication: 205 s
+    // round-robin vs 116 s doc-clustered on the one-shot twin).
+    Retrieval.bm25Rank(Scale.spreadBy(matched, col("doc_id"))
       .join(broadcast(docFreq), "term")
       .withColumn("__n_docs", lit(ix.nDocs))
       .withColumn("__tot_len", lit(ix.totLen)), qTerms, k, k1, b)

@@ -77,7 +77,14 @@ object Retrieval {
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qDf = restricted.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    bm25Rank(restricted
+    // doc-clustered feed into the per-query fan-out (one narrow shuffle of
+    // the matched postings): bm25Rank's (query, doc) aggregation is then
+    // already clustered — the cached frame's (doc, term) hash is NOT — so
+    // the planner fuses partial+final aggregation into the fan-out stage
+    // instead of exchanging the fanned rows. At sf10 this was the
+    // difference between 205 s and 116 s (732M fanned rows, 244M groups;
+    // STRESS.md round-12 q112 adjudication).
+    bm25Rank(Scale.spreadBy(restricted, col(idCol))
       .join(broadcast(qDf), "term")
       .crossJoin(broadcast(consts))
       .withColumnRenamed(idCol, "doc_id"), qTerms, k, k1, b)
@@ -98,7 +105,7 @@ object Retrieval {
     * per-query fan-out join — with q queries sharing a term, the fanned
     * rows carry a precomputed BIGINT instead of re-deriving the double
     * expression q times. */
-  private[operators] def bm25Rank(termDocIn: DataFrame, qTerms: DataFrame,
+  private[graft] def bm25Rank(termDocIn: DataFrame, qTerms: DataFrame,
                                   k: Int, k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
@@ -224,6 +231,13 @@ object Retrieval {
     * result is still deterministic end to end — the IVF-PQ leg is a pure
     * function of the corpus (md5-seeded quantizers, integer ADC) — so
     * q125's oracle re-derives BOTH legs and the fusion exactly.
+    *
+    * Fused recall@10 vs the exact twin is MEASURED, not assumed (STRESS.md
+    * round-12 curve; RetrievalSpec gates ≥ 0.9): the gap is PQ distortion,
+    * not probe misses — at m=16 subquantizers recall saturates at 0.864
+    * even probing every cell, while m=32 reaches 0.904 at nProbe=16 (sf0.1
+    * numbers). Serve at m=32/nProbe≥16 when retrieval quality matters;
+    * q125 keeps m=16/nProbe=8 as the oracle's fixed operating point.
     *
     * `queries` carries (query_id, qtext); `vecQueries` the SAME query ids
     * with their embeddings (id-aligned corpus contract, as

@@ -37,6 +37,23 @@ object Scale {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** [[spread]] that also CO-LOCATES by `keys` (hash repartition to the
+    * session's full width, then sort within partitions): for a stage that
+    * fans rows out and re-aggregates on a superset of `keys`, key-hashed
+    * input means `ClusteredDistribution` is already satisfied and the
+    * planner drops the post-fan-out exchange — the aggregation finishes
+    * inside the fan-out's own stage. The q112 sf10 adjudication measured
+    * the difference at a 732M-row fan-out aggregating 244M (query, doc)
+    * groups: round-robin input paid a second 244M-row exchange + final
+    * aggregation stage (205 s); doc_id-clustered input fused it (116 s).
+    * Explicit partition COUNT (REPARTITION_BY_NUM) so AQE cannot coalesce
+    * the small pre-fan-out frame to a handful of partitions and serialize
+    * the wide stage behind it (the q35 straggler shape). */
+  def spreadBy(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p, keys: _*).sortWithinPartitions(keys: _*)
+  }
+
   /** Deterministic salt in [0, salts) for the skewed (large) side. */
   private def saltOf(c: Column, salts: Int): Column =
     pmod(xxhash64(c), lit(salts))

@@ -19,8 +19,16 @@ object StageProf {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's scan-parallelism config so stage shapes compare
+      // 1:1 with sweep entries (single-file testdata needs small splits)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     graft.Bench.scratchDir().foreach(builder.config("spark.local.dir", _))
+    // same A/B hooks as ProfileQ/Bench
+    sys.env.get("SPARK_GRAFT_PROFILE")
+      .foreach(graft.Bench.applyProfile(builder, _))
+    sys.env.get("SPARK_GRAFT_CONF")
+      .foreach(graft.Bench.applyConfOverrides(builder, _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val name = args.head

@@ -1068,10 +1068,19 @@ object Stress {
     val hDocs = Tables.documents(spark, sfDir)
     val hEmb = Tables.embeddings(spark, sfDir)
     val base = graft.Scratch.tempDir("stress-hyrec")
-    t("hybridrecall index build (lex + ivfpq)") {
+    // PQ resolution is part of the sweep: m subvectors × ks centroids per
+    // codebook set the quantization floor the recall curve saturates at
+    // (nProbe=32/32 isolates it from probe misses)
+    val codings = Seq(
+      ("m16ks64", 16, 64, false), ("m16ks64res", 16, 64, true),
+      ("m32ks64", 32, 64, false), ("m16ks256", 16, 256, false))
+    t("hybridrecall index build (lex + ivfpq variants)") {
       LexIndex.write(LexIndex.build(hDocs, "doc_id", "text"), s"$base/lix")
-      VectorIndex.write(VectorIndex.build(hEmb, "vec_id", "embedding",
-        nCells = 32, m = 16, ks = 64, trainIters = 1), s"$base/vix")
+      codings.foreach { case (tag, m, ks, res) =>
+        VectorIndex.write(VectorIndex.build(hEmb, "vec_id", "embedding",
+          nCells = 32, m = m, ks = ks, trainIters = 1, residual = res),
+          s"$base/$tag")
+      }
     }
     val hQueries = hDocs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
       .select(col("doc_id").as("query_id"),
@@ -1080,18 +1089,23 @@ object Stress {
     def fusedPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select(col("query_id").cast("long"), col("doc_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lixR = LexIndex.read(spark, s"$base/lix")
     val exact = t("hybridrecall exact twin (q124 form)") {
-      fusedPairs(Retrieval.hybridTopKIndexed(LexIndex.read(spark, s"$base/lix"),
+      fusedPairs(Retrieval.hybridTopKIndexed(lixR,
         hQueries, hEmb, "vec_id", "embedding", vecPred, k = 10))
     }
-    val fused = t("hybridrecall ivf serve (q125 form)") {
-      fusedPairs(Retrieval.hybridTopKIvf(LexIndex.read(spark, s"$base/lix"),
-        VectorIndex.read(spark, s"$base/vix"), hQueries,
-        hEmb.filter(vecPred), "vec_id", "embedding", k = 10, nProbe = 8))
+    // fused recall@10 across the IVF-PQ operating points: both codings ×
+    // nProbe ∈ {8, 16, 32} — the lexical leg is exact in every variant,
+    // so the recall gap is entirely the vector leg's (probe misses + PQ
+    // distortion; nProbe=32 of 32 cells isolates pure PQ distortion)
+    for ((tag, _, _, _) <- codings; np <- Seq(8, 16, 32)) {
+      val vix = VectorIndex.read(spark, s"$base/$tag")
+      val fused = fusedPairs(Retrieval.hybridTopKIvf(lixR, vix, hQueries,
+        hEmb.filter(vecPred), "vec_id", "embedding", k = 10, nProbe = np))
+      println(f"[stress] hybridrecall sf=$sfDir coding=$tag%-10s nProbe=$np%2d " +
+        f"recall@10=${(exact & fused).size.toDouble / exact.size}%.3f " +
+        f"(queries=${exact.map(_._1).size}, exact pairs ${exact.size})")
     }
-    println(f"[stress] hybridrecall sf=$sfDir queries=${exact.map(_._1).size} " +
-      f"recall@10=${(exact & fused).size.toDouble / exact.size}%.3f " +
-      f"(exact pairs ${exact.size}, fused ${fused.size})")
     }
     spark.stop()
   }

@@ -112,9 +112,13 @@ class RetrievalSpec extends SparkSpec {
     val docs = Tables.documents(spark, d)
     val emb = Tables.embeddings(spark, d)
     val base = java.nio.file.Files.createTempDirectory("graft-hyrec").toString
+    // the measured >= 0.9 operating point (STRESS.md round-12 recall
+    // curve): m=32 subquantizers, nProbe=16 — the recall gap is PQ
+    // distortion, not probe misses (m=16 saturates at 0.864 even probing
+    // all 32 cells), so the resolution of the codebook is the lever
     LexIndex.write(LexIndex.build(docs, "doc_id", "text"), s"$base/lix")
     VectorIndex.write(VectorIndex.build(emb, "vec_id", "embedding",
-      nCells = 32, m = 16, ks = 64, trainIters = 1), s"$base/vix")
+      nCells = 32, m = 32, ks = 64, trainIters = 1), s"$base/vix")
     // the q125 seeded batch: every 101st doc's first-4-token query
     val queries = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 50500)
       .select(col("doc_id").as("query_id"),
@@ -129,7 +133,7 @@ class RetrievalSpec extends SparkSpec {
       emb, "vec_id", "embedding", vecPred, k = 10))
     val fused = pairs(Retrieval.hybridTopKIvf(
       LexIndex.read(spark, s"$base/lix"), VectorIndex.read(spark, s"$base/vix"),
-      queries, emb.filter(vecPred), "vec_id", "embedding", k = 10, nProbe = 8))
+      queries, emb.filter(vecPred), "vec_id", "embedding", k = 10, nProbe = 16))
     val recall = (exact & fused).size.toDouble / exact.size
     // the r10 "done" criterion q125's determinism oracle deliberately did
     // not replace: the oracle proves the engine computes its approximation
