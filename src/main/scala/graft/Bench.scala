@@ -28,7 +28,9 @@ object Bench {
     * needs BOTH reps, not just the min. */
   private[graft] final case class QRes(name: String, wall: Double, cpu: Double,
                                        wallCold: Double, status: String,
-                                       wallWarm: Double = Double.NaN)
+                                       wallWarm: Double = Double.NaN,
+                                       cpuCold: Double = Double.NaN,
+                                       cpuWarm: Double = Double.NaN)
 
   /** Two clean in-run reps within 10% of each other: the entry is already
     * corroborated, so the self-heal pass's ABSOLUTE arm (structurally big
@@ -38,6 +40,19 @@ object Bench {
     r.status == "ok" && !r.wallWarm.isNaN &&
       math.max(r.wallCold, r.wallWarm) <=
         math.min(r.wallCold, r.wallWarm) * 1.10
+
+  /** Both reps burned the same CPU (within 10%) even though their walls
+    * differ: the WORK was identical, so the wall delta is scheduling/box
+    * noise, not a plan change — a real regression (an AQE flip, a new
+    * exchange) changes cpu too. The r12 sf10 sweep spent ~670 s of its
+    * 884 s heal budget re-running five ~3,000-cpu-second queries whose
+    * walls disagreed by >10% on a ±60%-noise box while their cpu agreed;
+    * this is the cheaper corroboration VERDICT r12 #6 asked the cpu
+    * column to provide. NaN (single-rep) is conservatively unstable. */
+  private[graft] def cpuStable(r: QRes): Boolean =
+    r.status == "ok" && !r.cpuWarm.isNaN && !r.cpuCold.isNaN &&
+      math.max(r.cpuCold, r.cpuWarm) <=
+        math.min(r.cpuCold, r.cpuWarm) * 1.10
 
   /** Short artifact key: the unique `qNN` prefix of the registry name
     * (`q81_dedup_survivors` → `q81`). Falls back to the full name if two
@@ -127,7 +142,7 @@ object Bench {
       // methodology label (r10 heal-labeling model): v2 = rep-stable
       // entries are exempt from the absolute suspect arm — a reader
       // comparing rerun lists across rounds must see the policy changed
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","heal_policy":"v2","failed":$failed,""" +
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","heal_policy":"v3","failed":$failed,""" +
       s""""errors":$errors,"rerun":$rr,"queries":$qs,""" +
       s""""agg":{"run":${round3(runMs / 1e3)},"cpu":${round3(cpuNs / 1e9)},""" +
       s""""gc":${round3(gcMs / 1e3)},"shuf":${round3(shufNs / 1e9)}},""" +
@@ -185,6 +200,14 @@ object Bench {
     *     can't exonerate it either. The ratio arm keeps firing regardless
     *     of stability — it caught the r5/r6 shared-box artifact class, and
     *     a stall inflating both reps equally still reads wall ≫ cpu.
+    *   - v3 (this policy): [[cpuStable]] joins [[repStable]] as
+    *     corroboration for the absolute arm AND for the ratio arm's
+    *     STALL side (ratio ≤ ¼ median — wall inflated, work unchanged):
+    *     identical per-rep cpu proves the wall disagreement is box noise,
+    *     because any plan/work regression moves cpu too. The THRASH side
+    *     (ratio ≥ 4× median — cpu itself inflated) still re-runs
+    *     unconditionally: there the cpu column is the symptom, so it
+    *     cannot also be the corroboration.
     *     Rerun-policy change is LABELED in the artifact (`heal_policy`).
     * Slowest-first, capped at `cap` so the heal pass stays bounded. */
   private[graft] def suspectNames(results: Seq[QRes], cap: Int = 8): Seq[String] = {
@@ -196,8 +219,11 @@ object Bench {
     results.filter { r =>
       r.status == "ok" && r.wall >= 2.0 && {
         val ratio = r.cpu / math.max(r.wall, 1e-9)
-        (medRatio > 0 && (ratio >= medRatio * 4 || ratio <= medRatio / 4)) ||
-        (r.wall >= math.max(5.0, medWall * 5) && !repStable(r))
+        val corroborated = repStable(r) || cpuStable(r)
+        val thrash = medRatio > 0 && ratio >= medRatio * 4
+        val stall = medRatio > 0 && ratio <= medRatio / 4
+        thrash || (stall && !corroborated) ||
+        (r.wall >= math.max(5.0, medWall * 5) && !corroborated)
       }
     }.sortBy(-_.wall).take(cap).map(_.name)
   }
@@ -452,7 +478,9 @@ object Bench {
       System.err.println(
         f"[bench] $name%-28s wall $w%7.2f s  cpu $c%7.2f s  (cold $wCold%7.2f)  $status")
       QRes(name, round3(w), round3(c), round3(wCold), status,
-        wallWarm = if (sWarm == "ok" && sCold == "ok") round3(wWarm) else Double.NaN)
+        wallWarm = if (sWarm == "ok" && sCold == "ok") round3(wWarm) else Double.NaN,
+        cpuCold = round3(cCold),
+        cpuWarm = if (sWarm == "ok" && sCold == "ok") round3(cWarm) else Double.NaN)
     }
     // Self-heal pass: one more rep for each suspect (see suspectNames), run
     // AFTER the whole registry so a transient degradation window has had

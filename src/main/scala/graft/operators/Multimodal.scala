@@ -166,7 +166,12 @@ object Multimodal {
     * oracled) inside the same frame. The cyclic raster makes decoded
     * pixel stats re-derivable from `text` by an independent engine —
     * q126's oracle recomputes header math + cycle bytes in SQL. */
-  def synthesizePgm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def synthesizePgm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), pgmBlobExpr(idCol, textCol).as("blob"))
+
+  /** The PGM payload as a pure column expression — shared by
+    * [[synthesizePgm]] and the mixed-media fixture. */
+  private def pgmBlobExpr(idCol: String, textCol: String): Column = {
     val w = (col(idCol) % 16 + 8).cast("int")
     val h = (col(idCol) % 12 + 6).cast("int")
     val np = (w * h).cast("int")
@@ -178,12 +183,10 @@ object Multimodal {
     val raster = call_function("substring",
       encode(call_function("repeat", t, reps), "UTF-8"), lit(1), np)
     val magic = when(col(idCol) % 97 === 3, lit("P6")).otherwise(lit("P5"))
-    docs.select(
-      col(idCol),
-      concat(
-        encode(concat(magic, lit("\n"), w.cast("string"), lit(" "),
-          h.cast("string"), lit("\n255\n")), "UTF-8"),
-        raster).as("blob"))
+    concat(
+      encode(concat(magic, lit("\n"), w.cast("string"), lit(" "),
+        h.cast("string"), lit("\n255\n")), "UTF-8"),
+      raster)
   }
 
   /** Decode + exact integer pixel statistics — the oracle-able face of the
@@ -337,6 +340,11 @@ object Multimodal {
       s"rate out of range: ${a.sampleRate}")
     require(a.samples.length % a.nChannels == 0,
       s"${a.samples.length} samples is not whole ${a.nChannels}-channel frames")
+    // RIFF sizes are u32 and ByteBuffer.allocate takes an Int: validate the
+    // Long product up front (the encodePgm overflow class — a ~1.07B-sample
+    // input would otherwise allocate negative or stamp a corrupt size)
+    require(a.samples.length.toLong * 2 <= Int.MaxValue - 44,
+      s"${a.samples.length} samples exceed the 4 GiB RIFF/ByteBuffer bound")
     val dataSize = a.samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -368,7 +376,12 @@ object Multimodal {
     * ASCII, pinned by q36's byte/char identity). Every `% 89 == 5` id gets
     * an `RIFX` magic instead — the real big-endian RIFF variant, which the
     * little-endian decoder must REJECT rather than byte-swap. */
-  def synthesizeWav(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def synthesizeWav(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), wavBlobExpr(idCol, textCol).as("blob"))
+
+  /** The WAV payload as a pure column expression — shared by
+    * [[synthesizeWav]] and the mixed-media fixture. */
+  private def wavBlobExpr(idCol: String, textCol: String): Column = {
     val ns = (col(idCol) % 200 + 50).cast("long")
     val dataSize = (ns * 2).cast("int")
     val rate = (col(idCol) % 4 * 4000 + 8000).cast("long")
@@ -380,17 +393,26 @@ object Multimodal {
     val pcm = call_function("substring",
       encode(call_function("repeat", t, reps), "UTF-8"), lit(1), dataSize)
     val magic = when(col(idCol) % 89 === 5, lit("RIFX")).otherwise(lit("RIFF"))
-    docs.select(
-      col(idCol),
-      concat(
-        encode(magic, "UTF-8"), leBin(dataSize + 36, 4),
-        encode(lit("WAVEfmt "), "UTF-8"), leBin(lit(16), 4),
-        leBin(lit(1), 2), leBin(lit(1), 2), // PCM, mono
-        leBin(rate, 4), leBin(rate * 2, 4), // byteRate = rate·blockAlign
-        leBin(lit(2), 2), leBin(lit(16), 2), // blockAlign, bits
-        encode(lit("data"), "UTF-8"), leBin(dataSize, 4),
-        pcm).as("blob"))
+    concat(
+      encode(magic, "UTF-8"), leBin(dataSize + 36, 4),
+      encode(lit("WAVEfmt "), "UTF-8"), leBin(lit(16), 4),
+      leBin(lit(1), 2), leBin(lit(1), 2), // PCM, mono
+      leBin(rate, 4), leBin(rate * 2, 4), // byteRate = rate·blockAlign
+      leBin(lit(2), 2), leBin(lit(16), 2), // blockAlign, bits
+      encode(lit("data"), "UTF-8"), leBin(dataSize, 4),
+      pcm)
   }
+
+  /** A column of MIXED media — even ids carry binary-PGM images, odd ids
+    * RIFF/WAVE PCM16 audio (both fixtures' corruption policies included:
+    * every 97th-[3] even id is a P6, every 89th-[5] odd id an RIFX). The
+    * production shape a multi-source ingest lands: one `binary` column,
+    * format knowable only from the payload itself. */
+  def synthesizeMixedMedia(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol),
+      when(col(idCol) % 2 === 0, pgmBlobExpr(idCol, textCol))
+        .otherwise(wavBlobExpr(idCol, textCol)).as("blob"))
 
   /** Decode + exact integer amplitude statistics — the oracle-able face of
     * the audio codec, [[pixelStats]]' twin: per payload (ok, sample_rate,
@@ -434,5 +456,68 @@ object Multimodal {
       .toDF(idCol, "ok", "sample_rate", "n_channels", "n_samples",
         "duration_micros", "sum_amp", "min_amp", "max_amp", "sum_sq",
         "mean_amp", "rms")
+  }
+
+  // ————————————————— unified dispatch over mixed media —————————————————
+
+  /** Container family from the payload's magic bytes — DETECTION only,
+    * never validation: a `P6` color PPM sniffs as the Netpbm family and a
+    * big-endian `RIFX` as the RIFF family, and it is the family's decoder
+    * that then rejects them (ok=false). Anything else is `unknown`. */
+  def sniffFormat(blob: Array[Byte]): String =
+    if (blob == null || blob.length < 4) "unknown"
+    else if (blob(0) == 'P' && blob(1) >= '1' && blob(1) <= '6') "pgm"
+    else if (blob(0) == 'R' && blob(1) == 'I' && blob(2) == 'F') "wav"
+    else "unknown"
+
+  /** Decode a column of MIXED media: sniff each payload's container
+    * family ([[sniffFormat]]), dispatch to that family's real decoder,
+    * and emit one unified exact-integer stats row — (format, ok, n_units,
+    * sum_val, min_val, max_val, mean_val), where a unit is a pixel
+    * (luminance 0–255) for images and a sample (signed PCM16 amplitude)
+    * for audio. Malformed payloads keep their detected format with
+    * ok=false/NULL stats; unrecognized payloads are `unknown`. The entry
+    * point the next codec plugs into: add a magic prefix and a decoder
+    * arm, every caller is already format-agnostic. */
+  def mediaStats(media: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def rejected(id: Long, fmt: String): (Long, String, Boolean,
+        Option[Long], Option[Long], Option[Int], Option[Int], Option[Double]) =
+      (id, fmt, false, None, None, None, None, None)
+    media.select(col(idCol).cast("long"), col(blobCol)).as[(Long, Array[Byte])]
+      .map { case (id, blob) =>
+        sniffFormat(blob) match {
+          case "pgm" => decodePgm(blob) match {
+            case Some(img) =>
+              var s = 0L; var mn = 255; var mx = 0; var i = 0
+              while (i < img.pixels.length) {
+                val v = img.pixels(i) & 0xff
+                s += v; if (v < mn) mn = v; if (v > mx) mx = v; i += 1
+              }
+              val n = img.pixels.length.toLong
+              (id, "pgm", true, Some(n), Some(s), Some(mn), Some(mx),
+                Some(s.toDouble / n))
+            case None => rejected(id, "pgm")
+          }
+          case "wav" => decodeWav(blob) match {
+            case Some(a) if a.samples.nonEmpty =>
+              var s = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var i = 0
+              while (i < a.samples.length) {
+                val v: Int = a.samples(i)
+                s += v; if (v < mn) mn = v; if (v > mx) mx = v; i += 1
+              }
+              val n = a.samples.length.toLong
+              (id, "wav", true, Some(n), Some(s), Some(mn), Some(mx),
+                Some(s.toDouble / n))
+            case Some(_) => // valid container, empty data chunk
+              (id, "wav", true, Some(0L), Some(0L), None, None, None)
+            case None => rejected(id, "wav")
+          }
+          case fmt => rejected(id, fmt)
+        }
+      }
+      .toDF(idCol, "format", "ok", "n_units", "sum_val", "min_val",
+        "max_val", "mean_val")
   }
 }

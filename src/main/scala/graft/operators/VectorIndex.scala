@@ -135,6 +135,13 @@ object VectorIndex {
     // directory it describes and commits with the same rename (parquet
     // readers skip `_`-prefixed files, so it is invisible to scans)
     if (ix.residual) writeResidualMarker(spark, s"$dir/codes")
+    // a raw-coded write over a legacy-layout directory must also retire the
+    // pre-codes/_residual ROOT marker, or read() would load these raw codes
+    // as residual-coded and serve garbage rankings (commitRebuild already
+    // does this for staged rebuilds; write() is the in-place path)
+    new org.apache.hadoop.fs.Path(dir, "_residual")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir, "_residual"), false)
   }
 
   /** Create the in-codes-dir coding marker — shared by [[write]] (fresh

@@ -239,16 +239,39 @@ object Medallion {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Committed version of a versioned gold table, from its `_CURRENT`
-    * pointer; None when never published. */
+    * pointer; None when never published.
+    *
+    * Object-store safe: on stores without atomic rename (S3-class —
+    * `ObjectStoreFileSystem` models them), the pointer flip in
+    * [[publishGoldOcc]] is copy+delete, so `_CURRENT` can vanish (or be
+    * mid-copy) for a window during a concurrent publish. A missing or
+    * unparseable pointer is therefore a RECOVERABLE state, not corruption:
+    * retry once (the flip window is short), then fall back to the
+    * `_commits` marker log — the OCC source of truth — and only report
+    * "never published" when that log is empty too. */
   def goldVersion(spark: SparkSession, root: String): Option[Int] = {
     val fs = hadoopFs(spark, root)
     val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-      Some(s.stripPrefix("v=").toInt)
+    def committedFallback(): Option[Int] =
+      listNumbered(fs, new org.apache.hadoop.fs.Path(root, "_commits")).maxOption
+    def readOnce(): Option[Int] =
+      if (!fs.exists(ptr)) committedFallback()
+      else {
+        val in = fs.open(ptr)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        // an empty/garbled body is a half-copied flip on a non-atomic store
+        if (s.isEmpty) committedFallback() else Some(s.stripPrefix("v=").toInt)
+      }
+    def transient(e: Throwable): Boolean = e match {
+      case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException |
+           _: NumberFormatException => true
+      case _ => false
+    }
+    try readOnce()
+    catch { case e if transient(e) =>
+      try readOnce()
+      catch { case e2 if transient(e2) => committedFallback() }
     }
   }
 

@@ -54,7 +54,7 @@ object MultimodalQueries {
       },
       Some("""WITH p AS (
                SELECT doc_id,
-                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t,
+                 CASE WHEN length(coalesce(text, '')) = 0 THEN ' ' ELSE text END AS t,
                  CAST(doc_id % 16 + 8 AS INTEGER) AS w,
                  CAST(doc_id % 12 + 6 AS INTEGER) AS h
                FROM documents),
@@ -96,7 +96,7 @@ object MultimodalQueries {
       },
       Some("""WITH p AS (
                SELECT doc_id,
-                 CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t,
+                 CASE WHEN length(coalesce(text, '')) = 0 THEN ' ' ELSE text END AS t,
                  CAST(doc_id % 200 + 50 AS BIGINT) AS ns,
                  CAST(doc_id % 4 * 4000 + 8000 AS INTEGER) AS rate
                FROM documents),
@@ -123,6 +123,58 @@ object MultimodalQueries {
                ag.sum_amp, ag.min_amp, ag.max_amp, ag.sum_sq,
                CAST(ag.sum_amp AS DOUBLE) / d.ns AS mean_amp,
                sqrt(CAST(ag.sum_sq AS DOUBLE) / d.ns) AS rms
+             FROM d LEFT JOIN ag USING (doc_id)
+             ORDER BY doc_id""")),
+
+    // Unified media dispatch over a MIXED binary column (VERDICT r12 #7):
+    // one column interleaving PGM images (even ids) and WAV audio (odd
+    // ids), format knowable only from the payload. mediaStats sniffs each
+    // payload's magic bytes, dispatches to that family's real decoder,
+    // and emits one unified exact-integer stats row; both fixtures'
+    // corruption policies ride along (P6 / RIFX → detected format kept,
+    // ok=false, NULL stats). The oracle re-derives the parity split, both
+    // headers' arithmetic, and both families' cyclic-text values in SQL.
+    Q("q128_media_dispatch",
+      (s, d) => {
+        val media = Multimodal.synthesizeMixedMedia(
+          Tables.documents(s, d), "doc_id", "text")
+        Multimodal.mediaStats(media, "doc_id", "blob")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+               SELECT doc_id,
+                 CASE WHEN length(coalesce(text, '')) = 0 THEN ' ' ELSE text END AS t,
+                 CAST(doc_id % 16 + 8 AS INTEGER) * CAST(doc_id % 12 + 6 AS INTEGER) AS np,
+                 CAST(doc_id % 200 + 50 AS BIGINT) AS ns
+               FROM documents),
+             d AS (
+               SELECT doc_id, t, length(t) AS lt,
+                 doc_id % 2 = 0 AS is_pgm,
+                 CASE WHEN doc_id % 2 = 0 THEN doc_id % 97 <> 3
+                      ELSE doc_id % 89 <> 5 END AS ok,
+                 CASE WHEN doc_id % 2 = 0 THEN CAST(np AS BIGINT) ELSE ns END
+                   AS n_units
+               FROM p),
+             vals AS (
+               SELECT doc_id,
+                 CASE WHEN is_pgm
+                   THEN ascii(substr(t, CAST(i % lt AS INTEGER) + 1, 1))
+                   ELSE ascii(substr(t, CAST((2*i) % lt AS INTEGER) + 1, 1))
+                     + 256 * ascii(substr(t, CAST((2*i+1) % lt AS INTEGER) + 1, 1))
+                 END AS v
+               FROM d, UNNEST(range(0, n_units)) AS u(i)
+               WHERE ok),
+             ag AS (
+               SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_val,
+                 CAST(MIN(v) AS INTEGER) AS min_val,
+                 CAST(MAX(v) AS INTEGER) AS max_val
+               FROM vals GROUP BY doc_id)
+             SELECT d.doc_id,
+               CASE WHEN d.is_pgm THEN 'pgm' ELSE 'wav' END AS format,
+               d.ok,
+               CASE WHEN d.ok THEN d.n_units END AS n_units,
+               ag.sum_val, ag.min_val, ag.max_val,
+               CAST(ag.sum_val AS DOUBLE) / d.n_units AS mean_val
              FROM d LEFT JOIN ag USING (doc_id)
              ORDER BY doc_id""")),
 

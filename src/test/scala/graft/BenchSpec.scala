@@ -202,7 +202,7 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspectNames(healthy ++ storm, cap = 8).size == 8)
   }
 
-  test("suspectNames absolute arm: rep-stable big queries exempt, ratio arm never") {
+  test("suspectNames v3: wall- or cpu-corroborated entries exempt; thrash always heals") {
     val healthy = (1 to 20).map(i =>
       Bench.QRes(f"q$i%02d_x", 1.0 + i * 0.01, 8.0, 1.5, "ok", wallWarm = 1.4))
     // structurally big AND corroborated: cold 305 / warm 300 agree within
@@ -211,23 +211,38 @@ class BenchSpec extends AnyFunSuite {
     val bigStable = Bench.QRes("q21_allpairs", 300.0, 2400.0, 305.0, "ok",
       wallWarm = 300.0)
     assert(!Bench.suspectNames(healthy :+ bigStable).contains("q21_allpairs"))
-    // same wall but the reps DISAGREE (cold 60 / warm 300): transient
+    // walls DISAGREE (cold 300 / warm 60) and so do cpus: transient
     // window candidate — still healed
-    val bigUnstable = Bench.QRes("q22_x", 60.0, 480.0, 60.0, "ok",
-      wallWarm = 300.0)
-    assert(Bench.suspectNames(healthy :+ bigUnstable.copy(wall = 300.0,
-      wallCold = 300.0, wallWarm = 60.0)).isEmpty === false)
+    val bigUnstable = Bench.QRes("q22_x", 60.0, 480.0, 300.0, "ok",
+      wallWarm = 60.0, cpuCold = 2400.0, cpuWarm = 480.0)
+    assert(Bench.suspectNames(healthy :+ bigUnstable).contains("q22_x"))
+    // v3: walls disagree >10% but BOTH reps burned the same cpu — the work
+    // was identical, the wall delta is box noise (the r12 sf10 shape that
+    // burnt ~670 s re-running five 3,000-cpu-s queries) — exempt
+    val cpuCorroborated = Bench.QRes("q81_cc", 132.0, 3061.0, 180.0, "ok",
+      wallWarm = 132.0, cpuCold = 3070.0, cpuWarm = 3061.0)
+    assert(!Bench.suspectNames(healthy :+ cpuCorroborated).contains("q81_cc"))
     // single-rep entries (warm never ran → NaN) stay conservatively healable
     val singleRep = Bench.QRes("q23_x", 300.0, 2400.0, 300.0, "ok")
     assert(Bench.suspectNames(healthy :+ singleRep).contains("q23_x"))
-    // the ratio arm ignores stability: an I/O stall that inflates BOTH
-    // reps equally still reads wall >> cpu and must re-run
+    // v3: a stall-shaped ratio outlier (wall >> cpu) whose reps agree is
+    // corroborated — a window spanning cold AND warm can't be exonerated
+    // by a third rep either (VERDICT r12 #6)
     val stableStall = Bench.QRes("q57_io", 12.0, 3.0, 12.5, "ok",
       wallWarm = 12.0)
-    assert(Bench.suspectNames(healthy :+ stableStall).contains("q57_io"))
+    assert(!Bench.suspectNames(healthy :+ stableStall).contains("q57_io"))
+    // ...but an UNCORROBORATED stall still heals
+    val unstableStall = Bench.QRes("q58_io", 12.0, 3.0, 20.0, "ok",
+      wallWarm = 12.0, cpuCold = 5.0, cpuWarm = 3.0)
+    assert(Bench.suspectNames(healthy :+ unstableStall).contains("q58_io"))
+    // thrash (cpu >> wall vs run median) heals UNCONDITIONALLY: there the
+    // cpu column is the symptom, so it cannot also be the corroboration
+    val stableThrash = Bench.QRes("q38_cc", 41.9, 1600.0, 42.0, "ok",
+      wallWarm = 41.9, cpuCold = 1600.0, cpuWarm = 1590.0)
+    assert(Bench.suspectNames(healthy :+ stableThrash).contains("q38_cc"))
     // the artifact labels the policy change
     val line = Bench.renderLine("/x", healthy :+ bigStable, (0L, 0L, 0L, 0L))
-    assert(line.contains("\"heal_policy\":\"v2\""))
+    assert(line.contains("\"heal_policy\":\"v3\""))
   }
 
   test("shortKeys: unique qNN prefixes for the whole registry") {

@@ -152,6 +152,36 @@ class ObjectStoreSpec extends SparkSpec {
     assert(Medallion.readGoldCommitted(spark, root).count() == 4)
   }
 
+  test("pointer read recovers when _CURRENT vanishes mid-publish (copy+delete flip window)") {
+    val root = bucketRoot("lake") + "/gold/ptr_race"
+    import spark.implicits._
+    Medallion.publishGoldOcc(spark, Seq((1, "a")).toDF("id", "s"), root, retain = 10)
+    val v2 = Medallion.publishGoldOcc(spark,
+      Seq((1, "a"), (2, "b")).toDF("id", "s"), root, retain = 10)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+    // simulate the non-atomic flip's delete window: the pointer is gone but
+    // the _commits log (the OCC source of truth) still names v2
+    assert(fs.delete(ptr, false))
+    assert(Medallion.goldVersion(spark, root).contains(v2),
+      "goldVersion must fall back to the commit-marker scan when the pointer is missing")
+    assert(Medallion.readGold(spark, root).count() == 2)
+    // a half-copied (empty) pointer body must defer to the log the same way
+    val out = fs.create(ptr, true); out.close()
+    assert(Medallion.goldVersion(spark, root).contains(v2),
+      "an empty pointer body (mid-copy) must defer to the commit log")
+    assert(Medallion.readGold(spark, root).count() == 2)
+    // and the next publish repairs the pointer file itself
+    val v3 = Medallion.publishGoldOcc(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"), root, retain = 10)
+    val in = fs.open(ptr)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    assert(body == s"v=$v3")
+    // never-published table still reads as never published (no false fallback)
+    assert(Medallion.goldVersion(spark, bucketRoot("lake") + "/gold/nope").isEmpty)
+  }
+
   test("OCC conflict detection still fires over the bucket") {
     val root = bucketRoot("lake") + "/gold/occ_conflict"
     import spark.implicits._
