@@ -35,57 +35,54 @@ object Retrieval {
     * Query-term multiplicity is collapsed (DISTINCT) — the standard
     * web-query reading where repeating a word is not double weighting.
     *
-    * Plan shape: the document length rides INLINE on every posting row
-    * (dl = size(tokens) is known BEFORE the explode — the same
-    * norm-in-the-posting design [[LexIndex]] persists), so scoring needs
-    * no doclen join and the corpus constants (N, avgdl) are one cheap
-    * scan over the un-exploded token frame, broadcast as a 1-row frame —
-    * no driver collect. df per term is a count over postings already
-    * restricted to the (broadcast) query terms — same value as a
-    * full-corpus df, at matched-postings cost. One wide shuffle total on
-    * the corpus side (the (id, term) aggregation); the earlier shape's
-    * doclen aggregation + corpus-sized tf⋈doclen join measured ~1 s of
-    * pure stage floor at serving scale (sf0.1) for values the token
-    * array already held.
+    * Plan shape (round-13 adjudication, `tools/Q112Ab`, STRESS.md): the
+    * scoring input is fed by a doc-keyed SortMergeJoin of the restricted
+    * postings against a doclen frame AGGREGATED FROM THE SAME (id, term)
+    * exchange — the r8-era shape, minus its corpus-sized persist. All
+    * three corpus consumers (doclen, the constants, the query-term
+    * restriction) share one tokenize + (id, term) aggregation via
+    * ReusedExchange (identical canonical subtree — no cache needed), and
+    * the SMJ leaves the fan-out input doc_id-partitioned so bm25Rank's
+    * (query, doc) aggregation fuses into the fan-out stage. Measured at
+    * sf10 (500 queries, 732M fanned rows, 244M groups, min-of-3
+    * clearCache): this shape 53.8 s / fused stage ≈ 1,240 cpu-s vs the
+    * r10-r12 inline-dl + cached-postings + spreadBy shape at 106.7 s /
+    * 3,225 cpu-s — the SMJ feed more than halves the fan-out stage's
+    * per-row cost, and neither an explicit repartition of the cached
+    * frame (116-128 s) nor an SMJ against a scan-derived doclen (148.8 s,
+    * agg unfused) recovers it. The ~1 s extra stage floor this costs at
+    * sf0.1 serving scale is the documented trade; interactive serving
+    * belongs to the [[LexIndex]] path anyway.
     *
     * Output: (query_id, rank, doc_id, n_hit_terms, score_micros, score).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks"))
-    // N counts docs with ≥1 token (an all-whitespace doc has no postings
-    // and can never score) — identical to the old count-over-doclen
-    val consts = toks.agg(
-      count(when(size(col("__toks")) >= 1, lit(1))).cast("long").as("__n_docs"),
-      coalesce(sum(size(col("__toks"))), lit(0L)).cast("long").as("__tot_len"))
+    val tf = docs
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    // doclen/N/avgdl from the SAME aggregation subtree as the restriction
+    // below — canonically identical, so the physical plan reuses one
+    // exchange for all three (dl = Σ tf ≡ token count; N counts docs with
+    // ≥1 token, because a no-postings doc can never score)
+    val doclen = tf.groupBy(col(idCol)).agg(sum("__tf").as("__dl"))
+    val consts = doclen.agg(
+      count(lit(1)).cast("long").as("__n_docs"),
+      coalesce(sum(col("__dl")), lit(0L)).cast("long").as("__tot_len"))
     val qTerms = queries.select(
         col(queryIdCol).as("query_id"),
         explode(Dedup.tokens(col(queryTextCol))).as("term"))
       .distinct()
-    val tf = toks
-      .select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
-        explode(col("__toks")).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
     // semi-restrict the postings to query terms first; df per term is then
-    // a count over rows already in hand (same value as a full-corpus df).
-    // restricted is small (matched postings only) — persist it, not the
-    // corpus-sized tf frame, so the df branch and the scoring branch share
-    // one tokenize+aggregate pass
+    // a count over rows already in hand (same value as a full-corpus df)
     val restricted = tf
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qDf = restricted.groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    // doc-clustered feed into the per-query fan-out (one narrow shuffle of
-    // the matched postings): bm25Rank's (query, doc) aggregation is then
-    // already clustered — the cached frame's (doc, term) hash is NOT — so
-    // the planner fuses partial+final aggregation into the fan-out stage
-    // instead of exchanging the fanned rows. At sf10 this was the
-    // difference between 205 s and 116 s (732M fanned rows, 244M groups;
-    // STRESS.md round-12 q112 adjudication).
-    bm25Rank(Scale.spreadBy(restricted, col(idCol))
+    bm25Rank(restricted
       .join(broadcast(qDf), "term")
+      .join(doclen, Seq(idCol))
       .crossJoin(broadcast(consts))
       .withColumnRenamed(idCol, "doc_id"), qTerms, k, k1, b)
   }

@@ -46,6 +46,10 @@ object Scale {
     * the difference at a 732M-row fan-out aggregating 244M (query, doc)
     * groups: round-robin input paid a second 244M-row exchange + final
     * aggregation stage (205 s); doc_id-clustered input fused it (116 s).
+    * (The one-shot bm25TopK has since moved to an aggregation-derived
+    * SortMergeJoin feed that fuses AND halves the stage's per-row cost —
+    * STRESS.md round-13; this helper remains the right tool where the
+    * pre-fan-out frame is a cache or an on-disk index, e.g. LexIndex.)
     * Explicit partition COUNT (REPARTITION_BY_NUM) so AQE cannot coalesce
     * the small pre-fan-out frame to a handful of partitions and serialize
     * the wide stage behind it (the q35 straggler shape). */

@@ -90,7 +90,7 @@ object Q112Ab {
       }
     }
     val wanted: Set[String] =
-      if (args.isEmpty) Set("r8-shape", "current", "curr+dsort", "counts")
+      if (args.isEmpty) Set("r8-shape", "current", "curr+dsort", "smj-feed", "r8-noper", "counts")
       else args.toSet
     def want(s: String) = wanted(s)
     // fan-out volume: rows entering the per-query aggregation, and the
@@ -144,6 +144,59 @@ object Q112Ab {
       Retrieval.bm25Rank(restricted
         .repartition(col("doc_id")).sortWithinPartitions(col("doc_id"))
         .join(broadcast(qDf), "term")
+        .crossJoin(broadcast(consts)), qTermsL, 10, 1.2, 0.75)
+        .orderBy(col("query_id"), col("rank"))
+    }
+    // round-13 isolation arm: the r8 shape's WINNING ingredient candidate —
+    // feed the fan-out from a doc_id SortMergeJoin (restricted ⋈ doclen)
+    // instead of a repartition of the cached frame — while keeping
+    // current's cheap pieces (consts from un-exploded toks, restricted-only
+    // persist, doclen from size(toks) not a postings re-aggregation). If
+    // this lands in the r8 band, the SMJ feed is the mechanism and
+    // bm25TopK should adopt it; if it lands at current's wall, the r8
+    // advantage lives in the corpus-sized tf cache instead.
+    if (want("smj-feed")) time("smj-feed") {
+      val qTermsL = queries.select(col("query_id"),
+          explode(Dedup.tokens(col("qtext"))).as("term")).distinct()
+      val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("__toks"))
+      val consts = toks.agg(
+        count(when(size(col("__toks")) >= 1, lit(1))).cast("long").as("__n_docs"),
+        coalesce(sum(size(col("__toks"))), lit(0L)).cast("long").as("__tot_len"))
+      val doclen = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("__dl"))
+      val tf = toks
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("__tf"))
+      val restricted = tf
+        .join(broadcast(qTermsL.select(col("term")).distinct()), Seq("term"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qDf = restricted.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      Retrieval.bm25Rank(restricted
+        .join(broadcast(qDf), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(broadcast(consts)), qTermsL, 10, 1.2, 0.75)
+        .orderBy(col("query_id"), col("rank"))
+    }
+    // round-13: the r8 shape with the corpus-sized persist REMOVED — tf's
+    // (doc,term) aggregation exchange is shared by doclen, consts and the
+    // restriction via ReusedExchange (same canonical plan), so the shape
+    // keeps its fused fan-out without caching a corpus-sized frame. If
+    // this holds the r8 band it is the adoptable production form.
+    if (want("r8-noper")) time("r8-noper") {
+      val qTermsL = queries.select(col("query_id"),
+          explode(Dedup.tokens(col("qtext"))).as("term")).distinct()
+      val tf = TextAnalysis.termRows(docs, "doc_id", "text", 1)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+      val doclen = tf.groupBy(col("doc_id")).agg(sum("__tf").as("__dl"))
+      val consts = doclen.agg(
+        count(lit(1)).cast("long").as("__n_docs"),
+        sum("__dl").cast("long").as("__tot_len"))
+      val restricted = tf
+        .join(broadcast(qTermsL.select(col("term")).distinct()), Seq("term"), "left_semi")
+      val qDf = restricted.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      Retrieval.bm25Rank(restricted
+        .join(broadcast(qDf), "term")
+        .join(doclen, "doc_id")
         .crossJoin(broadcast(consts)), qTermsL, 10, 1.2, 0.75)
         .orderBy(col("query_id"), col("rank"))
     }
