@@ -213,9 +213,13 @@ object Dedup {
   def containmentNearDups(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 8, bands: Int = 4,
                           threshold: Double = 0.5, maxBucketSize: Int = 0): DataFrame = {
+    // input-proportional cached width — see minhashNearDups (r13)
+    val p = Scale.inputPartitions(docs)
     val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .coalesce(p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigN = minhashSignatures(sh, idCol, k, withSize = true)
+      .coalesce(p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(lshBandRows(sigN, idCol, bands, k / bands), idCol,
       maxBucketSize)
@@ -236,9 +240,15 @@ object Dedup {
     // distinct costs them nothing, and fusing saves a whole second pass).
     // The sig+size frame is persisted too: banding and the Jaccard size
     // join consume it on different keys, which ReusedExchange can't dedupe.
+    // Both persist at input-proportional width (Scale.inputPartitions):
+    // cached plans are AQE-coalesce-exempt, and the fan-out below rescans
+    // them once per consumer stage (r13).
+    val p = Scale.inputPartitions(docs)
     val sh = shingleRows(docs, idCol, textCol, shingleN)
+      .coalesce(p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigN = minhashSignatures(sh, idCol, k, withSize = true)
+      .coalesce(p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(lshBandRows(sigN, idCol, bands, k / bands), idCol,
       maxBucketSize)
@@ -528,8 +538,11 @@ object Dedup {
                        maxBucketSize: Int = 0): DataFrame = {
     val all = corpus.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
+    // no .distinct() on the corpus hash frame: the semi join dedups by
+    // construction and the distinct was a full corpus-sized exchange+agg
+    // per call (r13 optimization, value-identical)
     val exactHit = batch
-      .join(corpus.select(md5(col(textCol)).as("__h")).distinct(),
+      .join(corpus.select(md5(col(textCol)).as("__h")),
         md5(batch(textCol)) === col("__h"), "left_semi")
       .select(col(idCol))
     val pairs = minhashNearDups(all, idCol, textCol, shingleN, k, bands,

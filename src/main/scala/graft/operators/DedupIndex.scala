@@ -66,17 +66,22 @@ object DedupIndex {
   def build(docs: DataFrame, idCol: String, textCol: String,
             shingleN: Int = 3, k: Int = 8, bands: Int = 4): MinHashIndex = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    // input-proportional cached width — see Dedup.minhashNearDups (r13)
+    val p = Scale.inputPartitions(docs)
     val sh = Dedup.shingleRows(docs, idCol, textCol, shingleN)
+      .coalesce(p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = Dedup.minhashSignatures(sh, idCol, k, withSize = true)
       .withColumnRenamed(idCol, "id")
+      .coalesce(p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hashes = docs.select(col(idCol).as("id"), md5(col(textCol)).as("text_md5"))
     // nDocs counts hashes, not sigs: a doc shorter than one shingle has no
     // signature (near-dup-invisible, like the one-shot chain) but is still
     // a corpus member for the exact probe
+    val n = hashes.count()
     MinHashIndex(sigs, hashes, sh.withColumnRenamed(idCol, "id"),
-      shingleN, k, bands, hashes.count())
+      shingleN, k, bands, n, adaptiveNPb(n))
   }
 
   /** The shingle store's partition count: probes read only the partitions
@@ -87,8 +92,32 @@ object DedupIndex {
     * thousands of partitions, while at test SFs a small nPb keeps the
     * file count from dominating. Persisted in meta — probes and appends
     * must agree with the build or the pruning filter reads the wrong
-    * partitions. */
+    * partitions.
+    *
+    * [[build]] derives the count from the corpus size ([[adaptiveNPb]]) —
+    * round-13 optimization: the old constant 64 was tuned for neither end
+    * (at sf0.1 it fanned a 4,000-doc corpus into 64 directories and the
+    * write/list/commit overhead dominated the whole q108/q109 wall; at
+    * 100 TB it is orders of magnitude too FEW for few-hundred-MB
+    * partitions). The constant remains only as the fallback for callers
+    * constructing a [[MinHashIndex]] by hand. */
   val DefaultNPb = 64
+
+  /** Partition count for `nDocs` documents: ≈50k docs per partition keeps
+    * shingle partitions in the few-hundred-MB band (shingle rows ≈ token
+    * count ≈ 100s-1,000s/doc at ~50 B/row), floored at 4 (pruning stays
+    * observable at toy SFs) and capped at 8,192 directories (listing cost;
+    * past the cap partitions grow beyond the target instead). */
+  private[operators] def adaptiveNPb(nDocs: Long): Int = {
+    val docsPerPartition = 50000L
+    math.max(4L, math.min(8192L,
+      (nDocs + docsPerPartition - 1) / docsPerPartition)).toInt
+  }
+
+  /** File count for the per-doc narrow frames (sigs: ~50 B/doc): ~8M
+    * docs per file lands a few hundred MB; grows linearly past that. */
+  private[operators] def smallFrameFiles(nDocs: Long): Int =
+    math.max(1L, math.min(8192L, nDocs / 8000000L + 1)).toInt
 
   private[operators] def pb(idc: org.apache.spark.sql.Column, nPb: Int) =
     pmod(hash(idc), lit(nPb))
@@ -100,7 +129,15 @@ object DedupIndex {
   def write(ix: MinHashIndex, dir: String): Unit = {
     val spark = ix.sigs.sparkSession
     import spark.implicits._
-    ix.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    // sigs are ~50 B/doc; the aggregation producing them is cached, so
+    // AQE cannot coalesce its fixed shuffle.partitions output and a bare
+    // write emits one near-empty file per partition. coalesce to ~8M
+    // docs/file (~few hundred MB) — scale-linear, narrow (no shuffle).
+    // hashes derive narrowly from the docs SCAN (its task count already
+    // follows input bytes), so they are left alone — a coalesce there
+    // would collapse the corpus scan itself.
+    ix.sigs.coalesce(smallFrameFiles(ix.nDocs))
+      .write.mode("overwrite").parquet(s"$dir/sigs")
     ix.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
     // repartition on pb first: without it every write task emits a file
     // into every partition dir (tasks × nPb small files — measured 3×
@@ -179,10 +216,23 @@ object DedupIndex {
           shingles = ix0.shingles.join(broadcast(e), Seq("id"), "left_anti"))
       case None => ix0
     }
+    // Cached plans are exempt from AQE partition coalescing (their output
+    // partitioning is frozen), so every batch-derived cached frame would
+    // otherwise materialize at the session's full shuffle.partitions and
+    // each of its MANY downstream consumers would pay one near-empty task
+    // per partition (measured ~100 ms fixed cpu/task — at serving SFs
+    // that overhead WAS the probe). Right-size them from the batch's own
+    // scan parallelism instead: partitions follow input bytes (the
+    // [[Scale.spread]] signal, inverted), so a micro-batch collapses to a
+    // handful of tasks while a big crawl batch keeps its width. (r13)
+    val pBatch = math.max(1, math.min(batch.rdd.getNumPartitions,
+      batch.sparkSession.sparkContext.defaultParallelism))
     val bSh = Dedup.shingleRows(batch, idCol, textCol, ix.shingleN)
+      .coalesce(pBatch)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bSigs = Dedup.minhashSignatures(bSh, idCol, ix.k, withSize = true)
       .withColumnRenamed(idCol, "id")
+      .coalesce(pBatch)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Bucket PROBE, not bucket self-join: only buckets the batch touches
     // can produce a cross pair, so the corpus band rows (a narrow derive
@@ -196,7 +246,10 @@ object DedupIndex {
     val rpb = ix.k / ix.bands
     val bBand = Dedup.lshBandRows(bSigs, "id", ix.bands, rpb)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hotKeys = bBand.select(col("band"), col("band_key")).distinct()
+    // no .distinct() on the semi-join probe side: a semi join dedups by
+    // construction, and the distinct was one more exchange+agg per probe
+    // (r13 optimization — value-identical, one less shuffle)
+    val hotKeys = bBand.select(col("band"), col("band_key"))
     val cHot = Dedup.lshBandRows(ix.sigs, "id", ix.bands, rpb)
       .join(hotKeys, Seq("band", "band_key"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -216,6 +269,7 @@ object DedupIndex {
       .select(least(col("__cid"), col("__bid")).as("doc_a"),
         greatest(col("__cid"), col("__bid")).as("doc_b"))
       .distinct()
+      .coalesce(pBatch) // candidate pairs are batch-bounded (see pBatch)
       // the candidate frame fans out three ways below (two id projections
       // + the verify join) and each recompute would re-run the whole
       // bucket pipeline — persist the ~|near dups|-row frame instead
@@ -228,10 +282,13 @@ object DedupIndex {
     // driver list bounded at nPb values — and pushed as a static
     // partition filter, so a micro-batch probe READS only the candidate
     // slivers of the index's widest frame instead of scanning it.
+    // no distinct/persist: every consumer is a broadcast semi join (dedup
+    // by construction) over the PERSISTED cross frame, and the identical
+    // canonical subtree means the planner builds ONE broadcast relation
+    // and reuses it — the old distinct+persist paid an exchange and a
+    // cache round trip to shrink a few-hundred-row frame (r13)
     val candIds = cross.select(col("doc_a").as("id"))
       .unionAll(cross.select(col("doc_b").as("id")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusCand = {
       val pruned =
         if (ix.shingles.columns.contains("pb")) {
@@ -261,8 +318,12 @@ object DedupIndex {
       .unionByName(pairs.select(col("doc_b").as("id")))
       .join(bIds, Seq("id"), "left_semi")
       .distinct()
+    // no .distinct() on the corpus hash frame: the semi join dedups by
+    // construction and the distinct was a full corpus-sized exchange+agg
+    // per probe — at 100 TB the single most expensive removable shuffle
+    // on this path (r13 optimization, value-identical)
     val exactHit = batch
-      .join(ix.hashes.select(col("text_md5").as("__h")).distinct(),
+      .join(ix.hashes.select(col("text_md5").as("__h")),
         md5(batch(textCol)) === col("__h"), "left_semi")
       .select(col(idCol).as("id"))
     val flags = batch.select(col(idCol).as("id"))
@@ -272,7 +333,7 @@ object DedupIndex {
         coalesce(col("__e"), lit(false)).as("exact_dup"),
         coalesce(col("__n"), lit(false)).as("near_dup"))
       .withColumn("keep", !col("exact_dup") && !col("near_dup"))
-    (flags, Seq(bSh, bSigs, bBand, cHot, cross, candIds, candSh))
+    (flags, Seq(bSh, bSigs, bBand, cHot, cross, candSh))
   }
 
   /** Index the delta docs into the at-rest index at `dir`: shingle/hash/
@@ -286,7 +347,8 @@ object DedupIndex {
                   idCol: String, textCol: String): Long = {
     val ix = read(spark, dir)
     val delta = build(docs, idCol, textCol, ix.shingleN, ix.k, ix.bands)
-    delta.sigs.write.mode("append").parquet(s"$dir/sigs")
+    delta.sigs.coalesce(smallFrameFiles(delta.nDocs))
+      .write.mode("append").parquet(s"$dir/sigs")
     delta.hashes.write.mode("append").parquet(s"$dir/hashes")
     delta.shingles.withColumn("pb", pb(col("id"), ix.nPb))
       .repartition(col("pb"))

@@ -68,11 +68,35 @@ object LexIndex {
     * batch's distinct terms map to ≤ min(#terms, nPb) partitions and the
     * scan prunes to those files. Like [[DedupIndex.DefaultNPb]]: size so
     * corpus/nPb partitions are a few hundred MB at the target scale —
-    * pruning bites once nPb exceeds a batch's distinct-term count. */
+    * pruning bites once nPb exceeds a batch's distinct-term count.
+    *
+    * [[build]] derives the count from the corpus token volume
+    * ([[adaptiveNPb]]) — round-13 optimization, same rationale as
+    * [[DedupIndex.adaptiveNPb]]: a constant is wrong at both ends (64
+    * directories for a 5,000-doc corpus made the write/list/commit
+    * overhead the dominant cost of every LexIndex lifecycle query at
+    * serving SFs; a 100 TB corpus wants thousands). The constant remains
+    * only as the fallback for hand-built [[Bm25Index]] values. */
   val DefaultNPb = 64
+
+  /** Partition count for `totLen` corpus tokens: ~8M tokens per partition
+    * keeps positional postings partitions in the few-hundred-MB band
+    * (posting row ≈ 30-40 B per token occurrence), floored at 4 and
+    * capped at 8,192 directories (listing cost; past the cap partitions
+    * grow beyond the target instead). */
+  private[operators] def adaptiveNPb(totLen: Long): Int = {
+    val tokensPerPartition = 8000000L
+    math.max(4L, math.min(8192L,
+      (totLen + tokensPerPartition - 1) / tokensPerPartition)).toInt
+  }
 
   private def pb(termc: org.apache.spark.sql.Column, nPb: Int) =
     pmod(hash(termc), lit(nPb))
+
+  /** File count for the per-doc narrow doclen frame (~16 B/doc): ~8M
+    * docs per file lands a few hundred MB; grows linearly past that. */
+  private[operators] def smallFrameFiles(nDocs: Long): Int =
+    math.max(1L, math.min(8192L, nDocs / 8000000L + 1)).toInt
 
   /** Tokenize and count the corpus. One wide shuffle (the (id, term)
     * aggregation), paid once here instead of per query batch.
@@ -86,14 +110,18 @@ object LexIndex {
     * storage grows by one int per token occurrence — the standard
     * positional-index price (Lucene pays the same in its .pos files). */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            nPb: Int = DefaultNPb): Bm25Index = {
+            nPb: Int = 0): Bm25Index = { // 0 = derive from corpus size
+    // input-proportional cached width — see Dedup.minhashNearDups (r13)
+    val p = Scale.inputPartitions(docs)
     val tf = docs
       .select(col(idCol), posexplode(Dedup.tokens(col(textCol))).as(Seq("__pos", "term")))
       .groupBy(col(idCol).as("id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"),
         sort_array(collect_list(col("__pos"))).as("positions"))
+      .coalesce(p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val doclen = tf.groupBy(col("id")).agg(sum("tf").cast("long").as("dl"))
+      .coalesce(p)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // nDocs counts docs with ≥1 token — bm25TopK's N (an all-whitespace
     // doc has no postings and can never score; excluding it from N keeps
@@ -105,7 +133,7 @@ object LexIndex {
     // of once per query batch
     Bm25Index(tf.join(doclen, "id")
       .select(col("term"), col("id"), col("tf"), col("dl"), col("positions")),
-      doclen, n, tot, nPb)
+      doclen, n, tot, if (nPb > 0) nPb else adaptiveNPb(tot))
   }
 
   /** Persist: two parquet frames + one meta row. Postings repartitioned
@@ -123,7 +151,12 @@ object LexIndex {
       .repartition(col("pb"))
       .sortWithinPartitions(col("term"))
       .write.partitionBy("pb").mode("overwrite").parquet(s"$dir/postings")
-    ix.doclen.write.mode("overwrite").parquet(s"$dir/doclen")
+    // doclen is ~16 B/doc and its producing aggregation is cached (AQE
+    // cannot right-size the fixed shuffle.partitions output), so a bare
+    // write emits one near-empty file per partition — coalesce to ~8M
+    // docs/file, scale-linear and narrow (same move as DedupIndex.write)
+    ix.doclen.coalesce(smallFrameFiles(ix.nDocs))
+      .write.mode("overwrite").parquet(s"$dir/doclen")
     Seq((ix.nDocs, ix.totLen, ix.nPb))
       .toDF("n_docs", "tot_len", "n_pb")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -210,6 +243,7 @@ object LexIndex {
         col(queryIdCol).as("query_id"),
         explode(Dedup.tokens(col(queryTextCol))).as("term"))
       .distinct()
+      .coalesce(Scale.inputPartitions(queries)) // batch-proportional cached width (r13)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val restricted = prunedPostings(ix, qTerms)
     // dl comes inline from the posting rows; the doclen join only exists
@@ -283,6 +317,7 @@ object LexIndex {
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         posexplode(Dedup.tokens(col(phraseCol))).as(Seq("offset", "term")))
       .select(col("query_id"), safeOffset.cast("int").as("offset"), col("term"))
+      .coalesce(Scale.inputPartitions(queries)) // batch-proportional cached width (r13)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qTermsD = qTerms.select(col("query_id"), col("term")).distinct()
     val qDist = qTermsD.groupBy(col("query_id"))
@@ -383,6 +418,7 @@ object LexIndex {
     import org.apache.spark.sql.expressions.Window
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         explode(array_distinct(Dedup.tokens(col(textCol)))).as("term"))
+      .coalesce(Scale.inputPartitions(queries)) // batch-proportional cached width (r13)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qLen = qTerms.groupBy(col("query_id"))
       .agg(countDistinct(col("term")).cast("int").as("__m"))
@@ -470,7 +506,8 @@ object LexIndex {
       .repartition(col("pb"))
       .sortWithinPartitions(col("term")) // row-group stats, like write()
       .write.partitionBy("pb").mode("append").parquet(s"$dir/postings")
-    delta.doclen.write.mode("append").parquet(s"$dir/doclen")
+    delta.doclen.coalesce(smallFrameFiles(delta.nDocs))
+      .write.mode("append").parquet(s"$dir/doclen")
     import spark.implicits._
     Seq((ix.nDocs + delta.nDocs, ix.totLen + delta.totLen, ix.nPb))
       .toDF("n_docs", "tot_len", "n_pb")

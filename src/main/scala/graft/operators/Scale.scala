@@ -58,6 +58,25 @@ object Scale {
     df.repartition(p, keys: _*).sortWithinPartitions(keys: _*)
   }
 
+  /** Input-proportional partition count for a frame DERIVED from `src`
+    * that is about to be persisted and fanned out to many consumers: the
+    * number of `src` scan splits, clamped to [1, defaultParallelism].
+    *
+    * Why (r13 optimization): cached plans are exempt from AQE partition
+    * coalescing (their output partitioning is frozen), so a persisted
+    * aggregation output materializes at the session's full
+    * shuffle.partitions regardless of size — and then EVERY consumer
+    * stage pays one near-empty task per partition (~100 ms fixed cpu per
+    * task measured on the dedup probe chain; at serving SFs that overhead
+    * dominated whole operators). Scan splits follow input bytes
+    * ([[spread]]'s signal, inverted), so a small corpus collapses its
+    * cached intermediates to a handful of tasks while a 100 TB corpus
+    * keeps (and needs) its width — this is the cache-side analogue of
+    * AQE's own byte-proportional coalescing. */
+  def inputPartitions(src: DataFrame): Int =
+    math.max(1, math.min(src.rdd.getNumPartitions,
+      src.sparkSession.sparkContext.defaultParallelism))
+
   /** Deterministic salt in [0, salts) for the skewed (large) side. */
   private def saltOf(c: Column, salts: Int): Column =
     pmod(xxhash64(c), lit(salts))

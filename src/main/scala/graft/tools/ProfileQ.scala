@@ -16,12 +16,18 @@ object ProfileQ {
       .head()
 
   def main(args: Array[String]): Unit = {
+    // same scratch routing as Bench: without it the index-lifecycle
+    // queries write their stores to the stalling virtio /tmp here but to
+    // tmpfs under Bench, and the A/B numbers stop being comparable
+    graft.Bench.routeTmpdir()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's scan parallelism (single-file testdata, small splits)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
     // tmpfs scratch with low-free-space disk fallback — see Bench.scratchDir
     graft.Bench.scratchDir().foreach(builder.config("spark.local.dir", _))
@@ -45,7 +51,11 @@ object ProfileQ {
         if (clearCache) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         materialize(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        // outside the timed window, like Bench: lifecycle queries leave
+        // whole index stores on the (RAM-counted) scratch per rep
+        graft.Scratch.sweep()
+        w
       }
       println(f"[profile] $name%-28s min=${times.min}%6.2f  runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
